@@ -1,0 +1,15 @@
+"""Test configuration.
+
+Tests run on CPU with a virtual 8-device mesh so sharding paths are exercised
+without TPU hardware (SURVEY.md §4: multi-chip tests via
+--xla_force_host_platform_device_count).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
