@@ -1,0 +1,26 @@
+"""Texture operations (L3 equivalent of the reference)."""
+
+from .colorspace import (
+    apply_linear_to_srgb, apply_srgb_to_linear, linear_to_srgb, srgb_to_linear,
+)
+from .convert import CONVF, convert, convert_values, get_convert_flags
+from .flags import (
+    CMSE_FLAGS, CNMAP_FLAGS, TEX_COMPRESS_FLAGS, TEX_FILTER_FLAGS,
+    TEX_FR_FLAGS, TEX_PMALPHA_FLAGS, TEX_THRESHOLD_DEFAULT,
+)
+from .fliprotate import flip_rotate
+from .misc import (
+    compute_mse, compute_psnr, copy_rectangle, evaluate_image, transform_image,
+)
+from .pmalpha import demultiply_values, premultiply_alpha, premultiply_values
+
+__all__ = [
+    "CMSE_FLAGS", "CNMAP_FLAGS", "CONVF", "TEX_COMPRESS_FLAGS",
+    "TEX_FILTER_FLAGS", "TEX_FR_FLAGS", "TEX_PMALPHA_FLAGS",
+    "TEX_THRESHOLD_DEFAULT",
+    "apply_linear_to_srgb", "apply_srgb_to_linear", "compute_mse",
+    "compute_psnr", "convert", "convert_values", "copy_rectangle",
+    "demultiply_values", "evaluate_image", "flip_rotate",
+    "get_convert_flags", "linear_to_srgb", "premultiply_alpha",
+    "premultiply_values", "srgb_to_linear", "transform_image",
+]

@@ -1,0 +1,204 @@
+"""Tests for convert, pmalpha, fliprotate, misc ops."""
+
+import numpy as np
+import pytest
+
+from directxtex_tpu.formats import FMT
+from directxtex_tpu.ops import (
+    CMSE_FLAGS, TEX_FILTER_FLAGS, TEX_FR_FLAGS, TEX_PMALPHA_FLAGS,
+    compute_mse, compute_psnr, convert, convert_values, copy_rectangle,
+    flip_rotate, linear_to_srgb, premultiply_alpha, srgb_to_linear,
+    transform_image,
+)
+from directxtex_tpu.texture import TexAlphaMode, Texture
+
+
+def rand_tex(h=8, w=8, n=1, seed=0, fmt=FMT.R32G32B32A32_FLOAT):
+    rng = np.random.default_rng(seed)
+    return Texture.from_array(rng.random((n, h, w, 4), np.float32), fmt=fmt)
+
+
+# -- colorspace --
+
+def test_srgb_round_trip_and_anchors():
+    v = np.linspace(0, 1, 64, dtype=np.float32)
+    lin = np.asarray(srgb_to_linear(v))
+    back = np.asarray(linear_to_srgb(lin))
+    np.testing.assert_allclose(back, v, atol=2e-6)
+    # spec anchors
+    np.testing.assert_allclose(np.asarray(srgb_to_linear(np.float32(0.04045))),
+                               0.04045 / 12.92, rtol=1e-5)
+    assert abs(float(srgb_to_linear(np.float32(1.0))) - 1.0) < 1e-6
+    assert float(srgb_to_linear(np.float32(0.0))) == 0.0
+
+
+# -- convert --
+
+def test_convert_unorm_to_snorm_range():
+    tex = rand_tex(fmt=FMT.R8G8B8A8_UNORM)
+    out = convert(tex, FMT.R8G8B8A8_SNORM)
+    assert out.metadata.format == FMT.R8G8B8A8_SNORM
+    src = tex.to_numpy()
+    dst = out.to_numpy()
+    np.testing.assert_allclose(dst, np.clip(src * 2 - 1, -1, 1), atol=1 / 120)
+
+
+def test_convert_quantizes_to_target_precision():
+    tex = rand_tex(fmt=FMT.R32G32B32A32_FLOAT)
+    out = convert(tex, FMT.B5G6R5_UNORM)
+    dst = out.to_numpy()
+    # every red/blue value must be k/31, green k/63, alpha 1
+    np.testing.assert_allclose(dst[..., 0] * 31, np.round(dst[..., 0] * 31), atol=1e-4)
+    np.testing.assert_allclose(dst[..., 1] * 63, np.round(dst[..., 1] * 63), atol=1e-4)
+    np.testing.assert_allclose(dst[..., 3], 1.0)
+
+
+def test_convert_srgb_in():
+    tex = rand_tex(fmt=FMT.R8G8B8A8_UNORM_SRGB)
+    out = convert(tex, FMT.R32G32B32A32_FLOAT)
+    expected = np.asarray(srgb_to_linear(tex.to_numpy()[..., :3]))
+    np.testing.assert_allclose(out.to_numpy()[..., :3], expected, atol=1e-5)
+    # alpha untouched
+    np.testing.assert_allclose(out.to_numpy()[..., 3], tex.to_numpy()[..., 3], atol=1e-6)
+
+
+def test_convert_srgb_to_srgb_no_double_transform():
+    tex = rand_tex(fmt=FMT.R8G8B8A8_UNORM_SRGB)
+    out = convert(tex, FMT.B8G8R8A8_UNORM_SRGB)
+    np.testing.assert_allclose(out.to_numpy(), tex.to_numpy(), atol=1 / 255)
+
+
+def test_convert_rgb_to_r_grayscale():
+    tex = rand_tex(fmt=FMT.R8G8B8A8_UNORM)
+    out = convert(tex, FMT.R8_UNORM)
+    src = tex.to_numpy()
+    lum = src[..., 0] * 0.2125 + src[..., 1] * 0.7154 + src[..., 2] * 0.0721
+    np.testing.assert_allclose(out.to_numpy()[..., 0], lum, atol=1 / 250)
+
+
+def test_convert_rgb_to_r_copy_green():
+    tex = rand_tex(fmt=FMT.R8G8B8A8_UNORM)
+    out = convert(tex, FMT.R8_UNORM, TEX_FILTER_FLAGS.RGB_COPY_GREEN)
+    np.testing.assert_allclose(out.to_numpy()[..., 0],
+                               tex.to_numpy()[..., 1], atol=1 / 250)
+
+
+def test_convert_r_to_rgb_fill():
+    tex = rand_tex(fmt=FMT.R8_UNORM)
+    # R8 source: G/B are 0 from unpack; but our in-memory texture carries the
+    # random values, so convert's channel-fill logic should splat red.
+    out = convert(tex, FMT.R8G8B8A8_UNORM)
+    dst = out.to_numpy()
+    np.testing.assert_allclose(dst[..., 1], dst[..., 0], atol=1e-6)
+    np.testing.assert_allclose(dst[..., 2], dst[..., 0], atol=1e-6)
+
+
+def test_convert_a8_roundtrip():
+    # RGBA -> A8 keeps the alpha channel (input HAS alpha, so no grayscale
+    # fill; DirectXTexConvert.cpp:3599 only fills when !CONVF_A input)
+    tex = rand_tex(fmt=FMT.R8G8B8A8_UNORM)
+    a8 = convert(tex, FMT.A8_UNORM)
+    np.testing.assert_allclose(a8.to_numpy()[..., 3],
+                               tex.to_numpy()[..., 3], atol=1 / 250)
+    # A8 -> RGBA: rgb stays 0, alpha preserved
+    back = convert(a8, FMT.R8G8B8A8_UNORM)
+    np.testing.assert_allclose(back.to_numpy()[..., :3], 0.0, atol=1e-6)
+    np.testing.assert_allclose(back.to_numpy()[..., 3],
+                               a8.to_numpy()[..., 3], atol=1 / 255)
+    # R8 (no alpha) -> A8 grayscales... actually R-only input takes the
+    # copy-red fallback (grayscale requires full RGB input)
+    r8 = rand_tex(fmt=FMT.R8_UNORM)
+    a8b = convert(r8, FMT.A8_UNORM)
+    np.testing.assert_allclose(a8b.to_numpy()[..., 3],
+                               r8.to_numpy()[..., 0], atol=1 / 250)
+
+
+def test_convert_rejects_bc():
+    tex = rand_tex()
+    with pytest.raises(ValueError):
+        convert(tex, FMT.BC1_UNORM)
+
+
+# -- pmalpha --
+
+def test_premultiply_and_reverse():
+    tex = rand_tex(fmt=FMT.R32G32B32A32_FLOAT)
+    pm = premultiply_alpha(tex)
+    assert pm.metadata.alpha_mode() == TexAlphaMode.PREMULTIPLIED
+    src = tex.to_numpy()
+    np.testing.assert_allclose(pm.to_numpy()[..., :3],
+                               src[..., :3] * src[..., 3:4], rtol=1e-6)
+    back = premultiply_alpha(pm, TEX_PMALPHA_FLAGS.REVERSE)
+    np.testing.assert_allclose(back.to_numpy(), src, rtol=1e-4, atol=1e-5)
+
+
+def test_premultiply_zero_alpha_no_nan():
+    arr = np.ones((2, 2, 4), np.float32)
+    arr[..., 3] = 0.0
+    pm = premultiply_alpha(Texture.from_array(arr, fmt=FMT.R32G32B32A32_FLOAT),
+                           TEX_PMALPHA_FLAGS.REVERSE)
+    assert np.all(np.isfinite(pm.to_numpy()))
+
+
+# -- fliprotate --
+
+def test_flip_rotate_all():
+    arr = np.arange(2 * 3 * 4, dtype=np.float32).reshape(1, 2, 3, 4)
+    tex = Texture.from_array(arr[0], fmt=FMT.R32G32B32A32_FLOAT)
+
+    r90 = flip_rotate(tex, TEX_FR_FLAGS.ROTATE90)
+    assert r90.metadata.width == 2 and r90.metadata.height == 3
+    np.testing.assert_allclose(np.asarray(r90.levels[0][0]),
+                               np.rot90(arr[0], k=-1, axes=(0, 1)))
+
+    fh = flip_rotate(tex, TEX_FR_FLAGS.FLIP_HORIZONTAL)
+    np.testing.assert_allclose(np.asarray(fh.levels[0][0]), arr[0][:, ::-1])
+
+    fv = flip_rotate(tex, TEX_FR_FLAGS.FLIP_VERTICAL)
+    np.testing.assert_allclose(np.asarray(fv.levels[0][0]), arr[0][::-1])
+
+    r180 = flip_rotate(tex, TEX_FR_FLAGS.ROTATE180)
+    np.testing.assert_allclose(np.asarray(r180.levels[0][0]), arr[0][::-1, ::-1])
+
+
+# -- misc --
+
+def test_compute_mse_basic():
+    a = np.zeros((4, 4, 4), np.float32)
+    b = np.full((4, 4, 4), 0.5, np.float32)
+    mse, mse_v = compute_mse(a, b)
+    np.testing.assert_allclose(np.asarray(mse_v), [0.25] * 4, rtol=1e-6)
+    np.testing.assert_allclose(float(mse), 1.0, rtol=1e-6)
+
+
+def test_compute_mse_ignore_and_srgb():
+    a = np.full((2, 2, 4), 0.5, np.float32)
+    b = np.full((2, 2, 4), 0.25, np.float32)
+    mse, mse_v = compute_mse(a, b, CMSE_FLAGS.IGNORE_ALPHA | CMSE_FLAGS.IGNORE_RED)
+    v = np.asarray(mse_v)
+    assert v[0] == 0 and v[3] == 0 and v[1] > 0
+    # srgb flag applies gamma 2.2 to RGB but not alpha
+    mse2, v2 = compute_mse(a, b, CMSE_FLAGS.IMAGE1_SRGB | CMSE_FLAGS.IMAGE2_SRGB)
+    expected_rgb = (0.5 ** 2.2 - 0.25 ** 2.2) ** 2
+    np.testing.assert_allclose(np.asarray(v2)[:3], expected_rgb, rtol=1e-5)
+
+
+def test_compute_psnr_identical_is_large():
+    a = np.random.default_rng(0).random((8, 8, 4)).astype(np.float32)
+    assert float(compute_psnr(a, a)) > 200
+
+
+def test_copy_rectangle():
+    src = np.ones((4, 4, 4), np.float32)
+    dst = np.zeros((8, 8, 4), np.float32)
+    out = np.asarray(copy_rectangle(src, (1, 1, 2, 2), dst, 5, 6))
+    assert out[6:8, 5:7].sum() == 2 * 2 * 4
+    assert out.sum() == 2 * 2 * 4
+    with pytest.raises(ValueError):
+        copy_rectangle(src, (0, 0, 5, 5), dst, 0, 0)
+
+
+def test_transform_image():
+    tex = rand_tex()
+    out = transform_image(tex, lambda img: img * 0.5)
+    np.testing.assert_allclose(out.to_numpy(), tex.to_numpy() * 0.5, rtol=1e-6)
