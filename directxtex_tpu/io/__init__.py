@@ -1,0 +1,60 @@
+"""Container I/O (L2 equivalent): DDS, TGA, HDR, and PNG/JPEG/BMP bridge."""
+
+from .dds import (
+    DDS_FLAGS, DDSMetaData, encode_dds_header, get_metadata_from_dds_memory,
+    load_from_dds_file, load_from_dds_memory, save_to_dds_file,
+    save_to_dds_memory,
+)
+from .hdr import (
+    get_metadata_from_hdr_memory, load_from_hdr_file, load_from_hdr_memory,
+    save_to_hdr_file, save_to_hdr_memory,
+)
+from .tga import (
+    TGA_FLAGS, get_metadata_from_tga_memory, load_from_tga_file,
+    load_from_tga_memory, save_to_tga_file, save_to_tga_memory,
+)
+from .wic import (
+    WIC_CODEC, WIC_FLAGS, load_from_wic_file, load_from_wic_memory,
+    save_to_wic_file, save_to_wic_memory,
+)
+
+__all__ = [
+    "DDS_FLAGS", "DDSMetaData", "TGA_FLAGS", "WIC_CODEC", "WIC_FLAGS",
+    "encode_dds_header",
+    "get_metadata_from_dds_memory", "get_metadata_from_hdr_memory",
+    "get_metadata_from_tga_memory",
+    "load_from_dds_file", "load_from_dds_memory",
+    "load_from_hdr_file", "load_from_hdr_memory",
+    "load_from_tga_file", "load_from_tga_memory",
+    "load_from_wic_file", "load_from_wic_memory",
+    "save_to_dds_file", "save_to_dds_memory",
+    "save_to_hdr_file", "save_to_hdr_memory",
+    "save_to_tga_file", "save_to_tga_memory",
+    "save_to_wic_file", "save_to_wic_memory",
+]
+
+
+def load_texture(path, **kwargs):
+    """Extension-dispatched loader (texconv-style)."""
+    import os
+    ext = os.path.splitext(str(path))[1].lower()
+    if ext == ".dds":
+        return load_from_dds_file(path, **kwargs)
+    if ext == ".tga":
+        return load_from_tga_file(path, **kwargs)
+    if ext == ".hdr":
+        return load_from_hdr_file(path)
+    return load_from_wic_file(path, **kwargs)
+
+
+def save_texture(tex, path, **kwargs):
+    """Extension-dispatched saver."""
+    import os
+    ext = os.path.splitext(str(path))[1].lower()
+    if ext == ".dds":
+        return save_to_dds_file(tex, path, **kwargs)
+    if ext == ".tga":
+        return save_to_tga_file(tex, path, **kwargs)
+    if ext == ".hdr":
+        return save_to_hdr_file(tex, path)
+    return save_to_wic_file(tex, path, **kwargs)

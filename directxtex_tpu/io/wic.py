@@ -1,0 +1,147 @@
+"""PNG/JPEG/BMP/TIFF/GIF codec bridge.
+
+The reference's WIC layer (DirectXTexWIC.cpp, Windows-only) negotiates pixel
+formats with the OS imaging stack; the TPU-native equivalent bridges through
+Pillow. Format mapping follows WICToDXGI (DirectXTexUtil.cpp:135): 8-bit
+RGB(A) -> R8G8B8A8_UNORM, 16-bit -> R16G16B16A16_UNORM, grayscale -> R8/R16,
+float TIFF -> R32G32B32A32_FLOAT.
+"""
+
+from __future__ import annotations
+
+import enum
+import io as _io
+
+import numpy as np
+
+from ..formats.dxgi import FMT
+from ..texture import TexDimension, TexMetadata, Texture
+
+__all__ = ["WIC_FLAGS", "load_from_wic_memory", "save_to_wic_memory",
+           "load_from_wic_file", "save_to_wic_file", "WIC_CODEC"]
+
+
+class WIC_FLAGS(enum.IntFlag):
+    """DirectXTex.h:305-347 (subset meaningful outside Windows)."""
+    NONE = 0
+    FORCE_RGB = 0x1
+    NO_X2_BIAS = 0x2
+    NO_16BPP = 0x4
+    ALLOW_MONO = 0x8
+    ALL_FRAMES = 0x10
+    IGNORE_SRGB = 0x20
+    FORCE_SRGB = 0x40
+    FORCE_LINEAR = 0x80
+    DEFAULT_SRGB = 0x100
+    DITHER = 0x10000
+    DITHER_DIFFUSION = 0x20000
+
+
+class WIC_CODEC(enum.IntEnum):
+    """DirectXTex.h WIC_CODEC enum."""
+    BMP = 1
+    JPEG = 2
+    PNG = 3
+    TIFF = 4
+    GIF = 5
+    WMP = 6
+    ICO = 7
+    HEIF = 8
+
+
+_PIL_FORMAT = {
+    WIC_CODEC.BMP: "BMP", WIC_CODEC.JPEG: "JPEG", WIC_CODEC.PNG: "PNG",
+    WIC_CODEC.TIFF: "TIFF", WIC_CODEC.GIF: "GIF", WIC_CODEC.ICO: "ICO",
+}
+
+
+def _to_texture(im, flags: WIC_FLAGS) -> Texture:
+    import jax.numpy as jnp
+    mode = im.mode
+    srgb = not (flags & WIC_FLAGS.FORCE_LINEAR)
+    if mode in ("1", "L", "P"):
+        if mode == "P":
+            im = im.convert("RGBA")
+            arr = np.asarray(im, np.uint8).astype(np.float32) / 255.0
+            fmt = FMT.R8G8B8A8_UNORM_SRGB if srgb else FMT.R8G8B8A8_UNORM
+        else:
+            arr = np.asarray(im.convert("L"), np.uint8).astype(np.float32) / 255.0
+            arr = arr[..., None]
+            fmt = FMT.R8_UNORM
+    elif mode == "I;16":
+        arr = np.asarray(im, np.uint16).astype(np.float32) / 65535.0
+        arr = arr[..., None]
+        fmt = FMT.R16_UNORM
+    elif mode == "F":
+        arr = np.asarray(im, np.float32)[..., None]
+        fmt = FMT.R32_FLOAT
+    elif mode in ("RGB", "RGBA", "LA"):
+        im = im.convert("RGBA")
+        arr = np.asarray(im, np.uint8).astype(np.float32) / 255.0
+        fmt = FMT.R8G8B8A8_UNORM_SRGB if srgb else FMT.R8G8B8A8_UNORM
+    else:
+        im = im.convert("RGBA")
+        arr = np.asarray(im, np.uint8).astype(np.float32) / 255.0
+        fmt = FMT.R8G8B8A8_UNORM_SRGB if srgb else FMT.R8G8B8A8_UNORM
+    if flags & WIC_FLAGS.IGNORE_SRGB:
+        from ..formats.traits import make_linear
+        fmt = make_linear(fmt)
+    return Texture.from_array(jnp.asarray(arr), fmt=fmt)
+
+
+def load_from_wic_memory(data: bytes,
+                         flags: WIC_FLAGS = WIC_FLAGS.NONE) -> Texture:
+    from PIL import Image
+    with Image.open(_io.BytesIO(data)) as im:
+        if (flags & WIC_FLAGS.ALL_FRAMES) and getattr(im, "n_frames", 1) > 1:
+            frames = []
+            for i in range(im.n_frames):
+                im.seek(i)
+                frames.append(_to_texture(im.copy(), flags))
+            base = frames[0]
+            import jax.numpy as jnp
+            stacked = jnp.concatenate([t.levels[0] for t in frames])
+            meta = TexMetadata(width=base.width, height=base.height,
+                               array_size=len(frames),
+                               format=base.metadata.format,
+                               dimension=TexDimension.TEXTURE2D)
+            return Texture(meta, [stacked])
+        return _to_texture(im.copy(), flags)
+
+
+def save_to_wic_memory(tex: Texture, codec: WIC_CODEC,
+                       flags: WIC_FLAGS = WIC_FLAGS.NONE,
+                       mip: int = 0, item: int = 0, **save_kwargs) -> bytes:
+    from PIL import Image
+    img = np.asarray(tex.image(mip, item))
+    u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+    if codec == WIC_CODEC.JPEG:
+        pil = Image.fromarray(u8[..., :3], "RGB")
+    else:
+        pil = Image.fromarray(u8, "RGBA")
+    buf = _io.BytesIO()
+    pil.save(buf, format=_PIL_FORMAT[codec], **save_kwargs)
+    return buf.getvalue()
+
+
+_EXT_CODEC = {
+    ".bmp": WIC_CODEC.BMP, ".jpg": WIC_CODEC.JPEG, ".jpeg": WIC_CODEC.JPEG,
+    ".png": WIC_CODEC.PNG, ".tif": WIC_CODEC.TIFF, ".tiff": WIC_CODEC.TIFF,
+    ".gif": WIC_CODEC.GIF, ".ico": WIC_CODEC.ICO,
+}
+
+
+def load_from_wic_file(path, flags: WIC_FLAGS = WIC_FLAGS.NONE) -> Texture:
+    with open(path, "rb") as f:
+        return load_from_wic_memory(f.read(), flags)
+
+
+def save_to_wic_file(tex: Texture, path,
+                     flags: WIC_FLAGS = WIC_FLAGS.NONE, **kw) -> None:
+    import os
+    ext = os.path.splitext(str(path))[1].lower()
+    codec = _EXT_CODEC.get(ext)
+    if codec is None:
+        raise ValueError(f"unknown image extension {ext!r}")
+    with open(path, "wb") as f:
+        f.write(save_to_wic_memory(tex, codec, flags, **kw))

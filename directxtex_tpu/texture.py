@@ -234,3 +234,45 @@ class Texture:
                 f"{f'x{m.depth}' if m.dimension == TexDimension.TEXTURE3D else ''}, "
                 f"items={m.array_size}, mips={self.mip_levels}"
                 f"{', cube' if m.is_cubemap() else ''})")
+
+
+@jax.tree_util.register_pytree_node_class
+class CompressedTexture:
+    """A block-compressed (BC1-BC7) texture held as raw block bytes.
+
+    The reference keeps compressed subresources as byte buffers inside
+    ScratchImage and converts only via explicit Compress/Decompress
+    (DirectXTexCompress.cpp:632,852). Here `levels[m]` is a uint8 array of
+    shape [items_or_depth, n_blocks_y * n_blocks_x * bytes_per_block].
+    """
+
+    def __init__(self, metadata: TexMetadata, levels: Sequence[jnp.ndarray]):
+        self.metadata = metadata
+        self.levels = list(levels)
+
+    def tree_flatten(self):
+        return self.levels, self.metadata
+
+    @classmethod
+    def tree_unflatten(cls, metadata, levels):
+        return cls(metadata, levels)
+
+    @property
+    def format(self) -> DXGIFormat:
+        return self.metadata.format
+
+    @property
+    def mip_levels(self) -> int:
+        return len(self.levels)
+
+    @property
+    def array_size(self) -> int:
+        return self.metadata.array_size
+
+    def level_bytes(self, mip: int, item: int = 0) -> np.ndarray:
+        return np.asarray(self.levels[mip][item])
+
+    def __repr__(self) -> str:
+        m = self.metadata
+        return (f"CompressedTexture({m.format.name}, {m.width}x{m.height}, "
+                f"items={m.array_size}, mips={self.mip_levels})")
