@@ -1,0 +1,87 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "Mtexels/s", "vs_baseline": N}
+
+Headline metric (BASELINE.md): BC encode throughput at 2K on one chip.
+Uses BC7 once available; currently BC1 (round-1 slice). vs_baseline is the
+fraction of the 500 Mtexels/s/chip BC7 north-star target (the reference
+publishes no numbers — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+
+def _enable_compile_cache():
+    """The axon TPU tunnel remote-compiles (~9 min for the BC1 graph); the
+    persistent cache makes reruns instant."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+def main():
+    import jax
+    _enable_compile_cache()
+    import jax.numpy as jnp
+
+    from directxtex_tpu.bc import bc123, bc67
+    from directxtex_tpu.bc.common import image_to_blocks
+
+    try:
+        bc67.encode_bc7(jnp.zeros((1, 16, 4), jnp.float32))
+        codec = "bc7"
+    except NotImplementedError:
+        codec = "bc1"
+    except Exception:
+        codec = "bc7"
+
+    size = 2048
+    rng = np.random.default_rng(0)
+    # realistic content: smooth gradients + structure, not pure noise
+    x = np.linspace(0, 1, size, dtype=np.float32)
+    gx, gy = np.meshgrid(x, x)
+    img = np.stack([
+        gx, (gx * gy), np.abs(np.sin(gx * 37) * 0.5 + 0.3),
+        np.ones_like(gx)], axis=-1).astype(np.float32)
+    img += (rng.random(img.shape).astype(np.float32) - 0.5) * 0.05
+    img = np.clip(img, 0, 1)
+
+    def step(im):
+        blocks, _, _ = image_to_blocks(im)
+        if codec == "bc7":
+            return bc67.encode_bc7(blocks)
+        return bc123.encode_bc1(blocks, 0.5, 0)
+
+    fn = jax.jit(step)
+    x_dev = jnp.asarray(img)
+
+    # warmup / compile
+    out = fn(x_dev)
+    out.block_until_ready()
+
+    # steady-state timing
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fn(x_dev)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iter
+
+    mtexels = size * size / dt / 1e6
+    result = {
+        "metric": f"{codec}_encode_2k_mtexels_per_sec_per_chip",
+        "value": round(mtexels, 2),
+        "unit": "Mtexels/s",
+        "vs_baseline": round(mtexels / 500.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,13 @@ from .flags import (
     CMSE_FLAGS, CNMAP_FLAGS, TEX_COMPRESS_FLAGS, TEX_FILTER_FLAGS,
     TEX_FR_FLAGS, TEX_PMALPHA_FLAGS, TEX_THRESHOLD_DEFAULT,
 )
+from .compress import compress, decompress, default_decompress_format
 from .fliprotate import flip_rotate
+from .mipmaps import (
+    calculate_alpha_coverage, generate_mipmaps, generate_mipmaps_3d,
+    scale_mipmaps_alpha_for_coverage,
+)
+from .resize import resize, resize_array
 from .misc import (
     compute_mse, compute_psnr, copy_rectangle, evaluate_image, transform_image,
 )
@@ -18,9 +24,12 @@ __all__ = [
     "CMSE_FLAGS", "CNMAP_FLAGS", "CONVF", "TEX_COMPRESS_FLAGS",
     "TEX_FILTER_FLAGS", "TEX_FR_FLAGS", "TEX_PMALPHA_FLAGS",
     "TEX_THRESHOLD_DEFAULT",
-    "apply_linear_to_srgb", "apply_srgb_to_linear", "compute_mse",
+    "apply_linear_to_srgb", "apply_srgb_to_linear",
+    "calculate_alpha_coverage", "compress", "compute_mse",
     "compute_psnr", "convert", "convert_values", "copy_rectangle",
     "demultiply_values", "evaluate_image", "flip_rotate",
-    "get_convert_flags", "linear_to_srgb", "premultiply_alpha",
-    "premultiply_values", "srgb_to_linear", "transform_image",
+    "decompress", "default_decompress_format", "generate_mipmaps",
+    "generate_mipmaps_3d", "get_convert_flags", "linear_to_srgb",
+    "premultiply_alpha", "premultiply_values", "resize", "resize_array",
+    "scale_mipmaps_alpha_for_coverage", "srgb_to_linear", "transform_image",
 ]

@@ -1,0 +1,205 @@
+"""Compress / Decompress ops (DirectXTexCompress.cpp).
+
+The reference iterates 4-row bands per block with optional OpenMP over a flat
+block index (:72-373); here the whole subresource becomes one batched device
+call: im2col to [NB, 16, 4], encode every block in parallel, reshape packed
+blocks back to the DDS byte layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bc import bc123, bc45, bc67
+from ..bc.common import blocks_to_image, image_to_blocks
+from ..formats.dxgi import FMT, DXGIFormat
+from ..formats import traits
+from ..texture import CompressedTexture, TexMetadata, Texture
+from .convert import convert_values
+from .flags import TEX_COMPRESS_FLAGS as TC
+from .flags import TEX_FILTER_FLAGS as TF
+
+__all__ = ["compress", "decompress", "default_decompress_format"]
+
+
+def _bc_flags(compress_flags: TC) -> int:
+    """GetBCFlags (DirectXTexCompress.cpp:26): pass-through of the dither/
+    uniform/BC7 mode bits (values are kept identical across enums)."""
+    mask = (TC.RGB_DITHER | TC.A_DITHER | TC.DITHER | TC.UNIFORM
+            | TC.BC7_USE_3SUBSETS | TC.BC7_QUICK)
+    return int(compress_flags & mask)
+
+
+def _srgb_flags(compress_flags: TC) -> TF:
+    """GetSRGBFlags (DirectXTexCompress.cpp:36)."""
+    return TF(int(compress_flags & (TC.SRGB_IN | TC.SRGB_OUT)))
+
+
+_ENCODERS = {
+    FMT.BC1_UNORM: ("bc1", 8), FMT.BC1_UNORM_SRGB: ("bc1", 8),
+    FMT.BC2_UNORM: ("bc2", 16), FMT.BC2_UNORM_SRGB: ("bc2", 16),
+    FMT.BC3_UNORM: ("bc3", 16), FMT.BC3_UNORM_SRGB: ("bc3", 16),
+    FMT.BC4_UNORM: ("bc4u", 8), FMT.BC4_SNORM: ("bc4s", 8),
+    FMT.BC5_UNORM: ("bc5u", 16), FMT.BC5_SNORM: ("bc5s", 16),
+    FMT.BC6H_UF16: ("bc6hu", 16), FMT.BC6H_SF16: ("bc6hs", 16),
+    FMT.BC7_UNORM: ("bc7", 16), FMT.BC7_UNORM_SRGB: ("bc7", 16),
+}
+
+
+def _encode_blocks(kind: str, blocks: jnp.ndarray, threshold: float,
+                   bcflags: int) -> jnp.ndarray:
+    if kind == "bc1":
+        return bc123.encode_bc1(blocks, threshold, bcflags)
+    if kind == "bc2":
+        return bc123.encode_bc2(blocks, bcflags)
+    if kind == "bc3":
+        return bc123.encode_bc3(blocks, bcflags)
+    if kind == "bc4u":
+        return bc45.encode_bc4u(blocks)
+    if kind == "bc4s":
+        return bc45.encode_bc4s(blocks)
+    if kind == "bc5u":
+        return bc45.encode_bc5u(blocks)
+    if kind == "bc5s":
+        return bc45.encode_bc5s(blocks)
+    if kind == "bc6hu":
+        return bc67.encode_bc6h(blocks, signed=False)
+    if kind == "bc6hs":
+        return bc67.encode_bc6h(blocks, signed=True)
+    if kind == "bc7":
+        return bc67.encode_bc7(blocks, bcflags)
+    raise AssertionError(kind)
+
+
+_DECODERS = {
+    FMT.BC1_UNORM: "bc1", FMT.BC1_UNORM_SRGB: "bc1", FMT.BC1_TYPELESS: "bc1",
+    FMT.BC2_UNORM: "bc2", FMT.BC2_UNORM_SRGB: "bc2", FMT.BC2_TYPELESS: "bc2",
+    FMT.BC3_UNORM: "bc3", FMT.BC3_UNORM_SRGB: "bc3", FMT.BC3_TYPELESS: "bc3",
+    FMT.BC4_UNORM: "bc4u", FMT.BC4_SNORM: "bc4s", FMT.BC4_TYPELESS: "bc4u",
+    FMT.BC5_UNORM: "bc5u", FMT.BC5_SNORM: "bc5s", FMT.BC5_TYPELESS: "bc5u",
+    FMT.BC6H_UF16: "bc6hu", FMT.BC6H_SF16: "bc6hs", FMT.BC6H_TYPELESS: "bc6hu",
+    FMT.BC7_UNORM: "bc7", FMT.BC7_UNORM_SRGB: "bc7", FMT.BC7_TYPELESS: "bc7",
+}
+
+
+def _decode_blocks(kind: str, raw: jnp.ndarray) -> jnp.ndarray:
+    if kind == "bc1":
+        return bc123.decode_bc1(raw)
+    if kind == "bc2":
+        return bc123.decode_bc2(raw)
+    if kind == "bc3":
+        return bc123.decode_bc3(raw)
+    if kind == "bc4u":
+        return bc45.decode_bc4u(raw)
+    if kind == "bc4s":
+        return bc45.decode_bc4s(raw)
+    if kind == "bc5u":
+        return bc45.decode_bc5u(raw)
+    if kind == "bc5s":
+        return bc45.decode_bc5s(raw)
+    if kind == "bc6hu":
+        return bc67.decode_bc6h(raw, signed=False)
+    if kind == "bc6hs":
+        return bc67.decode_bc6h(raw, signed=True)
+    if kind == "bc7":
+        return bc67.decode_bc7(raw)
+    raise AssertionError(kind)
+
+
+def default_decompress_format(bcfmt: DXGIFormat) -> DXGIFormat:
+    """DefaultDecompress target map (DirectXTexCompress.cpp:377-421)."""
+    m = {
+        FMT.BC1_TYPELESS: FMT.R8G8B8A8_UNORM, FMT.BC1_UNORM: FMT.R8G8B8A8_UNORM,
+        FMT.BC1_UNORM_SRGB: FMT.R8G8B8A8_UNORM_SRGB,
+        FMT.BC2_TYPELESS: FMT.R8G8B8A8_UNORM, FMT.BC2_UNORM: FMT.R8G8B8A8_UNORM,
+        FMT.BC2_UNORM_SRGB: FMT.R8G8B8A8_UNORM_SRGB,
+        FMT.BC3_TYPELESS: FMT.R8G8B8A8_UNORM, FMT.BC3_UNORM: FMT.R8G8B8A8_UNORM,
+        FMT.BC3_UNORM_SRGB: FMT.R8G8B8A8_UNORM_SRGB,
+        FMT.BC4_TYPELESS: FMT.R8_UNORM, FMT.BC4_UNORM: FMT.R8_UNORM,
+        FMT.BC4_SNORM: FMT.R8_SNORM,
+        FMT.BC5_TYPELESS: FMT.R8G8_UNORM, FMT.BC5_UNORM: FMT.R8G8_UNORM,
+        FMT.BC5_SNORM: FMT.R8G8_SNORM,
+        FMT.BC6H_TYPELESS: FMT.R16G16B16A16_FLOAT,
+        FMT.BC6H_UF16: FMT.R16G16B16A16_FLOAT,
+        FMT.BC6H_SF16: FMT.R16G16B16A16_FLOAT,
+        FMT.BC7_TYPELESS: FMT.R8G8B8A8_UNORM, FMT.BC7_UNORM: FMT.R8G8B8A8_UNORM,
+        FMT.BC7_UNORM_SRGB: FMT.R8G8B8A8_UNORM_SRGB,
+    }
+    if bcfmt not in m:
+        raise ValueError(f"decompress: not a BC format: {bcfmt!r}")
+    return m[bcfmt]
+
+
+def compress(tex: Texture, fmt: DXGIFormat,
+             flags: TC = TC.DEFAULT,
+             threshold: float = 0.5) -> CompressedTexture:
+    """Public Compress (DirectXTexCompress.cpp:632).
+
+    Encodes every mip/item of `tex` to BC format `fmt` in batched device
+    calls. TEX_COMPRESS_PARALLEL is implied — all blocks always encode in
+    parallel on the TPU.
+    """
+    flags = TC(flags)
+    if fmt not in _ENCODERS:
+        raise ValueError(f"compress: target must be a BC format, got {fmt!r}")
+    src_fmt = tex.metadata.format
+    if traits.is_compressed(src_fmt):
+        raise ValueError("compress: source is already compressed")
+    kind, bpb = _ENCODERS[fmt]
+    bcflags = _bc_flags(flags)
+    srgb = _srgb_flags(flags)
+
+    levels = []
+    for lvl in tex.levels:
+        n, h, w, _ = lvl.shape
+        vals = convert_values(lvl, src_fmt, fmt, srgb)
+        # per-item blocking (items are independent images)
+        outs = []
+        for i in range(n):
+            blocks, nbh, nbw = image_to_blocks(vals[i])
+            packed = _encode_blocks(kind, blocks, threshold, bcflags)
+            outs.append(packed.reshape(-1))
+        levels.append(jnp.stack(outs))
+    meta = tex.metadata.with_format(fmt)
+    meta = dataclasses.replace(meta, mip_levels=len(levels))
+    return CompressedTexture(meta, levels)
+
+
+def decompress(ctex: CompressedTexture,
+               fmt: DXGIFormat = FMT.UNKNOWN) -> Texture:
+    """Public Decompress (DirectXTexCompress.cpp:852)."""
+    bcfmt = ctex.metadata.format
+    # promote TYPELESS -> UNORM (DecompressBC :451)
+    bcfmt = traits.make_typeless_unorm(bcfmt)
+    if bcfmt == FMT.BC6H_TYPELESS:
+        bcfmt = FMT.BC6H_UF16
+    if bcfmt not in _DECODERS:
+        raise ValueError(f"decompress: not a BC format: {bcfmt!r}")
+    if fmt == FMT.UNKNOWN:
+        fmt = default_decompress_format(bcfmt)
+    if traits.is_compressed(fmt) or traits.is_typeless(fmt):
+        raise ValueError(f"decompress: invalid target {fmt!r}")
+    kind = _DECODERS[bcfmt]
+    bpb = traits.bytes_per_block(bcfmt)
+
+    meta = ctex.metadata
+    levels = []
+    for mip in range(ctex.mip_levels):
+        w, h, d = meta.mip_dims(mip)
+        lvl = jnp.asarray(ctex.levels[mip])
+        n = lvl.shape[0]
+        outs = []
+        for i in range(n):
+            raw = lvl[i].reshape(-1, bpb)
+            texels = _decode_blocks(kind, raw)  # [NB, 16, 4]
+            img = blocks_to_image(texels, h, w)
+            img = convert_values(img, bcfmt, fmt, TF.DEFAULT)
+            outs.append(img)
+        levels.append(jnp.stack(outs))
+    new_meta = meta.with_format(fmt)
+    return Texture(new_meta, levels)

@@ -1,0 +1,152 @@
+"""BC7 decode tests vs an independent scalar decoder.
+
+The scalar decoder below is written directly from the Direct3D 11 functional
+spec (section on BC7), independently of the vectorized implementation, and
+serves as the second implementation for bit-exactness checks.
+"""
+
+import numpy as np
+import pytest
+
+from directxtex_tpu.bc import bc67
+from directxtex_tpu.bc.bc67_tables import FIXUPS, PARTITIONS, WEIGHTS2, WEIGHTS3, WEIGHTS4
+
+# (partitions, partition_bits, p_bits, rot_bits, im_bits, iprec, iprec2,
+#  prec rgba, prec-with-p rgba)
+SPEC_MODES = [
+    (2, 4, 6, 0, 0, 3, 0, (4, 4, 4, 0), (5, 5, 5, 0)),
+    (1, 6, 2, 0, 0, 3, 0, (6, 6, 6, 0), (7, 7, 7, 0)),
+    (2, 6, 0, 0, 0, 2, 0, (5, 5, 5, 0), (5, 5, 5, 0)),
+    (1, 6, 4, 0, 0, 2, 0, (7, 7, 7, 0), (8, 8, 8, 0)),
+    (0, 0, 0, 2, 1, 2, 3, (5, 5, 5, 6), (5, 5, 5, 6)),
+    (0, 0, 0, 2, 0, 2, 2, (7, 7, 7, 8), (7, 7, 7, 8)),
+    (0, 0, 2, 0, 0, 4, 0, (7, 7, 7, 7), (8, 8, 8, 8)),
+    (1, 6, 4, 0, 0, 2, 0, (5, 5, 5, 5), (6, 6, 6, 6)),
+]
+
+WTABLES = {2: WEIGHTS2, 3: WEIGHTS3, 4: WEIGHTS4}
+
+
+class BitReader:
+    def __init__(self, data: bytes):
+        self.v = int.from_bytes(data, "little")
+        self.pos = 0
+
+    def get(self, n):
+        out = (self.v >> self.pos) & ((1 << n) - 1)
+        self.pos += n
+        return out
+
+
+def scalar_decode_bc7(data: bytes) -> np.ndarray:
+    br = BitReader(data)
+    mode = 0
+    while mode < 8 and br.get(1) == 0:
+        mode += 1
+    if mode >= 8:
+        return np.zeros((16, 4), np.float32)
+
+    (parts, pbits_n, pb, rotb, imb, iprec, iprec2, prec, precp) = SPEC_MODES[mode]
+    n_subsets = parts + 1
+    n_ep = n_subsets * 2
+
+    shape = br.get(pbits_n)
+    rot = br.get(rotb)
+    imode = br.get(imb)
+
+    ep = np.zeros((n_ep, 4), np.int64)
+    for ch in range(4):
+        for e in range(n_ep):
+            if prec[ch]:
+                ep[e, ch] = br.get(prec[ch])
+    P = [br.get(1) for _ in range(pb)]
+    if pb:
+        for e in range(n_ep):
+            pi = e * pb // n_ep
+            for ch in range(4):
+                if prec[ch] != precp[ch]:
+                    ep[e, ch] = (ep[e, ch] << 1) | P[pi]
+
+    def unq(c, p):
+        if p >= 8 or p == 0:
+            return c
+        c = (c << (8 - p)) & 0xFF
+        return c | (c >> p)
+
+    for ch in range(4):
+        if precp[ch]:
+            for e in range(n_ep):
+                ep[e, ch] = unq(ep[e, ch], precp[ch])
+        else:
+            ep[:, ch] = 255
+
+    anchors = {0}
+    for s in range(1, n_subsets):
+        anchors.add(int(FIXUPS[parts, shape, s]))
+
+    w1 = []
+    for i in range(16):
+        nb = iprec - 1 if i in anchors else iprec
+        w1.append(br.get(nb))
+    w2 = []
+    if iprec2:
+        for i in range(16):
+            nb = iprec2 - 1 if i == 0 else iprec2
+            w2.append(br.get(nb))
+
+    out = np.zeros((16, 4), np.int64)
+    for i in range(16):
+        region = int(PARTITIONS[parts, shape, i])
+        e0, e1 = ep[region * 2], ep[region * 2 + 1]
+        if not iprec2:
+            wc = wa = int(WTABLES[iprec][w1[i]])
+        elif imode == 0:
+            wc = int(WTABLES[iprec][w1[i]])
+            wa = int(WTABLES[iprec2][w2[i]])
+        else:
+            wc = int(WTABLES[iprec2][w2[i]])
+            wa = int(WTABLES[iprec][w1[i]])
+        px = [(( (64 - wc) * e0[c] + wc * e1[c] + 32) >> 6) for c in range(3)]
+        pa = ((64 - wa) * e0[3] + wa * e1[3] + 32) >> 6
+        px.append(pa)
+        if rot == 1:
+            px[0], px[3] = px[3], px[0]
+        elif rot == 2:
+            px[1], px[3] = px[3], px[1]
+        elif rot == 3:
+            px[2], px[3] = px[3], px[2]
+        out[i] = px
+    return (out.astype(np.float32) * np.float32(1.0 / 255.0))
+
+
+def blocks_with_mode(mode: int, n: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, (n, 16), dtype=np.uint8)
+    # force mode bits: lowest set bit of byte0 at position `mode`
+    keep_mask = np.uint8((~((1 << (mode + 1)) - 1)) & 0xFF)
+    blocks[:, 0] = (blocks[:, 0] & keep_mask) | np.uint8(1 << mode)
+    return blocks
+
+
+@pytest.mark.parametrize("mode", range(8))
+def test_decode_bc7_modes_exact(mode):
+    blocks = blocks_with_mode(mode, 64, mode + 100)
+    got = np.asarray(bc67.decode_bc7(blocks))
+    for i in range(0, 64, 7):
+        expect = scalar_decode_bc7(blocks[i].tobytes())
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"mode {mode} block {i}")
+
+
+def test_decode_bc7_reserved_mode():
+    blocks = np.zeros((2, 16), np.uint8)  # byte0 == 0 -> reserved
+    out = np.asarray(bc67.decode_bc7(blocks))
+    assert np.all(out == 0.0)
+
+
+def test_decode_bc7_random_mixed():
+    rng = np.random.default_rng(77)
+    blocks = rng.integers(0, 256, (256, 16), dtype=np.uint8)
+    got = np.asarray(bc67.decode_bc7(blocks))
+    for i in range(0, 256, 31):
+        expect = scalar_decode_bc7(blocks[i].tobytes())
+        np.testing.assert_array_equal(got[i], expect, err_msg=f"block {i}")
