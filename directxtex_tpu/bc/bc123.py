@@ -38,15 +38,15 @@ BC_FLAGS_FORCE_BC7_MODE6 = 0x100000
 _LUM = (0.2125 / 0.7154, 1.0, 0.0721 / 0.7154)
 _LUM_INV = (0.7154 / 0.2125, 1.0, 0.7154 / 0.0721)
 
-# Decode tables mirror the reference's multiply-by-reciprocal exactly
-# (Decode565 BC.cpp:38-40 computes c * (1.0f/31.0f) in float32); host numpy
-# float32 multiplies reproduce those bit patterns, XLA reciprocal rewrites
-# can't change a table lookup.
+# The reference decodes 565 as c * (1.0f/31.0f) in float32 (Decode565,
+# BC.cpp:38-40). A direct f32 multiply by the f32 constant reproduces those
+# bit patterns exactly (single correctly-rounded multiply), and multiplies
+# vectorize on the VPU where table gathers would not.
 import numpy as _np
-_T5 = jnp.asarray(_np.arange(32, dtype=_np.float32) * _np.float32(1.0 / 31.0))
-_T6 = jnp.asarray(_np.arange(64, dtype=_np.float32) * _np.float32(1.0 / 63.0))
-_T255 = jnp.asarray(_np.arange(256, dtype=_np.float32) * _np.float32(1.0 / 255.0))
-_T15 = jnp.asarray(_np.arange(16, dtype=_np.float32) * _np.float32(1.0 / 15.0))
+_INV5 = jnp.float32(1.0 / 31.0)
+_INV6 = jnp.float32(1.0 / 63.0)
+_INV255 = jnp.float32(1.0 / 255.0)
+_INV15 = jnp.float32(1.0 / 15.0)
 
 
 def _bytes_to_u32(b: jnp.ndarray) -> jnp.ndarray:
@@ -56,9 +56,9 @@ def _bytes_to_u32(b: jnp.ndarray) -> jnp.ndarray:
 
 def _decode565(w: jnp.ndarray) -> jnp.ndarray:
     """[...] u32 565 words -> [..., 4] f32 RGBA (Decode565, BC.cpp:36)."""
-    r = _T5[((w >> 11) & 31).astype(jnp.int32)]
-    g = _T6[((w >> 5) & 63).astype(jnp.int32)]
-    b = _T5[(w & 31).astype(jnp.int32)]
+    r = ((w >> 11) & 31).astype(jnp.float32) * _INV5
+    g = ((w >> 5) & 63).astype(jnp.float32) * _INV6
+    b = (w & 31).astype(jnp.float32) * _INV5
     return jnp.stack([r, g, b, jnp.ones_like(r)], axis=-1)
 
 
@@ -91,7 +91,10 @@ def _decode_bc1_words(w0: jnp.ndarray, w1: jnp.ndarray, bitmap: jnp.ndarray,
     palette = jnp.stack([clr0, clr1, c2, c3], axis=1)  # [NB, 4, 4]
     shifts = jnp.arange(16, dtype=jnp.uint32) * 2
     idx = ((bitmap[:, None] >> shifts[None, :]) & 3).astype(jnp.int32)
-    return jnp.take_along_axis(palette, idx[:, :, None], axis=1)
+    # one-hot select instead of gather: batched [16,4]x[4,4] matmuls
+    onehot = (idx[:, :, None] == jnp.arange(4)[None, None, :]).astype(jnp.float32)
+    return jnp.einsum("nik,nkc->nic", onehot, palette,
+                      preferred_element_type=jnp.float32)
 
 
 def decode_bc1(blocks: jnp.ndarray) -> jnp.ndarray:
@@ -110,14 +113,14 @@ def decode_bc2(blocks: jnp.ndarray) -> jnp.ndarray:
     shifts = jnp.arange(8, dtype=jnp.uint32) * 4
     a0 = ((words[:, 0, None] >> shifts[None, :]) & 0xF)
     a1 = ((words[:, 1, None] >> shifts[None, :]) & 0xF)
-    a = _T15[jnp.concatenate([a0, a1], axis=1).astype(jnp.int32)]
+    a = jnp.concatenate([a0, a1], axis=1).astype(jnp.float32) * _INV15
     return rgba.at[:, :, 3].set(a)
 
 
 def _bc3_alpha_palette(a0: jnp.ndarray, a1: jnp.ndarray) -> jnp.ndarray:
     """[NB] u32 byte codes -> [NB, 8] f32 alpha palette (BC.cpp:915-930)."""
-    f0 = _T255[a0.astype(jnp.int32)]
-    f1 = _T255[a1.astype(jnp.int32)]
+    f0 = a0.astype(jnp.float32) * _INV255
+    f1 = a1.astype(jnp.float32) * _INV255
     i = jnp.arange(1, 7, dtype=jnp.float32)
     # 8-step: fAlpha[i+1] = (f0*(7-i) + f1*i)/7 for i in 1..6
     p8 = (f0[:, None] * (7.0 - i)[None, :] + f1[:, None] * i[None, :]) * (1.0 / 7.0)
@@ -215,13 +218,20 @@ def _optimize_rgb(points: jnp.ndarray, csteps: int, uniform: bool
         istep = jnp.where(fdot <= 0.0, 0,
                           jnp.where(fdot >= (csteps - 1), csteps - 1,
                                     jnp.floor(fdot + 0.5).astype(jnp.int32)))
-        diff = jnp.take_along_axis(steps, istep[:, :, None], axis=1) - points
-        fc = pC[istep] * (1.0 / 8.0)
-        fd = pD[istep] * (1.0 / 8.0)
+        # one-hot select (gathers don't vectorize on the VPU)
+        onehot = (istep[:, :, None] == jnp.arange(csteps)[None, None, :]
+                  ).astype(jnp.float32)                      # [NB,16,csteps]
+        sel_c = onehot @ pC[:csteps]                          # [NB,16]
+        sel_d = onehot @ pD[:csteps]
+        step_sel = jnp.einsum("nik,nkc->nic", onehot, steps,
+                              preferred_element_type=jnp.float32)
+        diff = step_sel - points
+        fc = sel_c * (1.0 / 8.0)
+        fd = sel_d * (1.0 / 8.0)
 
-        d2X = jnp.sum(fc * pC[istep], axis=1)
+        d2X = jnp.sum(fc * sel_c, axis=1)
         dX = jnp.sum(fc[:, :, None] * diff, axis=1)
-        d2Y = jnp.sum(fd * pD[istep], axis=1)
+        d2Y = jnp.sum(fd * sel_d, axis=1)
         dY = jnp.sum(fd[:, :, None] * diff, axis=1)
 
         nX = jnp.where((d2X > 0)[:, None], X - dX / jnp.where(d2X > 0, d2X, 1.0)[:, None], X)
@@ -345,13 +355,13 @@ def _encode_bc1_core(color: jnp.ndarray, alpha: jnp.ndarray, color_key: bool,
     step2_4 = s0 + (1.0 / 3.0) * (s1 - s0)
     step3_4 = s0 + (2.0 / 3.0) * (s1 - s0)
 
-    # index mapping pSteps3 = [0,2,1], pSteps4 = [0,2,3,1]
-    psteps3 = jnp.asarray([0, 2, 1, 1], jnp.int32)
-    psteps4 = jnp.asarray([0, 2, 3, 1], jnp.int32)
-
+    # index mapping pSteps3 = [0,2,1], pSteps4 = [0,2,3,1] as select chains
     raw = jnp.floor(fdot + 0.5).astype(jnp.int32)
     raw = jnp.clip(raw, 0, jnp.where(three, 2, 3)[:, None])
-    mapped = jnp.where(three[:, None], psteps3[raw], psteps4[raw])
+    m3 = jnp.where(raw == 0, 0, jnp.where(raw == 1, 2, 1))
+    m4 = jnp.where(raw == 0, 0, jnp.where(raw == 1, 2,
+                   jnp.where(raw == 2, 3, 1)))
+    mapped = jnp.where(three[:, None], m3, m4)
     istep = jnp.where(fdot <= 0.0, 0,
                       jnp.where(fdot >= csteps_f[:, None], 1, mapped))
     istep = jnp.where(transparent & three[:, None], 3, istep)

@@ -72,7 +72,10 @@ def _decode_bc4_channel(blocks8: jnp.ndarray, signed: bool) -> jnp.ndarray:
     r1 = (words[:, 0] >> 8) & 0xFF
     pal = _bc4_palette(r0, r1, signed)
     idx = _bc4_indices(words)
-    return jnp.take_along_axis(pal, idx, axis=1)
+    # one-hot select (TPU-friendly) instead of gather
+    onehot = (idx[:, :, None] == jnp.arange(8)[None, None, :]).astype(jnp.float32)
+    return jnp.einsum("nik,nk->ni", onehot, pal,
+                      preferred_element_type=jnp.float32)
 
 
 def decode_bc4u(blocks: jnp.ndarray) -> jnp.ndarray:
@@ -142,6 +145,7 @@ def _encode_bc4_channel(texels: jnp.ndarray, signed: bool) -> jnp.ndarray:
     # FindClosest: nearest palette entry by absolute distance
     dist = jnp.abs(pal[:, None, :] - texels[:, :, None])  # [NB, 16, 8]
     idx = jnp.argmin(dist, axis=2).astype(jnp.uint32)
+
 
     sh = jnp.arange(8, dtype=jnp.uint32) * 3
     half0 = jnp.sum(idx[:, :8] << sh[None, :], axis=1)

@@ -198,16 +198,23 @@ def _decode_bc7_mode(words: jnp.ndarray, mode: int) -> jnp.ndarray:
     else:
         w2 = w1
 
-    # region per pixel
+    # region per pixel; one-hot endpoint select (n_subsets <= 3)
     region = jnp.asarray(PARTITIONS[m.partitions])[shape]  # [NB, 16]
-    e0 = jnp.take_along_axis(ep, (region * 2)[:, :, None], axis=1)
-    e1 = jnp.take_along_axis(ep, (region * 2 + 1)[:, :, None], axis=1)
+    n_sub = m.partitions + 1
+    roh = (region[:, :, None] == jnp.arange(n_sub)[None, None, :]
+           ).astype(jnp.int32)                              # [NB,16,S]
+    e0 = jnp.einsum("nis,nsc->nic", roh, ep[:, 0::2][:, :n_sub])
+    e1 = jnp.einsum("nis,nsc->nic", roh, ep[:, 1::2][:, :n_sub])
 
     wc_tab = jnp.asarray(_WEIGHTS[m.index_prec])
-    wcol = wc_tab[w1]
+    woh1 = (w1[:, :, None] == jnp.arange(1 << m.index_prec)[None, None, :]
+            ).astype(jnp.int32)
+    wcol = woh1 @ wc_tab
     if m.index_prec2:
         wa_tab = jnp.asarray(_WEIGHTS[m.index_prec2])
-        walp = wa_tab[w2]
+        woh2 = (w2[:, :, None] == jnp.arange(1 << m.index_prec2)[None, None, :]
+                ).astype(jnp.int32)
+        walp = woh2 @ wa_tab
         # index_mode swaps which index set drives color vs alpha
         swap = index_mode[:, None] == 1
         wc = jnp.where(swap, walp, wcol)
@@ -253,17 +260,937 @@ def decode_bc7(blocks: jnp.ndarray) -> jnp.ndarray:
     return jnp.asarray(_T255)[jnp.clip(out, 0, 255)]
 
 
+
 # ---------------------------------------------------------------------------
-# BC7 encode / BC6H (land in subsequent stages)
+# BC7 encode
 # ---------------------------------------------------------------------------
+#
+# Search policy mirrors the reference driver (BC6HBC7.cpp:2783-2889): modes
+# {1,3,5,6} always, 7 for blocks with alpha, 0/2 behind BC_FLAGS_USE_3SUBSETS,
+# mode 6 only under BC7_QUICK. Where the reference ranks shapes by RoughMSE
+# and refines the top quarter with PerturbOne/Exhaustive hill climbs, the TPU
+# formulation evaluates EVERY shape for every block inside a lax.fori_loop
+# (uniform work is free on a vector unit — the same trade the reference's own
+# compute shaders make, Shaders/BC7Encode.hlsl) and refines with closed-form
+# least-squares endpoint refits, keeping a running argmin.
+
+_BC7_QUICK = 0x100000       # TEX_COMPRESS_BC7_QUICK / BC_FLAGS_FORCE_BC7_MODE6
+_BC7_USE_3SUBSETS = 0x80000
+
+
+def _quantize_u8(c: jnp.ndarray, prec: int) -> jnp.ndarray:
+    """Quantize (BC6HBC7.cpp:806): (min(255, c + (1 << (7-p)))) >> (8-p)."""
+    if prec >= 8:
+        return c
+    rnd = jnp.minimum(c + (1 << (7 - prec)), 255)
+    return rnd >> (8 - prec)
+
+
+def _palette(e0q: jnp.ndarray, e1q: jnp.ndarray, prec: int) -> jnp.ndarray:
+    """Unquantized endpoint pair [..., 4] -> palette [..., 2^prec, 4] int32."""
+    w = jnp.asarray(_WEIGHTS[prec])
+    shape = (1,) * (e0q.ndim - 1) + (1 << prec, 1)
+    wv = w.reshape(shape)
+    return ((64 - wv) * e0q[..., None, :] + wv * e1q[..., None, :] + 32) >> 6
+
+
+def _assign_indices(px: jnp.ndarray, pal: jnp.ndarray,
+                    mask: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """px [NB,16,4] int32, pal [NB,P,4], mask [NB,16] bool ->
+    (indices [NB,16] int32, err [NB] float masked-summed)."""
+    d = px[:, :, None, :].astype(jnp.float32) - pal[:, None, :, :].astype(jnp.float32)
+    dist = jnp.sum(d * d, axis=-1)          # [NB, 16, P]
+    idx = jnp.argmin(dist, axis=-1)
+    best = jnp.min(dist, axis=-1)
+    err = jnp.sum(jnp.where(mask, best, 0.0), axis=-1)
+    return idx.astype(jnp.int32), err
+
+
+def _ls_refit(px_f: jnp.ndarray, idx: jnp.ndarray, mask: jnp.ndarray,
+              prec: int, e0: jnp.ndarray, e1: jnp.ndarray,
+              channels: slice = slice(0, 4)) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Least-squares endpoint refit given index assignment.
+
+    px_f [NB,16,4] float (u8 scale); idx [NB,16]; mask [NB,16].
+    Returns updated float endpoints [NB,4] (only `channels` refit)."""
+    w = jnp.asarray(_WEIGHTS[prec]).astype(jnp.float32) / 64.0
+    onehot = (idx[:, :, None] == jnp.arange(1 << prec)[None, None, :]
+              ).astype(jnp.float32)
+    x = onehot @ w                                # [NB,16]
+    m = mask.astype(jnp.float32)
+    a = (1.0 - x) * m
+    b = x * m
+    A = jnp.sum(a * a, axis=1)
+    B = jnp.sum(a * b, axis=1)
+    C = jnp.sum(b * b, axis=1)
+    r0 = jnp.einsum("ni,nic->nc", a, px_f)
+    r1 = jnp.einsum("ni,nic->nc", b, px_f)
+    det = A * C - B * B
+    ok = jnp.abs(det) > 1e-6
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    n0 = (C[:, None] * r0 - B[:, None] * r1) * inv[:, None]
+    n1 = (A[:, None] * r1 - B[:, None] * r0) * inv[:, None]
+    n0 = jnp.clip(n0, 0.0, 255.0)
+    n1 = jnp.clip(n1, 0.0, 255.0)
+    okc = ok[:, None]
+    out0, out1 = e0, e1
+    ch = channels
+    out0 = out0.at[:, ch].set(jnp.where(okc, n0, e0)[:, ch])
+    out1 = out1.at[:, ch].set(jnp.where(okc, n1, e1)[:, ch])
+    return out0, out1
+
+
+def _quantize_endpoints(e0f, e1f, mode: "_BC7Mode"):
+    """Float endpoints [NB,4] (u8 scale) -> quantized codes with p-bit
+    majority vote (Quantize + FixEndpointPBits semantics). Returns
+    (q0, q1, p0, p1) where q codes are at rgba_prec (without p bit) and
+    p0/p1 are the chosen p-bits [NB] (p1 unused for shared)."""
+    e0 = jnp.clip(jnp.round(e0f), 0, 255).astype(jnp.int32)
+    e1 = jnp.clip(jnp.round(e1f), 0, 255).astype(jnp.int32)
+    has_p = mode.rgba_prec != mode.rgba_prec_p
+    q0 = jnp.zeros_like(e0)
+    q1 = jnp.zeros_like(e1)
+    vote0 = jnp.zeros(e0.shape[0], jnp.int32)
+    vote1 = jnp.zeros(e1.shape[0], jnp.int32)
+    nvote = 0
+    for ch in range(4):
+        prec = mode.rgba_prec[ch]
+        prec_p = mode.rgba_prec_p[ch]
+        if prec == 0:
+            continue
+        if prec != prec_p:
+            f0 = _quantize_u8(e0[:, ch], prec_p)
+            f1 = _quantize_u8(e1[:, ch], prec_p)
+            vote0 = vote0 + (f0 & 1)
+            vote1 = vote1 + (f1 & 1)
+            nvote += 1
+            q0 = q0.at[:, ch].set(f0 >> 1)
+            q1 = q1.at[:, ch].set(f1 >> 1)
+        else:
+            q0 = q0.at[:, ch].set(_quantize_u8(e0[:, ch], prec))
+            q1 = q1.at[:, ch].set(_quantize_u8(e1[:, ch], prec))
+    if nvote:
+        p0 = (vote0 > (nvote >> 1)).astype(jnp.int32)
+        p1 = (vote1 > (nvote >> 1)).astype(jnp.int32)
+    else:
+        p0 = jnp.zeros(e0.shape[0], jnp.int32)
+        p1 = p0
+    return q0, q1, p0, p1
+
+
+def _unquantize_with_p(q0, q1, p0, p1, mode: "_BC7Mode", shared_p: bool):
+    """Quantized codes + p-bits -> unquantized u8 endpoint values."""
+    if shared_p:
+        p1 = p0
+    u0 = jnp.zeros_like(q0)
+    u1 = jnp.zeros_like(q1)
+    for ch in range(4):
+        prec = mode.rgba_prec[ch]
+        prec_p = mode.rgba_prec_p[ch]
+        if prec == 0:
+            u0 = u0.at[:, ch].set(255)
+            u1 = u1.at[:, ch].set(255)
+            continue
+        if prec != prec_p:
+            c0 = (q0[:, ch] << 1) | p0
+            c1 = (q1[:, ch] << 1) | p1
+        else:
+            c0, c1 = q0[:, ch], q1[:, ch]
+        u0 = u0.at[:, ch].set(_unquantize(c0, prec_p))
+        u1 = u1.at[:, ch].set(_unquantize(c1, prec_p))
+    return u0, u1
+
+
+def _minmax_axis_endpoints(px_f: jnp.ndarray, mask: jnp.ndarray,
+                           with_alpha: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Initial endpoints: masked min/max box + best-diagonal axis pick
+    (OptimizeRGBA init, BC6HBC7.cpp:1392-1460). px_f [NB,16,4] u8-scale."""
+    big = jnp.float32(1e9)
+    mi = jnp.min(jnp.where(mask[:, :, None], px_f, big), axis=1)
+    ma = jnp.max(jnp.where(mask[:, :, None], px_f, -big), axis=1)
+    mid = (mi + ma) * 0.5
+    ab = ma - mi
+    fab = jnp.sum(ab * ab, axis=1)
+    dirv = ab / jnp.where(fab > 0, fab, 1.0)[:, None]
+    pt = (px_f - mid[:, None, :]) * dirv[:, None, :] * mask[:, :, None]
+    nch = 4 if with_alpha else 3
+    # evaluate all +-1 sign combinations of channels g/b(/a) (r fixed +)
+    best_score = jnp.full(px_f.shape[0], -1.0)
+    best_sg = jnp.ones(px_f.shape[0])
+    best_sb = jnp.ones(px_f.shape[0])
+    best_sa = jnp.ones(px_f.shape[0])
+    signs = [(sg, sb, sa)
+             for sg in (1.0, -1.0) for sb in (1.0, -1.0)
+             for sa in ((1.0, -1.0) if with_alpha else (1.0,))]
+    for sg, sb, sa in signs:
+        f = pt[..., 0] + sg * pt[..., 1] + sb * pt[..., 2]
+        if with_alpha:
+            f = f + sa * pt[..., 3]
+        score = jnp.sum(f * f, axis=1)
+        better = score > best_score
+        best_score = jnp.where(better, score, best_score)
+        best_sg = jnp.where(better, sg, best_sg)
+        best_sb = jnp.where(better, sb, best_sb)
+        best_sa = jnp.where(better, sa, best_sa)
+
+    def flip(lo, hi, s):
+        return (jnp.where(s < 0, hi, lo), jnp.where(s < 0, lo, hi))
+
+    g0, g1 = flip(mi[:, 1], ma[:, 1], best_sg)
+    b0, b1 = flip(mi[:, 2], ma[:, 2], best_sb)
+    if with_alpha:
+        a0, a1 = flip(mi[:, 3], ma[:, 3], best_sa)
+    else:
+        a0, a1 = mi[:, 3], ma[:, 3]
+    e0 = jnp.stack([mi[:, 0], g0, b0, a0], axis=1)
+    e1 = jnp.stack([ma[:, 0], g1, b1, a1], axis=1)
+    return e0, e1
+
+
+def _scatter_bits(words: jnp.ndarray, value: jnp.ndarray,
+                  offset, nbits) -> jnp.ndarray:
+    """OR `value` (u32 [NB] or [NB,K]) into the 128-bit block at bit
+    `offset` (static int or [NB,K] array)."""
+    if isinstance(offset, int):
+        wi = offset // 32
+        sh = offset % 32
+        v = value.astype(jnp.uint32)
+        words = words.at[:, wi].set(words[:, wi] | (v << sh))
+        if sh and sh + int(nbits) > 32:
+            words = words.at[:, wi + 1].set(words[:, wi + 1] | (v >> (32 - sh)))
+        return words
+    # dynamic offsets: accumulate into each word with one-hot masks
+    v = value.astype(jnp.uint32)
+    wi = (offset >> 5).astype(jnp.int32)
+    sh = (offset & 31).astype(jnp.uint32)
+    for w in range(4):
+        lo = jnp.where(wi == w, v << sh, 0)
+        hi = jnp.where((wi == w - 1) & (sh != 0), v >> ((32 - sh) & 31), 0)
+        contrib = jnp.bitwise_or(lo, hi)
+        red = jnp.bitwise_or.reduce(contrib, axis=tuple(range(1, contrib.ndim))) \
+            if contrib.ndim > 1 else contrib
+        words = words.at[:, w].set(words[:, w] | red)
+    return words
+
+
+def _emit_bc7(mode_id: int, shape, rotation: int, index_mode: int,
+              q0_list, q1_list, p0_list, p1_list,
+              idx1: jnp.ndarray, idx2: jnp.ndarray | None,
+              nb: int) -> jnp.ndarray:
+    """Pack one candidate into [NB, 4] u32 words (EmitBlock, BC6HBC7.cpp:3221).
+
+    q0_list/q1_list: per-subset quantized endpoint codes [NB, 4].
+    shape: int or [NB] array. idx1/idx2: [NB, 16] full-precision indices
+    (anchor compression applied here)."""
+    m = _BC7_MODES[mode_id]
+    n_sub = m.partitions + 1
+    words = jnp.zeros((nb, 4), jnp.uint32)
+    bit = 0
+    words = _scatter_bits(words, jnp.full((nb,), 1 << mode_id, jnp.uint32),
+                          0, mode_id + 1)
+    bit = mode_id + 1
+    if m.partition_bits:
+        sh = shape if not isinstance(shape, int) else jnp.full((nb,), shape, jnp.uint32)
+        words = _scatter_bits(words, sh.astype(jnp.uint32), bit, m.partition_bits)
+        bit += m.partition_bits
+    if m.rotation_bits:
+        words = _scatter_bits(words, jnp.full((nb,), rotation, jnp.uint32),
+                              bit, m.rotation_bits)
+        bit += m.rotation_bits
+    if m.index_mode_bits:
+        words = _scatter_bits(words, jnp.full((nb,), index_mode, jnp.uint32),
+                              bit, m.index_mode_bits)
+        bit += m.index_mode_bits
+    for ch in range(4):
+        prec = m.rgba_prec[ch]
+        if prec == 0:
+            continue
+        for sub in range(n_sub):
+            words = _scatter_bits(words, q0_list[sub][:, ch].astype(jnp.uint32),
+                                  bit, prec)
+            bit += prec
+            words = _scatter_bits(words, q1_list[sub][:, ch].astype(jnp.uint32),
+                                  bit, prec)
+            bit += prec
+    if m.p_bits:
+        if m.p_bits == n_sub:  # shared p-bit per subset (mode 1)
+            for sub in range(n_sub):
+                words = _scatter_bits(words, p0_list[sub].astype(jnp.uint32), bit, 1)
+                bit += 1
+        else:  # per-endpoint
+            for sub in range(n_sub):
+                words = _scatter_bits(words, p0_list[sub].astype(jnp.uint32), bit, 1)
+                bit += 1
+                words = _scatter_bits(words, p1_list[sub].astype(jnp.uint32), bit, 1)
+                bit += 1
+    # index section 1
+    offs_t, nbits_t = _get_index_layout(m.partitions, m.index_prec)
+    if isinstance(shape, int):
+        offs = jnp.asarray(offs_t[shape])[None, :] + bit
+        nb1 = jnp.asarray(nbits_t[shape])[None, :]
+    else:
+        offs = jnp.asarray(offs_t)[shape] + bit
+        nb1 = jnp.asarray(nbits_t)[shape]
+    total1 = int(offs_t[0, 15] + nbits_t[0, 15])
+    words = _scatter_bits(words, idx1.astype(jnp.uint32), offs, nb1)
+    bit += total1
+    if m.index_prec2 and idx2 is not None:
+        offs2_t, nbits2_t = _get_index_layout(0, m.index_prec2)
+        offs2 = jnp.asarray(offs2_t[0])[None, :] + bit
+        words = _scatter_bits(words, idx2.astype(jnp.uint32), offs2,
+                              jnp.asarray(nbits2_t[0])[None, :])
+    return words
+
+
+def _anchor_fix(idx, e_pair_list, p_pair_list, mask_list, anchors, prec):
+    """Swap subset endpoints where the anchor pixel's index has its MSB set
+    (AssignIndices swap, BC6HBC7.cpp:3139+). anchors: [NB] or int per subset.
+    Returns fixed (idx, endpoint list, pbit list)."""
+    msb = 1 << (prec - 1)
+    maxi = (1 << prec) - 1
+    new_e = []
+    new_p = []
+    for sub, (mask, anchor) in enumerate(zip(mask_list, anchors)):
+        if isinstance(anchor, int):
+            a_idx = idx[:, anchor]
+        else:
+            a_idx = jnp.take_along_axis(idx, anchor[:, None], axis=1)[:, 0]
+        swap = (a_idx & msb) != 0
+        (e0, e1) = e_pair_list[sub]
+        (p0, p1) = p_pair_list[sub]
+        new_e.append((jnp.where(swap[:, None], e1, e0),
+                      jnp.where(swap[:, None], e0, e1)))
+        new_p.append((jnp.where(swap, p1, p0), jnp.where(swap, p0, p1)))
+        idx = jnp.where(swap[:, None] & mask, maxi - idx, idx)
+    return idx, new_e, new_p
+
+
+def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id):
+    """Evaluate one (mode, shape) candidate for all blocks.
+
+    px_i [NB,16,4] int32, px_f float, mask_list: per-subset [NB,16] bool,
+    anchors: per-subset anchor pixel ([NB] array or int).
+    Returns (err [NB], q0s, q1s, p0s, p1s, idx [NB,16])."""
+    m = _BC7_MODES[mode_id]
+    shared_p = m.p_bits == (m.partitions + 1) and m.p_bits > 0
+    prec = m.index_prec
+
+    total_err = jnp.zeros(px_i.shape[0], jnp.float32)
+    e_pairs, p_pairs = [], []
+    idx_full = jnp.zeros(px_i.shape[:2], jnp.int32)
+
+    for sub, mask in enumerate(mask_list):
+        e0f, e1f = _minmax_axis_endpoints(px_f, mask, with_alpha=m.rgba_prec[3] > 0)
+
+        def qpal(e0f_, e1f_):
+            q0, q1, p0, p1 = _quantize_endpoints(e0f_, e1f_, m)
+            u0, u1 = _unquantize_with_p(q0, q1, p0, p1, m, shared_p)
+            pal = _palette(u0, u1, prec)
+            idx, err = _assign_indices(px_i, pal, mask)
+            return q0, q1, p0, p1, idx, err
+
+        q0a, q1a, p0a, p1a, idx_a, err_a = qpal(e0f, e1f)
+        # two rounds of least-squares refinement
+        idx_r, err_r = idx_a, err_a
+        q0b, q1b, p0b, p1b = q0a, q1a, p0a, p1a
+        e0c, e1c = e0f, e1f
+        for _ in range(2):
+            e0c, e1c = _ls_refit(px_f, idx_r, mask, prec, e0c, e1c)
+            q0b, q1b, p0b, p1b, idx_r, err_r = qpal(e0c, e1c)
+        better = err_r < err_a
+        q0 = jnp.where(better[:, None], q0b, q0a)
+        q1 = jnp.where(better[:, None], q1b, q1a)
+        p0 = jnp.where(better, p0b, p0a)
+        p1 = jnp.where(better, p1b, p1a)
+        idx = jnp.where(better[:, None], idx_r, idx_a)
+        err = jnp.where(better, err_r, err_a)
+
+        total_err = total_err + err
+        e_pairs.append((q0, q1))
+        p_pairs.append((p0, p1))
+        idx_full = jnp.where(mask, idx, idx_full)
+
+    idx_full, e_pairs, p_pairs = _anchor_fix(
+        idx_full, e_pairs, p_pairs, mask_list, anchors, prec)
+    q0s = [e[0] for e in e_pairs]
+    q1s = [e[1] for e in e_pairs]
+    p0s = [p[0] for p in p_pairs]
+    p1s = [p[1] for p in p_pairs]
+    return total_err, q0s, q1s, p0s, p1s, idx_full
+
+
+def _try_partition_mode(px_i, px_f, mode_id, best_err, best_words):
+    """Modes 0/1/2/3/7: loop shapes with lax.fori_loop, running argmin."""
+    m = _BC7_MODES[mode_id]
+    nb = px_i.shape[0]
+    n_shapes = 1 << m.partition_bits
+    parts_tab = jnp.asarray(PARTITIONS[m.partitions])   # [64,16]
+    fix_tab = jnp.asarray(FIXUPS[m.partitions])         # [64,3]
+
+    def body(s, carry):
+        best_err, best_words = carry
+        pmask = parts_tab[s]                            # [16]
+        mask_list = [jnp.broadcast_to(pmask == p, px_i.shape[:2])
+                     for p in range(m.partitions + 1)]
+        anchors = [0 if p == 0 else
+                   jnp.broadcast_to(fix_tab[s, p], (nb,)).astype(jnp.int32)
+                   for p in range(m.partitions + 1)]
+        err, q0s, q1s, p0s, p1s, idx = _eval_subset_candidate(
+            px_i, px_f, mask_list, anchors, mode_id)
+        shape_arr = jnp.full((nb,), s, jnp.uint32)
+        words = _emit_bc7(mode_id, shape_arr, 0, 0, q0s, q1s, p0s, p1s,
+                          idx, None, nb)
+        better = err < best_err
+        best_words = jnp.where(better[:, None], words, best_words)
+        best_err = jnp.minimum(err, best_err)
+        return best_err, best_words
+
+    return lax.fori_loop(0, n_shapes, body, (best_err, best_words))
+
+
+def _try_single_mode(px_i, px_f, mode_id, best_err, best_words):
+    """Modes 4/5/6: single subset, rotations x index modes."""
+    m = _BC7_MODES[mode_id]
+    nb = px_i.shape[0]
+    mask = jnp.ones(px_i.shape[:2], bool)
+    n_rot = 1 << m.rotation_bits
+    n_im = 1 << m.index_mode_bits
+
+    for rot in range(n_rot):
+        if rot == 0:
+            pr_i, pr_f = px_i, px_f
+        else:
+            ch = rot - 1  # swap channel ch with alpha
+            perm = list(range(4))
+            perm[ch], perm[3] = 3, ch
+            pr_i = px_i[:, :, perm]
+            pr_f = px_f[:, :, perm]
+        for im in range(n_im):
+            if m.index_prec2 == 0:
+                # mode 6: joint RGBA indices
+                err, q0s, q1s, p0s, p1s, idx = _eval_subset_candidate(
+                    pr_i, pr_f, [mask], [0], mode_id)
+                words = _emit_bc7(mode_id, 0, rot, im, q0s, q1s, p0s, p1s,
+                                  idx, None, nb)
+            else:
+                cprec = m.index_prec2 if im else m.index_prec
+                aprec = m.index_prec if im else m.index_prec2
+                # endpoints: RGB from axis fit, alpha min/max (RoughMSE :3553)
+                e0f, e1f = _minmax_axis_endpoints(pr_f, mask, with_alpha=False)
+                a_min = jnp.min(pr_f[:, :, 3], axis=1)
+                a_max = jnp.max(pr_f[:, :, 3], axis=1)
+                e0f = e0f.at[:, 3].set(a_min)
+                e1f = e1f.at[:, 3].set(a_max)
+
+                def qpal(e0f_, e1f_):
+                    q0, q1, p0, p1 = _quantize_endpoints(e0f_, e1f_, m)
+                    u0, u1 = _unquantize_with_p(q0, q1, p0, p1, m, False)
+                    cpal = _palette(u0, u1, cprec)       # color palette
+                    apal = _palette(u0, u1, aprec)
+                    # color distance over RGB only; alpha separately
+                    dc = (pr_i[:, :, None, :3] - cpal[:, None, :, :3]).astype(jnp.float32)
+                    cdist = jnp.sum(dc * dc, axis=-1)
+                    cidx = jnp.argmin(cdist, axis=-1).astype(jnp.int32)
+                    cerr = jnp.sum(jnp.min(cdist, axis=-1), axis=-1)
+                    da = (pr_i[:, :, None, 3] - apal[:, None, :, 3]).astype(jnp.float32)
+                    adist = da * da
+                    aidx = jnp.argmin(adist, axis=-1).astype(jnp.int32)
+                    aerr = jnp.sum(jnp.min(adist, axis=-1), axis=-1)
+                    return q0, q1, p0, p1, cidx, aidx, cerr + aerr
+
+                q0, q1, p0, p1, cidx, aidx, err = qpal(e0f, e1f)
+                e0c, e1c = e0f, e1f
+                for _ in range(2):
+                    e0c, e1c = _ls_refit(pr_f, cidx, mask, cprec, e0c, e1c,
+                                         channels=slice(0, 3))
+                    e0c, e1c = _ls_refit(pr_f, aidx, mask, aprec, e0c, e1c,
+                                         channels=slice(3, 4))
+                    q0b, q1b, p0b, p1b, cidx_b, aidx_b, err_b = qpal(e0c, e1c)
+                better = err_b < err
+                q0 = jnp.where(better[:, None], q0b, q0)
+                q1 = jnp.where(better[:, None], q1b, q1)
+                cidx = jnp.where(better[:, None], cidx_b, cidx)
+                aidx = jnp.where(better[:, None], aidx_b, aidx)
+                err = jnp.minimum(err_b, err)
+                p0 = jnp.where(better, p0b, p0)
+                p1 = jnp.where(better, p1b, p1)
+
+                # anchor fixes: color and alpha endpoint components swap
+                # INDEPENDENTLY (AssignIndices, BC6HBC7.cpp:3196-3216): color
+                # indices only reference RGB and alpha indices only A, so
+                # each stored index set clears its own anchor MSB by swapping
+                # just its channel group.
+                w1 = cidx if im == 0 else aidx
+                w2 = aidx if im == 0 else cidx
+                p1_, p2_ = m.index_prec, m.index_prec2
+                msb1, maxi1 = 1 << (p1_ - 1), (1 << p1_) - 1
+                msb2, maxi2 = 1 << (p2_ - 1), (1 << p2_) - 1
+                swap1 = (w1[:, 0] & msb1) != 0
+                w1 = jnp.where(swap1[:, None], maxi1 - w1, w1)
+                swap2 = (w2[:, 0] & msb2) != 0
+                w2 = jnp.where(swap2[:, None], maxi2 - w2, w2)
+                swap_rgb = swap1 if im == 0 else swap2
+                swap_a = swap2 if im == 0 else swap1
+                q0f = q0
+                q1f = q1
+                rgb_swap = swap_rgb[:, None] & jnp.asarray([True, True, True, False])[None, :]
+                a_swap = swap_a[:, None] & jnp.asarray([False, False, False, True])[None, :]
+                do_swap = rgb_swap | a_swap
+                q0f = jnp.where(do_swap, q1, q0)
+                q1f = jnp.where(do_swap, q0, q1)
+                words = _emit_bc7(mode_id, 0, rot, im, [q0f], [q1f],
+                                  [p0], [p1], w1, w2, nb)
+            better = err < best_err
+            best_words = jnp.where(better[:, None], words, best_words)
+            best_err = jnp.minimum(err, best_err)
+    return best_err, best_words
+
 
 def encode_bc7(blocks: jnp.ndarray, flags: int = 0) -> jnp.ndarray:
-    raise NotImplementedError("BC7 encode lands with the next bc67 stage")
+    """[NB, 16, 4] f32 -> [NB, 16] u8 (D3DXEncodeBC7, BC6HBC7.cpp:2783)."""
+    px_f32 = jnp.asarray(blocks, jnp.float32)
+    nb = px_f32.shape[0]
+    # LDR quantization with the reference's +0.01 rounding bias (:2794)
+    px_i = jnp.clip(px_f32 * 255.0 + 0.01, 0.0, 255.0).astype(jnp.int32)
+    px_f = px_i.astype(jnp.float32)
+    has_alpha = jnp.any(px_i[:, :, 3] != 255, axis=1)
+
+    best_err = jnp.full((nb,), jnp.inf, jnp.float32)
+    best_words = jnp.zeros((nb, 4), jnp.uint32)
+
+    quick = bool(flags & _BC7_QUICK)
+    use3 = bool(flags & _BC7_USE_3SUBSETS)
+
+    if quick:
+        modes = [6]
+    else:
+        modes = ([0, 2] if use3 else []) + [1, 3, 5, 6, 7, 4]
+
+    for mode_id in modes:
+        if mode_id in (0, 1, 2, 3, 7):
+            err, words = _try_partition_mode(px_i, px_f, mode_id,
+                                             jnp.full((nb,), jnp.inf), best_words * 0)
+            if mode_id == 7:
+                # no value for opaque blocks (reference skip, :2818)
+                err = jnp.where(has_alpha, err, jnp.inf)
+        else:
+            err, words = _try_single_mode(px_i, px_f, mode_id,
+                                          jnp.full((nb,), jnp.inf), best_words * 0)
+        better = err < best_err
+        best_err = jnp.minimum(err, best_err)
+        best_words = jnp.where(better[:, None], words, best_words)
+
+    return lax.bitcast_convert_type(best_words, jnp.uint8).reshape(nb, 16)
+
+
+# ---------------------------------------------------------------------------
+# BC6H
+# ---------------------------------------------------------------------------
+
+from .bc67_tables import BC6H_DESC, BC6H_MODE_INFO, BC6H_MODE_TO_INFO
+
+_F16MAX = 0x7BFF
+
+
+def _bc6h_unquantize(comp: jnp.ndarray, bits: int, signed: bool) -> jnp.ndarray:
+    """D3DX_BC6H::Unquantize (BC6HBC7.cpp:1892)."""
+    if signed:
+        if bits >= 16:
+            return comp
+        s = comp < 0
+        c = jnp.abs(comp)
+        unq = jnp.where(c == 0, 0,
+                        jnp.where(c >= (1 << (bits - 1)) - 1, 0x7FFF,
+                                  ((c << 15) + 0x4000) >> (bits - 1)))
+        return jnp.where(s, -unq, unq)
+    if bits >= 15:
+        return comp
+    return jnp.where(comp == 0, 0,
+                     jnp.where(comp == (1 << bits) - 1, 0xFFFF,
+                               ((comp << 16) + 0x8000) >> bits))
+
+
+def _bc6h_finish_unquantize(comp: jnp.ndarray, signed: bool) -> jnp.ndarray:
+    """FinishUnquantize (BC6HBC7.cpp:1930): scale by 31/32 (S) or 31/64 (U)."""
+    if signed:
+        return jnp.where(comp < 0, -(((-comp) * 31) >> 5), (comp * 31) >> 5)
+    return (comp * 31) >> 6
+
+
+def _bc6h_int_to_half(comp: jnp.ndarray, signed: bool) -> jnp.ndarray:
+    """INT2F16 (BC6HBC7.cpp:559): sign-magnitude int -> half bits -> f32."""
+    if signed:
+        s = comp < 0
+        mag = jnp.abs(comp).astype(jnp.uint16)
+        bits = jnp.where(s, mag | jnp.uint16(0x8000), mag)
+    else:
+        bits = comp.astype(jnp.uint16)
+    return lax.bitcast_convert_type(bits, jnp.float16).astype(jnp.float32)
+
+
+def _sext(v: jnp.ndarray, bits: int) -> jnp.ndarray:
+    sh = 32 - bits
+    return (v.astype(jnp.int32) << sh) >> sh
+
+
+def _decode_bc6h_mode(words: jnp.ndarray, row: int, signed: bool) -> jnp.ndarray:
+    """Decode ALL blocks assuming mode row `row`. Returns [NB, 16, 3] f32."""
+    _, partitions, transformed, iprec, precW, precX, precY, precZ = \
+        BC6H_MODE_INFO[row]
+    nb = words.shape[0]
+    header_bits = 82 if partitions else 65
+
+    # gather header fields via the descriptor: field ids 2..14
+    fields = {fid: jnp.zeros(nb, jnp.int32) for fid in range(2, 15)}
+    desc = BC6H_DESC[row]
+    for pos in range(header_bits):
+        fid, fbit = int(desc[pos, 0]), int(desc[pos, 1])
+        if fid < 2:
+            continue  # mode bits already known
+        bit = _get_bits_static(words, pos, 1).astype(jnp.int32)
+        fields[fid] = fields[fid] | (bit << fbit)
+
+    shape = fields[2]
+    # endpoints: [region][A/B] per channel; fields RW..BZ = 3..14
+    # layout: R: W=3 X=4 Y=5 Z=6; G: 7,8,9,10; B: 11,12,13,14
+    e = {}  # (region, ab, ch) -> int32 [NB]
+    precs = {(0, 0): precW, (0, 1): precX, (1, 0): precY, (1, 1): precZ}
+    for ch, base in ((0, 3), (1, 7), (2, 11)):
+        e[(0, 0, ch)] = fields[base + 0]
+        e[(0, 1, ch)] = fields[base + 1]
+        e[(1, 0, ch)] = fields[base + 2]
+        e[(1, 1, ch)] = fields[base + 3]
+
+    # sign extension (Decode :1719-1736)
+    if signed:
+        for ch in range(3):
+            e[(0, 0, ch)] = _sext(e[(0, 0, ch)], precW[ch])
+    if signed or transformed:
+        for ch in range(3):
+            e[(0, 1, ch)] = _sext(e[(0, 1, ch)], precX[ch])
+            if partitions:
+                e[(1, 0, ch)] = _sext(e[(1, 0, ch)], precY[ch])
+                e[(1, 1, ch)] = _sext(e[(1, 1, ch)], precZ[ch])
+
+    # inverse delta transform (TransformInverse :1153)
+    if transformed:
+        for ch in range(3):
+            mask = (1 << precW[ch]) - 1
+            for key in ((0, 1, ch), (1, 0, ch), (1, 1, ch)):
+                v = (e[key] + e[(0, 0, ch)]) & mask
+                if signed:
+                    v = _sext(v, precW[ch])
+                e[key] = v
+
+    # unquantize all endpoints with precW
+    u = {}
+    for (reg, ab, ch), v in e.items():
+        u[(reg, ab, ch)] = _bc6h_unquantize(v, precW[ch], signed)
+
+    # indices
+    offs_t, nbits_t = _get_index_layout(partitions, iprec)
+    offs = jnp.asarray(offs_t)[shape] + header_bits
+    nbw = jnp.asarray(nbits_t)[shape]
+    idx = _get_bits_dynamic(words, offs, nbw).astype(jnp.int32)
+
+    region = jnp.asarray(PARTITIONS[partitions])[shape]  # [NB,16]
+    wtab = jnp.asarray(_WEIGHTS[iprec])
+    woh = (idx[:, :, None] == jnp.arange(1 << iprec)[None, None, :]
+           ).astype(jnp.int32)
+    w = woh @ wtab
+
+    outs = []
+    for ch in range(3):
+        e0 = jnp.where(region == 0, u[(0, 0, ch)][:, None], u[(1, 0, ch)][:, None])
+        e1 = jnp.where(region == 0, u[(0, 1, ch)][:, None], u[(1, 1, ch)][:, None])
+        comp = (e0 * (64 - w) + e1 * w + 32) >> 6
+        comp = _bc6h_finish_unquantize(comp, signed)
+        outs.append(_bc6h_int_to_half(comp, signed))
+    return jnp.stack(outs, axis=-1)
 
 
 def decode_bc6h(blocks: jnp.ndarray, signed: bool) -> jnp.ndarray:
-    raise NotImplementedError("BC6H decode lands with the next bc67 stage")
+    """[NB, 16] u8 -> [NB, 16, 4] f32 (D3DXDecodeBC6HU/S, bit-exact)."""
+    words = _bytes_to_words(blocks)
+    m2 = (words[:, 0] & 0x3).astype(jnp.int32)
+    m5 = (words[:, 0] & 0x1F).astype(jnp.int32)
+    header_mode = jnp.where(m2 < 2, m2, m5)
+    row = jnp.asarray(BC6H_MODE_TO_INFO)[jnp.clip(header_mode, 0, 31)]
+
+    results = jnp.stack([_decode_bc6h_mode(words, r, signed)
+                         for r in range(14)])  # [14, NB, 16, 3]
+    safe = jnp.clip(row, 0, 13)
+    rgb = jnp.take_along_axis(results, safe[None, :, None, None], axis=0)[0]
+    rgb = jnp.where((row < 0)[:, None, None], 0.0, rgb)  # reserved: black
+    a = jnp.ones(rgb.shape[:2] + (1,), jnp.float32)
+    return jnp.concatenate([rgb, a], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# BC6H encode
+# ---------------------------------------------------------------------------
+#
+# Search policy: the reference tries all 14 modes, ranking 32 shapes by
+# RoughMSE and refining the top quarter with per-channel hill climbs
+# (BC6HBC7.cpp:1817-1859). Here every (mode, shape) candidate is evaluated
+# for every block (fori_loop over shapes, static loop over modes) with
+# closed-form least-squares refinement in the F16-int space, the delta
+# "endpoints fit" constraint enforced as an error mask (EndPointsFit :1948),
+# and a running argmin.
+
+def _f16_to_int(rgb: jnp.ndarray, signed: bool) -> jnp.ndarray:
+    """float32 -> sign-magnitude F16-int space (INTColor::F16ToINT :534)."""
+    h = lax.bitcast_convert_type(rgb.astype(jnp.float16), jnp.uint16)
+    h = h.astype(jnp.int32)
+    mag = h & 0x7FFF
+    mag = jnp.minimum(mag, _F16MAX)
+    if signed:
+        return jnp.where((h & 0x8000) != 0, -mag, mag)
+    return jnp.where((h & 0x8000) != 0, 0, mag)
+
+
+def _bc6h_quantize(v: jnp.ndarray, prec: int, signed: bool) -> jnp.ndarray:
+    """D3DX_BC6H::Quantize (BC6HBC7.cpp:1864)."""
+    if signed:
+        s = v < 0
+        a = jnp.abs(v)
+        q = a if prec >= 16 else (a << (prec - 1)) // (_F16MAX + 1)
+        return jnp.where(s, -q, q)
+    return v if prec >= 15 else (v << prec) // (_F16MAX + 1)
+
+
+def _nbits_fit(v: jnp.ndarray, prec: int, is_signed_field: bool) -> jnp.ndarray:
+    """True where v fits in a prec-bit (two's complement if signed) field."""
+    if is_signed_field:
+        lo = -(1 << (prec - 1))
+        hi = (1 << (prec - 1)) - 1
+    else:
+        lo, hi = 0, (1 << prec) - 1
+    return (v >= lo) & (v <= hi)
+
+
+def _bc6h_palette_err(px_int, mask, q0, q1, precW, iprec, signed):
+    """Quantized endpoints -> palette -> indices + masked error.
+    px_int [NB,16,3]; q0/q1 [NB,3]."""
+    u0 = jnp.stack([_bc6h_unquantize(q0[:, c], precW[c], signed)
+                    for c in range(3)], axis=1)
+    u1 = jnp.stack([_bc6h_unquantize(q1[:, c], precW[c], signed)
+                    for c in range(3)], axis=1)
+    w = jnp.asarray(_WEIGHTS[iprec])
+    # the reference metric compares source F16-ints against the FINISHED
+    # palette (GeneratePaletteQuantized applies FinishUnquantize, :2028)
+    pal = (u0[:, None, :] * (64 - w)[None, :, None]
+           + u1[:, None, :] * w[None, :, None] + 32) >> 6
+    pal = _bc6h_finish_unquantize(pal, signed)          # [NB, P, 3]
+    d = (px_int[:, :, None, :] - pal[:, None, :, :]).astype(jnp.float32)
+    dist = jnp.sum(d * d, axis=-1)
+    idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+    err = jnp.sum(jnp.where(mask, jnp.min(dist, axis=-1), 0.0), axis=-1)
+    return idx, err
+
+
+def _bc6h_emit(row: int, shape, q_pairs, idx, nb) -> jnp.ndarray:
+    """Pack one BC6H candidate into [NB,4] u32 (EmitBlock :2330)."""
+    mode_val, partitions, transformed, iprec, precW, precX, precY, precZ = \
+        BC6H_MODE_INFO[row]
+    header_bits = 82 if partitions else 65
+    words = jnp.zeros((nb, 4), jnp.uint32)
+
+    # field values: 2=shape(D), RW..BZ = 3..14
+    fields = {}
+    if isinstance(shape, int):
+        fields[2] = jnp.full((nb,), shape, jnp.int32)
+    else:
+        fields[2] = shape.astype(jnp.int32)
+    for ch, base in ((0, 3), (1, 7), (2, 11)):
+        fields[base + 0] = q_pairs[0][0][:, ch]
+        fields[base + 1] = q_pairs[0][1][:, ch]
+        if partitions:
+            fields[base + 2] = q_pairs[1][0][:, ch]
+            fields[base + 3] = q_pairs[1][1][:, ch]
+        else:
+            fields[base + 2] = jnp.zeros((nb,), jnp.int32)
+            fields[base + 3] = jnp.zeros((nb,), jnp.int32)
+
+    desc = BC6H_DESC[row]
+    mode_arr = jnp.full((nb,), mode_val, jnp.uint32)
+    for pos in range(header_bits):
+        fid, fbit = int(desc[pos, 0]), int(desc[pos, 1])
+        if fid == 0:
+            continue
+        if fid == 1:
+            bit = (mode_arr >> fbit) & 1
+        else:
+            bit = (fields[fid].astype(jnp.uint32) >> fbit) & 1
+        words = _scatter_bits(words, bit, pos, 1)
+
+    offs_t, nbits_t = _get_index_layout(partitions, iprec)
+    if isinstance(shape, int):
+        offs = jnp.asarray(offs_t[shape])[None, :] + header_bits
+        nbw = jnp.asarray(nbits_t[shape])[None, :]
+    else:
+        offs = jnp.asarray(offs_t)[shape] + header_bits
+        nbw = jnp.asarray(nbits_t)[shape]
+    words = _scatter_bits(words, idx.astype(jnp.uint32), offs, nbw)
+    return words
+
+
+def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed):
+    """One (mode, shape) candidate. Returns (err, q_pairs, idx)."""
+    mode_val, partitions, transformed, iprec, precW, precX, precY, precZ = \
+        BC6H_MODE_INFO[row]
+    nb = px_int.shape[0]
+    idx_full = jnp.zeros(px_int.shape[:2], jnp.int32)
+    total_err = jnp.zeros(nb, jnp.float32)
+    q_pairs = []
+
+    for sub, mask in enumerate(mask_list):
+        big = jnp.float32(1e9)
+        mi = jnp.min(jnp.where(mask[:, :, None], px_f, big), axis=1)
+        ma = jnp.max(jnp.where(mask[:, :, None], px_f, -big), axis=1)
+
+        def quant(e):
+            ei = jnp.round(e).astype(jnp.int32)
+            return jnp.stack([_bc6h_quantize(ei[:, c], precW[c], signed)
+                              for c in range(3)], axis=1)
+
+        q0, q1 = quant(mi), quant(ma)
+        idx, err = _bc6h_palette_err(px_int, mask, q0, q1, precW, iprec, signed)
+
+        # least-squares refinement in int space (2 rounds)
+        wtab = jnp.asarray(_WEIGHTS[iprec]).astype(jnp.float32) / 64.0
+        e0f, e1f = mi, ma
+        q0b, q1b, idx_b, err_b = q0, q1, idx, err
+        for _ in range(2):
+            xoh = (idx_b[:, :, None]
+                   == jnp.arange(1 << iprec)[None, None, :]).astype(jnp.float32)
+            x = xoh @ wtab
+            m = mask.astype(jnp.float32)
+            a = (1.0 - x) * m
+            b = x * m
+            A = jnp.sum(a * a, axis=1)
+            B = jnp.sum(a * b, axis=1)
+            C = jnp.sum(b * b, axis=1)
+            r0 = jnp.einsum("ni,nic->nc", a, px_f)
+            r1 = jnp.einsum("ni,nic->nc", b, px_f)
+            det = A * C - B * B
+            ok = jnp.abs(det) > 1e-6
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            lim = float(_F16MAX)
+            lo = -lim if signed else 0.0
+            n0 = jnp.clip((C[:, None] * r0 - B[:, None] * r1) * inv[:, None], lo, lim)
+            n1 = jnp.clip((A[:, None] * r1 - B[:, None] * r0) * inv[:, None], lo, lim)
+            e0f = jnp.where(ok[:, None], n0, e0f)
+            e1f = jnp.where(ok[:, None], n1, e1f)
+            q0b, q1b = quant(e0f), quant(e1f)
+            idx_b, err_b = _bc6h_palette_err(px_int, mask, q0b, q1b,
+                                             precW, iprec, signed)
+        better = err_b < err
+        q0 = jnp.where(better[:, None], q0b, q0)
+        q1 = jnp.where(better[:, None], q1b, q1)
+        idx = jnp.where(better[:, None], idx_b, idx)
+        err = jnp.minimum(err_b, err)
+
+        total_err = total_err + err
+        q_pairs.append((q0, q1))
+        idx_full = jnp.where(mask, idx, idx_full)
+
+    # anchor swap (SwapIndices :2228)
+    msb = 1 << (iprec - 1)
+    maxi = (1 << iprec) - 1
+    fixed = []
+    for sub, (mask, anchor) in enumerate(zip(mask_list, anchors)):
+        if isinstance(anchor, int):
+            a_idx = idx_full[:, anchor]
+        else:
+            a_idx = jnp.take_along_axis(idx_full, anchor[:, None], axis=1)[:, 0]
+        swap = (a_idx & msb) != 0
+        q0, q1 = q_pairs[sub]
+        fixed.append((jnp.where(swap[:, None], q1, q0),
+                      jnp.where(swap[:, None], q0, q1)))
+        idx_full = jnp.where(swap[:, None] & mask, maxi - idx_full, idx_full)
+    q_pairs = fixed
+
+    # delta transform + fit check (TransformForward + EndPointsFit :1948)
+    base = q_pairs[0][0]
+    out_pairs = [q_pairs[0]]
+    fit = jnp.ones(nb, bool)
+    deltas = [(q_pairs[0][1], precX)]
+    if partitions:
+        deltas.append((q_pairs[1][0], precY))
+        deltas.append((q_pairs[1][1], precZ))
+    if transformed:
+        new = []
+        for val, prec in deltas:
+            d = val - base
+            for c in range(3):
+                fit = fit & _nbits_fit(d[:, c], prec[c], True)
+            new.append(d)
+        stored = new
+    else:
+        stored = [v for v, _ in deltas]
+        for val, prec in deltas:
+            for c in range(3):
+                fit = fit & _nbits_fit(val[:, c], prec[c], signed)
+    # base endpoint must fit precW (unsigned unless signed format)
+    for c in range(3):
+        fit = fit & _nbits_fit(base[:, c], precW[c], signed)
+
+    # mask stored field values to their bit widths for emission
+    def field_mask(v, prec):
+        return jnp.stack([v[:, c] & ((1 << prec[c]) - 1) for c in range(3)],
+                         axis=1)
+
+    emit_pairs = [(field_mask(base, precW), field_mask(stored[0], precX))]
+    if partitions:
+        emit_pairs.append((field_mask(stored[1], precY),
+                           field_mask(stored[2], precZ)))
+
+    total_err = jnp.where(fit, total_err, jnp.inf)
+    return total_err, emit_pairs, idx_full
 
 
 def encode_bc6h(blocks: jnp.ndarray, signed: bool) -> jnp.ndarray:
-    raise NotImplementedError("BC6H encode lands with the next bc67 stage")
+    """[NB, 16, 4] f32 -> [NB, 16] u8 (D3DXEncodeBC6HU/S, BC6HBC7.cpp:1817)."""
+    rgb = jnp.asarray(blocks, jnp.float32)[..., :3]
+    nb = rgb.shape[0]
+    px_int = _f16_to_int(rgb, signed)        # [NB,16,3] int32
+    px_f = px_int.astype(jnp.float32)
+
+    best_err = jnp.full((nb,), jnp.inf, jnp.float32)
+    best_words = jnp.zeros((nb, 4), jnp.uint32)
+
+    ones = jnp.ones(px_int.shape[:2], bool)
+
+    # 1-region modes (rows 10-13): one candidate each
+    for row in range(10, 14):
+        err, pairs, idx = _bc6h_eval_candidate(px_int, px_f, [ones], [0],
+                                               row, signed)
+        words = _bc6h_emit(row, 0, pairs, idx, nb)
+        better = err < best_err
+        best_err = jnp.minimum(err, best_err)
+        best_words = jnp.where(better[:, None], words, best_words)
+
+    # 2-region modes (rows 0-9): 32 shapes each via fori_loop
+    parts_tab = jnp.asarray(PARTITIONS[1])
+    fix_tab = jnp.asarray(FIXUPS[1])
+    for row in range(10):
+        def body(s, carry):
+            best_err, best_words = carry
+            pmask = parts_tab[s]
+            mask_list = [jnp.broadcast_to(pmask == 0, px_int.shape[:2]),
+                         jnp.broadcast_to(pmask == 1, px_int.shape[:2])]
+            anchors = [0, jnp.broadcast_to(fix_tab[s, 1], (nb,)).astype(jnp.int32)]
+            err, pairs, idx = _bc6h_eval_candidate(
+                px_int, px_f, mask_list, anchors, row, signed)
+            shape_arr = jnp.full((nb,), s, jnp.uint32)
+            words = _bc6h_emit(row, shape_arr, pairs, idx, nb)
+            better = err < best_err
+            best_words = jnp.where(better[:, None], words, best_words)
+            best_err = jnp.minimum(err, best_err)
+            return best_err, best_words
+
+        best_err, best_words = lax.fori_loop(0, 32, body,
+                                             (best_err, best_words))
+
+    return lax.bitcast_convert_type(best_words, jnp.uint8).reshape(nb, 16)

@@ -99,10 +99,13 @@ def optimize_alpha(points: jnp.ndarray, csteps: int,
                           jnp.where(fdot >= fsteps, hi, istep_mid))
 
         in_range = istep < csteps
-        c = jnp.where(in_range, pC[istep], 0.0)
-        d = jnp.where(in_range, pD[istep], 0.0)
-        diff = jnp.where(in_range, steps[jnp.arange(points.shape[0])[:, None],
-                                         jnp.clip(istep, 0, 7)] - points, 0.0)
+        onehot = (jnp.clip(istep, 0, 7)[:, :, None]
+                  == jnp.arange(8)[None, None, :]).astype(jnp.float32)
+        c = jnp.where(in_range, onehot @ pC, 0.0)
+        d = jnp.where(in_range, onehot @ pD, 0.0)
+        step_sel = jnp.einsum("nik,nk->ni", onehot, steps,
+                              preferred_element_type=jnp.float32)
+        diff = jnp.where(in_range, step_sel - points, 0.0)
 
         dX = jnp.sum(c * diff, axis=1)
         d2X = jnp.sum(c * c, axis=1)

@@ -150,3 +150,78 @@ def test_decode_bc7_random_mixed():
     for i in range(0, 256, 31):
         expect = scalar_decode_bc7(blocks[i].tobytes())
         np.testing.assert_array_equal(got[i], expect, err_msg=f"block {i}")
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+def img_blocks(with_alpha=False, seed=1):
+    from directxtex_tpu.bc.common import image_to_blocks
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 1, 32, dtype=np.float32)
+    gx, gy = np.meshgrid(x, x)
+    img = np.stack([np.sin(gx * 9) * 0.4 + 0.5, gy * 0.8, gx * gy,
+                    np.clip(gy, 0, 1) if with_alpha else np.ones_like(gx)], -1)
+    img += (rng.random(img.shape).astype(np.float32) - 0.5) * 0.04
+    img = (np.round(np.clip(img, 0, 1) * 255) / 255).astype(np.float32)
+    if not with_alpha:
+        img[..., 3] = 1.0
+    return np.asarray(image_to_blocks(img)[0])
+
+
+def rgba_psnr(a, b):
+    m = np.mean((a - b) ** 2)
+    return 10 * np.log10(1.0 / max(m, 1e-30))
+
+
+def test_encode_bc7_quick_mode6():
+    blocks = img_blocks()
+    enc = np.asarray(bc67.encode_bc7(blocks, flags=0x100000))
+    assert np.all(enc[:, 0] & 0x7F == 0x40)  # every block is mode 6
+    dec = np.asarray(bc67.decode_bc7(enc))
+    q = rgba_psnr(dec, blocks)
+    assert q > 34, q
+    # encoder output decodes identically in the scalar decoder
+    for i in range(0, len(enc), 17):
+        np.testing.assert_array_equal(dec[i], scalar_decode_bc7(enc[i].tobytes()))
+
+
+def test_encode_bc7_full_beats_quick():
+    blocks = img_blocks()
+    q_quick = rgba_psnr(np.asarray(bc67.decode_bc7(
+        np.asarray(bc67.encode_bc7(blocks, flags=0x100000)))), blocks)
+    q_full = rgba_psnr(np.asarray(bc67.decode_bc7(
+        np.asarray(bc67.encode_bc7(blocks)))), blocks)
+    assert q_full >= q_quick - 1e-3, (q_full, q_quick)
+    assert q_full > 36, q_full
+
+
+def test_encode_bc7_alpha_content():
+    blocks = img_blocks(with_alpha=True)
+    enc = np.asarray(bc67.encode_bc7(blocks))
+    dec = np.asarray(bc67.decode_bc7(enc))
+    q = rgba_psnr(dec, blocks)
+    assert q > 34, q
+    # scalar decoder agrees (validates emitted bitstreams incl. modes 4/5/7)
+    for i in range(0, len(enc), 13):
+        np.testing.assert_array_equal(dec[i], scalar_decode_bc7(enc[i].tobytes()))
+
+
+def test_encode_bc7_solid_block_near_lossless():
+    c = np.tile(np.array([0.3, 0.6, 0.9, 1.0], np.float32), (4, 16, 1))
+    dec = np.asarray(bc67.decode_bc7(np.asarray(bc67.encode_bc7(c))))
+    assert np.abs(dec - c).max() < 1.5 / 255, np.abs(dec - c).max()
+
+
+def test_encode_bc7_transparent_block():
+    c = np.zeros((2, 16, 4), np.float32)
+    dec = np.asarray(bc67.decode_bc7(np.asarray(bc67.encode_bc7(c))))
+    np.testing.assert_allclose(dec, 0.0, atol=1.5 / 255)
+
+
+def test_encode_bc7_3subset_flag():
+    blocks = img_blocks()
+    enc = np.asarray(bc67.encode_bc7(blocks, flags=0x80000))
+    dec = np.asarray(bc67.decode_bc7(enc))
+    assert rgba_psnr(dec, blocks) > 36

@@ -47,4 +47,5 @@ def test_graft_dryrun():
     # single-chip entry also compiles
     fn, args = m.entry()
     out = jax.jit(fn)(*args)
-    assert out.shape == (16 * 16, 8)
+    # BC7 (16 bytes/block) once bc67 landed; BC1 (8) before
+    assert out.shape in ((16 * 16, 16), (16 * 16, 8))
