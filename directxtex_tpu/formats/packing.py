@@ -960,3 +960,70 @@ def pack_image(fmt: DXGIFormat, rgba: jnp.ndarray,
     """[H, W, 4] f32 -> flat wire bytes (tightly packed rows)."""
     h, w, _ = rgba.shape
     return pack(fmt, rgba.reshape(h * w, 4), threshold)
+
+
+# ---------------------------------------------------------------------------
+# planar YUV image decode (ConvertToSinglePlane support)
+# ---------------------------------------------------------------------------
+
+def planar_to_single(fmt: DXGIFormat) -> DXGIFormat:
+    """PlanarToSingle (DirectXTexConvert.cpp:4916)."""
+    if fmt in (FMT.NV12, FMT.NV11):
+        return FMT.YUY2
+    if fmt == FMT.P010:
+        return FMT.Y210
+    if fmt == FMT.P016:
+        return FMT.Y216
+    return FMT.UNKNOWN
+
+
+def unpack_planar_image(fmt: DXGIFormat, data: jnp.ndarray, width: int,
+                        height: int) -> jnp.ndarray:
+    """Planar wire bytes -> [H, W, 4] f32 RGBA.
+
+    Equivalent to ConvertToSinglePlane (DirectXTexConvert.cpp:5411) followed
+    by decoding the packed 4:2:2 result: the 4:2:0/4:1:1 chroma is duplicated
+    across the covered luma samples (CONVERT_420_TO_422 semantics).
+    """
+    data = jnp.asarray(data, jnp.uint8)
+    if fmt in (FMT.NV12, FMT.OPAQUE_420):
+        y = data[: width * height].reshape(height, width)
+        uv = data[width * height:width * height + (height // 2) * ((width + 1) // 2) * 2]
+        cw = (width + 1) // 2
+        uv = uv.reshape(height // 2, cw, 2)
+        u = jnp.repeat(jnp.repeat(uv[..., 0], 2, axis=0), 2, axis=1)[:height, :width]
+        v = jnp.repeat(jnp.repeat(uv[..., 1], 2, axis=0), 2, axis=1)[:height, :width]
+        r, g, b = _yuv8_to_rgb(y, u, v)
+        return jnp.stack([r, g, b, jnp.ones_like(r)], axis=-1)
+    if fmt in (FMT.P010, FMT.P016):
+        w16 = _bytes_to_u16(data)
+        y = w16[: width * height].reshape(height, width)
+        cw = (width + 1) // 2
+        uv = w16[width * height:width * height + (height // 2) * cw * 2]
+        uv = uv.reshape(height // 2, cw, 2)
+        u = jnp.repeat(jnp.repeat(uv[..., 0], 2, axis=0), 2, axis=1)[:height, :width]
+        v = jnp.repeat(jnp.repeat(uv[..., 1], 2, axis=0), 2, axis=1)[:height, :width]
+        if fmt == FMT.P010:
+            r, g, b = _yuv10_to_rgb(y >> 6, u >> 6, v >> 6)
+        else:
+            r, g, b = _yuv16_to_rgb(y, u, v)
+        return jnp.stack([r, g, b, jnp.ones_like(r)], axis=-1)
+    if fmt == FMT.NV11:
+        y = data[: width * height].reshape(height, width)
+        cw = (width + 3) // 4
+        uv = data[width * height:width * height + height * cw * 2]
+        uv = uv.reshape(height, cw, 2)
+        u = jnp.repeat(uv[..., 0], 4, axis=1)[:, :width]
+        v = jnp.repeat(uv[..., 1], 4, axis=1)[:, :width]
+        r, g, b = _yuv8_to_rgb(y, u, v)
+        return jnp.stack([r, g, b, jnp.ones_like(r)], axis=-1)
+    if fmt == FMT.P208:
+        y = data[: width * height].reshape(height, width)
+        cw = (width + 1) // 2
+        uv = data[width * height:width * height + height * cw * 2]
+        uv = uv.reshape(height, cw, 2)
+        u = jnp.repeat(uv[..., 0], 2, axis=1)[:, :width]
+        v = jnp.repeat(uv[..., 1], 2, axis=1)[:, :width]
+        r, g, b = _yuv8_to_rgb(y, u, v)
+        return jnp.stack([r, g, b, jnp.ones_like(r)], axis=-1)
+    raise ValueError(f"unpack_planar_image: unsupported format {fmt!r}")

@@ -721,6 +721,24 @@ def load_from_dds_memory(data: bytes, flags: DDS_FLAGS = DDS_FLAGS.NONE):
         return CompressedTexture(meta, [np.asarray(l) for l in levels])
 
     import jax.numpy as jnp
+
+    if traits.is_planar(meta.format):
+        # Planar video formats depack on load (the reference requires an
+        # explicit ConvertToSinglePlane before any op; our device-resident
+        # model folds that into the loader and relabels with the packed
+        # single-plane equivalent, DirectXTexConvert.cpp:4916).
+        from ..formats.packing import planar_to_single, unpack_planar_image
+        single = planar_to_single(meta.format)
+        if single == FMT.UNKNOWN:
+            raise ValueError(f"DDS: unsupported planar format {meta.format!r}")
+        levels = []
+        for mip in range(meta.mip_levels):
+            w, h, _d = meta.mip_dims(mip)
+            arrs = [unpack_planar_image(meta.format, jnp.asarray(raw), w, h)
+                    for raw in per_level[mip]]
+            levels.append(jnp.stack(arrs))
+        return Texture(meta.with_format(single), levels)
+
     levels = []
     for mip in range(meta.mip_levels):
         w, h, d = meta.mip_dims(mip)

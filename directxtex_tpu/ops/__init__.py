@@ -3,7 +3,8 @@
 from .colorspace import (
     apply_linear_to_srgb, apply_srgb_to_linear, linear_to_srgb, srgb_to_linear,
 )
-from .convert import CONVF, convert, convert_values, get_convert_flags
+from .convert import (CONVF, convert, convert_to_single_plane,
+                      convert_values, get_convert_flags)
 from .flags import (
     CMSE_FLAGS, CNMAP_FLAGS, TEX_COMPRESS_FLAGS, TEX_FILTER_FLAGS,
     TEX_FR_FLAGS, TEX_PMALPHA_FLAGS, TEX_THRESHOLD_DEFAULT,
@@ -18,6 +19,7 @@ from .resize import resize, resize_array
 from .misc import (
     compute_mse, compute_psnr, copy_rectangle, evaluate_image, transform_image,
 )
+from .normalmaps import compute_normal_map
 from .pmalpha import demultiply_values, premultiply_alpha, premultiply_values
 
 __all__ = [
@@ -26,7 +28,8 @@ __all__ = [
     "TEX_THRESHOLD_DEFAULT",
     "apply_linear_to_srgb", "apply_srgb_to_linear",
     "calculate_alpha_coverage", "compress", "compute_mse",
-    "compute_psnr", "convert", "convert_values", "copy_rectangle",
+    "compute_normal_map", "compute_psnr", "convert",
+    "convert_to_single_plane", "convert_values", "copy_rectangle",
     "demultiply_values", "evaluate_image", "flip_rotate",
     "decompress", "default_decompress_format", "generate_mipmaps",
     "generate_mipmaps_3d", "get_convert_flags", "linear_to_srgb",

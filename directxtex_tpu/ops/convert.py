@@ -380,3 +380,32 @@ def convert(tex: Texture, out_fmt: DXGIFormat,
         requant = unpack(out_fmt, pack(out_fmt, flat, threshold), flat.shape[0])
         new_levels.append(requant.reshape(n, h, w, 4))
     return tex.replace_levels(new_levels, tex.metadata.with_format(out_fmt))
+
+
+def convert_to_single_plane(tex_or_bytes, metadata=None) -> Texture:
+    """ConvertToSinglePlane (DirectXTexConvert.cpp:5411).
+
+    Accepts planar wire bytes + TexMetadata (as produced by the DDS loader
+    for planar formats) and returns an RGBA Texture labelled with the packed
+    single-plane equivalent (NV12/NV11 -> YUY2, P010 -> Y210, P016 -> Y216).
+    """
+    import numpy as np
+
+    from ..formats.packing import planar_to_single, unpack_planar_image
+    from ..texture import TexMetadata
+
+    if isinstance(tex_or_bytes, Texture):
+        # already depacked by the loader; just relabel
+        target = planar_to_single(tex_or_bytes.metadata.format)
+        if target == FMT.UNKNOWN:
+            raise ValueError("convert_to_single_plane: not a planar format")
+        return tex_or_bytes.replace_levels(
+            tex_or_bytes.levels, tex_or_bytes.metadata.with_format(target))
+
+    meta: TexMetadata = metadata
+    target = planar_to_single(meta.format)
+    if target == FMT.UNKNOWN:
+        raise ValueError(f"convert_to_single_plane: unsupported {meta.format!r}")
+    data = np.frombuffer(bytes(tex_or_bytes), np.uint8)
+    arr = unpack_planar_image(meta.format, data, meta.width, meta.height)
+    return Texture(meta.with_format(target), [arr[None]])

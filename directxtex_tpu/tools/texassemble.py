@@ -1,0 +1,177 @@
+"""texassemble — multi-image container assembler (Texassemble/texassemble.cpp).
+
+Commands (CMD_* enum, texassemble.cpp:95-120): cube, volume, array,
+cubearray, h-cross, v-cross, h-strip, v-strip (+ their cube-from variants),
+merge (channel merge of two images), array-strip, from-mips decomposition.
+
+Usage: python -m directxtex_tpu.tools.texassemble <command> -o out.dds <files...>
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="texassemble",
+                                description=__doc__.split("\n")[0])
+    p.add_argument("command", choices=[
+        "cube", "volume", "array", "cubearray",
+        "h-cross", "v-cross", "h-strip", "v-strip",
+        "cube-from-hc", "cube-from-vc", "cube-from-hs", "cube-from-vs",
+        "merge",
+    ])
+    p.add_argument("files", nargs="+", help="input images")
+    p.add_argument("-o", "--output", required=True, help="output file")
+    p.add_argument("-y", action="store_true", dest="overwrite")
+    p.add_argument("-w", "--width", type=int, default=0)
+    p.add_argument("-ht", "--height", type=int, default=0)
+    p.add_argument("-f", "--format", default=None, help="output DXGI format")
+    p.add_argument("--swizzle", default="rgba",
+                   help="merge: channel source map (merge only)")
+    p.add_argument("-nologo", action="store_true")
+    return p
+
+
+def _load_normalized(paths, args):
+    """Per-input normalization (texassemble.cpp:1586-2035): decompress,
+    strip mips, resize to a common size, convert to a common format."""
+    from ..formats import format_from_name
+    from ..io import load_texture
+    from ..ops import decompress, resize
+    from ..texture import CompressedTexture
+
+    texs = []
+    for p in paths:
+        t = load_texture(p)
+        if isinstance(t, CompressedTexture):
+            t = decompress(t)
+        if t.mip_levels > 1:
+            t = t.replace_levels([t.levels[0]])
+        texs.append(t)
+    w = args.width or texs[0].metadata.width
+    h = args.height or texs[0].metadata.height
+    texs = [resize(t, w, h) if (t.metadata.width, t.metadata.height) != (w, h)
+            else t for t in texs]
+    if args.format:
+        from ..ops import convert
+        fmt = format_from_name(args.format)
+        texs = [convert(t, fmt) if t.metadata.format != fmt else t
+                for t in texs]
+    return texs
+
+
+def main(argv=None) -> int:
+    import jax.numpy as jnp
+
+    from ..io import save_texture
+    from ..texture import TexDimension, TexMetadata, TexMiscFlag, Texture
+
+    args = build_parser().parse_args(argv)
+    if not args.nologo:
+        print("texassemble (directxtex_tpu)")
+    cmd = args.command
+
+    if cmd == "merge":
+        if len(args.files) != 2:
+            print("error: merge requires exactly 2 images", file=sys.stderr)
+            return 1
+        a, b = _load_normalized(args.files, args)
+        # channel map: letters rgba pull from image 1 (upper = image 2)
+        src = {}
+        for dst_i, c in enumerate(args.swizzle[:4]):
+            img = b if c.isupper() else a
+            ch = {"r": 0, "g": 1, "b": 2, "a": 3}[c.lower()]
+            src[dst_i] = img.levels[0][..., ch]
+        out = jnp.stack([src.get(i, a.levels[0][..., i]) for i in range(4)],
+                        axis=-1)
+        tex = Texture(a.metadata, [out])
+        save_texture(tex, args.output)
+        print(f"  wrote {args.output}")
+        return 0
+
+    if cmd in ("h-cross", "v-cross", "h-strip", "v-strip"):
+        # cubemap -> cross/strip layout image (texassemble CMD_H_CROSS etc.)
+        texs = _load_normalized(args.files, args)
+        if len(texs) == 1 and texs[0].array_size == 6:
+            faces = [texs[0].levels[0][i] for i in range(6)]
+        elif len(texs) == 6:
+            faces = [t.levels[0][0] for t in texs]
+        else:
+            print("error: need a cubemap or 6 images", file=sys.stderr)
+            return 1
+        h, w = faces[0].shape[:2]
+        z = jnp.zeros_like(faces[0])
+        # face order: +X -X +Y -Y +Z -Z
+        px, nx, py, ny, pz, nz = faces
+        if cmd == "h-cross":
+            grid = [[z, py, z, z], [nx, pz, px, nz], [z, ny, z, z]]
+        elif cmd == "v-cross":
+            grid = [[z, py, z], [nx, pz, px], [z, ny, z], [z, jnp.flip(nz, (0, 1)), z]]
+        elif cmd == "h-strip":
+            grid = [[px, nx, py, ny, pz, nz]]
+        else:
+            grid = [[px], [nx], [py], [ny], [pz], [nz]]
+        rows = [jnp.concatenate(r, axis=1) for r in grid]
+        out = jnp.concatenate(rows, axis=0)
+        save_texture(Texture.from_array(out), args.output)
+        print(f"  wrote {args.output}")
+        return 0
+
+    if cmd in ("cube-from-hc", "cube-from-vc", "cube-from-hs", "cube-from-vs"):
+        texs = _load_normalized(args.files, args)
+        img = texs[0].levels[0][0]
+        H, W = img.shape[:2]
+        if cmd == "cube-from-hc":
+            fh, fw = H // 3, W // 4
+            at = lambda r, c: img[r * fh:(r + 1) * fh, c * fw:(c + 1) * fw]
+            faces = [at(1, 2), at(1, 0), at(0, 1), at(2, 1), at(1, 1), at(1, 3)]
+        elif cmd == "cube-from-vc":
+            fh, fw = H // 4, W // 3
+            at = lambda r, c: img[r * fh:(r + 1) * fh, c * fw:(c + 1) * fw]
+            faces = [at(1, 2), at(1, 0), at(0, 1), at(2, 1), at(1, 1),
+                     jnp.flip(at(3, 1), (0, 1))]
+        elif cmd == "cube-from-hs":
+            fw = W // 6
+            faces = [img[:, i * fw:(i + 1) * fw] for i in range(6)]
+        else:
+            fh = H // 6
+            faces = [img[i * fh:(i + 1) * fh] for i in range(6)]
+        stacked = jnp.stack(faces)
+        tex = Texture.from_array(stacked, is_cube=True)
+        save_texture(tex, args.output)
+        print(f"  wrote {args.output} (cubemap)")
+        return 0
+
+    # cube / volume / array / cubearray
+    texs = _load_normalized(args.files, args)
+    n = len(texs)
+    if cmd == "cube" and n != 6:
+        print("error: cube requires 6 images", file=sys.stderr)
+        return 1
+    if cmd == "cubearray" and (n == 0 or n % 6 != 0):
+        print("error: cubearray requires a multiple of 6 images",
+              file=sys.stderr)
+        return 1
+    stacked = jnp.concatenate([t.levels[0] for t in texs])
+    base = texs[0].metadata
+    if cmd == "volume":
+        meta = TexMetadata(width=base.width, height=base.height, depth=n,
+                           array_size=1, mip_levels=1, format=base.format,
+                           dimension=TexDimension.TEXTURE3D)
+    else:
+        misc = int(TexMiscFlag.TEXTURECUBE) if cmd in ("cube", "cubearray") else 0
+        meta = TexMetadata(width=base.width, height=base.height, depth=1,
+                           array_size=n, mip_levels=1, misc_flags=misc,
+                           format=base.format,
+                           dimension=TexDimension.TEXTURE2D)
+    save_texture(Texture(meta, [stacked]), args.output)
+    print(f"  wrote {args.output} ({cmd}, {n} images)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

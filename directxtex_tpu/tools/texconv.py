@@ -1,0 +1,311 @@
+"""texconv — batch texture converter CLI.
+
+Mirrors the reference tool's per-file stage pipeline (Texconv/texconv.cpp:
+load :2034 -> planar->single :2276 -> decompress :2316 -> undo premul :2482
+-> flip/rotate :2533 -> resize :2576 -> swizzle :2645 -> tonemap :2966 ->
+convert :3046 -> colorkey :3134 -> invert-y :3193 -> reconstruct-z :3242 ->
+mips :3309 -> alpha coverage :3457 -> premultiply :3504 -> compress :3550 ->
+save :3768) with the whole middle running device-resident: one upload per
+input, one readback at save (SURVEY.md §3.4).
+
+Usage: python -m directxtex_tpu.tools.texconv [options] <files...>
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="texconv", description=__doc__.split("\n")[0],
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("files", nargs="+", help="input image files")
+    p.add_argument("-r", action="store_true", dest="recursive",
+                   help="treat arguments as glob patterns, search recursively")
+    p.add_argument("-f", "--format", default=None,
+                   help="target DXGI format name (e.g. BC7_UNORM)")
+    p.add_argument("-ft", "--file-type", default="dds",
+                   choices=["dds", "tga", "hdr", "png", "jpg", "bmp", "tiff"],
+                   help="output container")
+    p.add_argument("-o", "--outdir", default=".", help="output directory")
+    p.add_argument("-px", "--prefix", default="", help="output name prefix")
+    p.add_argument("-sx", "--suffix", default="", help="output name suffix")
+    p.add_argument("-y", action="store_true", dest="overwrite",
+                   help="overwrite existing files")
+    p.add_argument("-w", "--width", type=int, default=0, help="target width")
+    p.add_argument("-ht", "--height", type=int, default=0, help="target height")
+    p.add_argument("-m", "--mips", type=int, default=None,
+                   help="mip count (0 = full chain, 1 = none)")
+    p.add_argument("-if", "--image-filter", default="fant",
+                   choices=["point", "linear", "cubic", "fant", "box", "triangle"],
+                   help="resize/mip filter")
+    p.add_argument("-srgb", action="store_true", help="sRGB in and out")
+    p.add_argument("-srgbi", action="store_true", help="sRGB input")
+    p.add_argument("-srgbo", action="store_true", help="sRGB output")
+    p.add_argument("-wrap", action="store_true", help="wrap filtering")
+    p.add_argument("-mirror", action="store_true", help="mirror filtering")
+    p.add_argument("-sepalpha", action="store_true",
+                   help="resize alpha separately")
+    p.add_argument("-keepcoverage", type=float, default=None, metavar="REF",
+                   help="preserve alpha coverage for mips at reference")
+    p.add_argument("-pmalpha", action="store_true",
+                   help="convert to premultiplied alpha")
+    p.add_argument("-alpha", action="store_true",
+                   help="convert from premultiplied to straight alpha")
+    p.add_argument("-hflip", action="store_true", help="horizontal flip")
+    p.add_argument("-vflip", action="store_true", help="vertical flip")
+    p.add_argument("-rotate", type=int, default=0, choices=[0, 90, 180, 270],
+                   help="rotation angle")
+    p.add_argument("-nmap", default=None, metavar="CHANNELS",
+                   help="compute normal map (l=luminance, r/g/b/a channel, "
+                        "m=mirror, i=invert, o=occlusion), e.g. 'lo'")
+    p.add_argument("-nmapamp", type=float, default=1.0,
+                   help="normal map amplitude")
+    p.add_argument("-bc", default="", metavar="FLAGS",
+                   help="BC flags: d=dither, u=uniform, q=quick, x=3subsets")
+    p.add_argument("-at", "--alpha-threshold", type=float, default=0.5,
+                   help="BC1 alpha threshold")
+    p.add_argument("-tonemap", action="store_true",
+                   help="Reinhard tonemap HDR to LDR")
+    p.add_argument("-swizzle", default=None, metavar="RGBA",
+                   help="channel swizzle mask, e.g. 'bgra' or 'rrra'")
+    p.add_argument("-c", "--colorkey", default=None, metavar="RRGGBB",
+                   help="hex colorkey to convert to transparent")
+    p.add_argument("-inverty", action="store_true",
+                   help="invert the green channel (normal map Y flip)")
+    p.add_argument("-reconstructz", action="store_true",
+                   help="rebuild Z (blue) channel from X/Y for BC5 normals")
+    p.add_argument("-fixbc4x4", action="store_true",
+                   help="round size down to multiple of 4 for BC")
+    p.add_argument("-timing", action="store_true", help="print per-stage times")
+    p.add_argument("-nologo", action="store_true", help="suppress banner")
+    p.add_argument("-dx9", action="store_true", help="force DX9 legacy DDS")
+    p.add_argument("-dx10", action="store_true", help="force DX10 ext DDS")
+    return p
+
+
+def _filter_flags(args):
+    from ..ops.flags import TEX_FILTER_FLAGS as TF
+    mode = {
+        "point": TF.POINT, "linear": TF.LINEAR, "cubic": TF.CUBIC,
+        "fant": TF.FANT, "box": TF.BOX, "triangle": TF.TRIANGLE,
+    }[args.image_filter]
+    flags = TF(mode)
+    if args.wrap:
+        flags |= TF.WRAP
+    if args.mirror:
+        flags |= TF.MIRROR
+    if args.sepalpha:
+        flags |= TF.SEPARATE_ALPHA
+    if args.srgb or args.srgbi:
+        flags |= TF.SRGB_IN
+    if args.srgb or args.srgbo:
+        flags |= TF.SRGB_OUT
+    return flags
+
+
+def process_file(path: str, args, log=print) -> str:
+    """Run the full stage pipeline on one file; returns the output path."""
+    import jax.numpy as jnp
+
+    from ..formats import FMT, format_from_name, traits
+    from ..io import DDS_FLAGS, load_texture, save_texture
+    from ..ops import (
+        TEX_COMPRESS_FLAGS as TC, TEX_FR_FLAGS as FR,
+        compress, convert, decompress, flip_rotate, generate_mipmaps,
+        premultiply_alpha, resize, scale_mipmaps_alpha_for_coverage,
+        transform_image,
+    )
+    from ..ops.flags import CNMAP_FLAGS, TEX_PMALPHA_FLAGS as PM
+    from ..ops.normalmaps import compute_normal_map
+    from ..texture import CompressedTexture
+
+    t0 = time.perf_counter()
+    tex = load_texture(path)
+
+    # decompress BC input (texconv.cpp:2316)
+    if isinstance(tex, CompressedTexture):
+        tex = decompress(tex)
+
+    target_fmt = (format_from_name(args.format) if args.format
+                  else tex.metadata.format)
+
+    # undo premultiplied alpha when asked (:2482)
+    if args.alpha and tex.metadata.is_pm_alpha():
+        tex = premultiply_alpha(tex, PM.REVERSE)
+
+    # flip / rotate (:2533)
+    fr = FR(0)
+    if args.rotate:
+        fr |= {90: FR.ROTATE90, 180: FR.ROTATE180, 270: FR.ROTATE270}[args.rotate]
+    if args.hflip:
+        fr |= FR.FLIP_HORIZONTAL
+    if args.vflip:
+        fr |= FR.FLIP_VERTICAL
+    if fr:
+        tex = flip_rotate(tex, fr)
+
+    filt = _filter_flags(args)
+
+    # resize (:2576)
+    tw = args.width or tex.metadata.width
+    th = args.height or tex.metadata.height
+    if args.fixbc4x4 and traits.is_compressed(target_fmt):
+        tw, th = max(4, tw & ~3), max(4, th & ~3)
+    if (tw, th) != (tex.metadata.width, tex.metadata.height):
+        tex = resize(tex, tw, th, filt)
+
+    # swizzle (:2645)
+    if args.swizzle:
+        chan = {"r": 0, "g": 1, "b": 2, "a": 3,
+                "x": 0, "y": 1, "z": 2, "w": 3}
+        sw = [chan[c] for c in args.swizzle.lower()]
+        while len(sw) < 4:
+            sw.append(sw[-1])
+        tex = transform_image(tex, lambda img: img[..., sw])
+
+    # tonemap (:2966): Reinhard with max-luminance white point
+    if args.tonemap:
+        def tonemap_level(img):
+            lum = (img[..., 0] * 0.2126 + img[..., 1] * 0.7152
+                   + img[..., 2] * 0.0722)
+            max_lum = jnp.maximum(jnp.max(lum), 1e-6)
+            scale = (1.0 + lum / (max_lum * max_lum)) / (1.0 + lum)
+            out = img.at[..., :3].multiply(scale[..., None])
+            return out
+        tex = transform_image(tex, tonemap_level)
+        if tex.metadata.format in (FMT.R32G32B32A32_FLOAT,
+                                   FMT.R16G16B16A16_FLOAT):
+            tex = tex.replace_levels(
+                tex.levels, tex.metadata.with_format(FMT.R8G8B8A8_UNORM))
+
+    # colorkey (:3134)
+    if args.colorkey:
+        key = int(args.colorkey, 16)
+        kr, kg, kb = ((key >> 16) & 0xFF) / 255.0, ((key >> 8) & 0xFF) / 255.0, \
+            (key & 0xFF) / 255.0
+
+        def ckey(img):
+            d = (jnp.abs(img[..., 0] - kr) + jnp.abs(img[..., 1] - kg)
+                 + jnp.abs(img[..., 2] - kb))
+            return img.at[..., 3].set(jnp.where(d < (3.0 / 255.0), 0.0,
+                                                img[..., 3]))
+        tex = transform_image(tex, ckey)
+
+    # invert-y / reconstruct-z (:3193, :3242)
+    if args.inverty:
+        tex = transform_image(tex, lambda i: i.at[..., 1].set(1.0 - i[..., 1]))
+    if args.reconstructz:
+        def reconz(img):
+            x = img[..., 0] * 2.0 - 1.0
+            y = img[..., 1] * 2.0 - 1.0
+            z = jnp.sqrt(jnp.clip(1.0 - x * x - y * y, 0.0, 1.0))
+            return img.at[..., 2].set(z * 0.5 + 0.5)
+        tex = transform_image(tex, reconz)
+
+    # normal map (replaces color data, texconv -nmap)
+    if args.nmap is not None:
+        nflags = CNMAP_FLAGS.DEFAULT
+        for c in args.nmap.lower():
+            nflags |= {
+                "r": CNMAP_FLAGS.CHANNEL_RED, "g": CNMAP_FLAGS.CHANNEL_GREEN,
+                "b": CNMAP_FLAGS.CHANNEL_BLUE, "a": CNMAP_FLAGS.CHANNEL_ALPHA,
+                "l": CNMAP_FLAGS.CHANNEL_LUMINANCE,
+                "m": CNMAP_FLAGS.MIRROR, "i": CNMAP_FLAGS.INVERT_SIGN,
+                "o": CNMAP_FLAGS.COMPUTE_OCCLUSION,
+            }[c]
+        nm_fmt = target_fmt if not traits.is_compressed(target_fmt) \
+            else FMT.R8G8B8A8_UNORM
+        tex = compute_normal_map(tex, nflags, args.nmapamp, nm_fmt)
+
+    # convert to non-BC working format (:3046)
+    if not traits.is_compressed(target_fmt) and \
+            tex.metadata.format != target_fmt:
+        tex = convert(tex, target_fmt, filt, args.alpha_threshold)
+
+    # mips (:3309)
+    if args.mips is not None and args.mips != 1:
+        tex = generate_mipmaps(tex, filt, args.mips)
+        if args.keepcoverage is not None:
+            tex = scale_mipmaps_alpha_for_coverage(tex, args.keepcoverage)
+
+    # premultiply (:3504)
+    if args.pmalpha:
+        tex = premultiply_alpha(tex)
+
+    # compress (:3550)
+    if traits.is_compressed(target_fmt):
+        cflags = TC.DEFAULT
+        if "d" in args.bc:
+            cflags |= TC.DITHER
+        if "u" in args.bc:
+            cflags |= TC.UNIFORM
+        if "q" in args.bc:
+            cflags |= TC.BC7_QUICK
+        if "x" in args.bc:
+            cflags |= TC.BC7_USE_3SUBSETS
+        tex = compress(tex, target_fmt, cflags, args.alpha_threshold)
+
+    # save (:3768)
+    base = os.path.splitext(os.path.basename(path))[0]
+    ext = {"jpg": "jpg", "png": "png", "bmp": "bmp", "tiff": "tiff",
+           "dds": "dds", "tga": "tga", "hdr": "hdr"}[args.file_type]
+    out_path = os.path.join(args.outdir,
+                            f"{args.prefix}{base}{args.suffix}.{ext}")
+    if os.path.exists(out_path) and not args.overwrite:
+        raise FileExistsError(f"{out_path} exists (use -y to overwrite)")
+    os.makedirs(args.outdir, exist_ok=True)
+    kwargs = {}
+    if ext == "dds":
+        flags = DDS_FLAGS.NONE
+        if args.dx10:
+            flags |= DDS_FLAGS.FORCE_DX10_EXT
+        if args.dx9:
+            flags |= DDS_FLAGS.FORCE_DX9_LEGACY
+        kwargs["flags"] = flags
+    save_texture(tex, out_path, **kwargs)
+
+    if args.timing:
+        log(f"  {path}: {time.perf_counter() - t0:.3f}s")
+    return out_path
+
+
+def expand_files(patterns, recursive: bool):
+    """SearchForFiles equivalent (Common/CmdLineHelpers.h:189)."""
+    import glob
+    out = []
+    for pat in patterns:
+        if os.path.isfile(pat):
+            out.append(pat)
+        else:
+            out.extend(sorted(glob.glob(pat, recursive=recursive)))
+    return out
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.nologo:
+        print("texconv (directxtex_tpu) — TPU-native texture converter")
+    files = expand_files(args.files, args.recursive)
+    if not files:
+        print("error: no input files matched", file=sys.stderr)
+        return 1
+    failed = 0
+    for path in files:
+        try:
+            out = process_file(path, args)
+            print(f"  {path} -> {out}")
+        except Exception as e:  # keep going like the reference tool
+            print(f"  FAILED {path}: {e}", file=sys.stderr)
+            failed += 1
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

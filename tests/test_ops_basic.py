@@ -202,3 +202,59 @@ def test_transform_image():
     tex = rand_tex()
     out = transform_image(tex, lambda img: img * 0.5)
     np.testing.assert_allclose(out.to_numpy(), tex.to_numpy() * 0.5, rtol=1e-6)
+
+
+def test_normal_map():
+    from directxtex_tpu.ops.normalmaps import compute_normal_map
+    from directxtex_tpu.ops.flags import CNMAP_FLAGS
+    # height ramp in x -> normal tilted in -x
+    x = np.tile(np.linspace(0, 1, 16, dtype=np.float32), (16, 1))
+    img = np.stack([x, x, x, np.ones_like(x)], -1)
+    tex = Texture.from_array(img, fmt=FMT.R32G32B32A32_FLOAT)
+    nm = compute_normal_map(tex, CNMAP_FLAGS.CHANNEL_RED, amplitude=4.0,
+                            fmt=FMT.R8G8B8A8_UNORM)
+    out = nm.to_numpy()
+    # UNORM biased: x-component < 0.5 means normal points -x (uphill left)
+    center = out[8, 8]
+    assert center[0] < 0.45, center
+    assert abs(center[1] - 0.5) < 0.05   # no y slope
+    assert center[2] > 0.6               # z positive
+    assert nm.metadata.format == FMT.R8G8B8A8_UNORM
+
+    # float target keeps signed normals
+    nf = compute_normal_map(tex, CNMAP_FLAGS.CHANNEL_RED, amplitude=4.0,
+                            fmt=FMT.R32G32B32A32_FLOAT)
+    c2 = nf.to_numpy()[8, 8]
+    assert c2[0] < -0.1 and c2[2] > 0.7
+    # invert sign flips
+    ni = compute_normal_map(tex, CNMAP_FLAGS.CHANNEL_RED | CNMAP_FLAGS.INVERT_SIGN,
+                            amplitude=4.0, fmt=FMT.R32G32B32A32_FLOAT)
+    assert ni.to_numpy()[8, 8, 0] > 0.1
+
+
+def test_normal_map_occlusion():
+    from directxtex_tpu.ops.normalmaps import compute_normal_map
+    from directxtex_tpu.ops.flags import CNMAP_FLAGS
+    # pit in the middle -> occlusion < 1 at the pit
+    img = np.ones((8, 8, 4), np.float32)
+    img[4, 4, :3] = 0.0
+    tex = Texture.from_array(img, fmt=FMT.R32G32B32A32_FLOAT)
+    nm = compute_normal_map(tex, CNMAP_FLAGS.COMPUTE_OCCLUSION, 2.0,
+                            FMT.R32G32B32A32_FLOAT)
+    out = nm.to_numpy()
+    assert out[4, 4, 3] < 0.9
+    assert out[0, 0, 3] == 1.0
+
+
+def test_convert_to_single_plane():
+    from directxtex_tpu.ops.convert import convert_to_single_plane
+    from directxtex_tpu.texture import TexMetadata
+    h = w = 4
+    data = (np.concatenate([np.full(h * w, 180, np.uint8),
+                            np.full((h // 2) * (w // 2) * 2, 128, np.uint8)])
+            .tobytes())
+    meta = TexMetadata(width=w, height=h, format=FMT.NV12)
+    tex = convert_to_single_plane(data, meta)
+    assert tex.metadata.format == FMT.YUY2
+    expected = ((298 * (180 - 16) + 128) >> 8) / 255
+    np.testing.assert_allclose(tex.to_numpy()[..., 0], expected, atol=1e-6)
