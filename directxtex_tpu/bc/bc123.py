@@ -43,10 +43,12 @@ _LUM_INV = (0.7154 / 0.2125, 1.0, 0.7154 / 0.0721)
 # bit patterns exactly (single correctly-rounded multiply), and multiplies
 # vectorize on the VPU where table gathers would not.
 import numpy as _np
-_INV5 = jnp.float32(1.0 / 31.0)
-_INV6 = jnp.float32(1.0 / 63.0)
-_INV255 = jnp.float32(1.0 / 255.0)
-_INV15 = jnp.float32(1.0 / 15.0)
+# plain Python floats of the exact f32 constants: jnp.float32(...) at module
+# scope would initialize a JAX backend on import
+_INV5 = float(_np.float32(1.0 / 31.0))
+_INV6 = float(_np.float32(1.0 / 63.0))
+_INV255 = float(_np.float32(1.0 / 255.0))
+_INV15 = float(_np.float32(1.0 / 15.0))
 
 
 def _bytes_to_u32(b: jnp.ndarray) -> jnp.ndarray:

@@ -10,6 +10,7 @@ from .traits import (
     calculate_mip_levels_3d,
     compute_pitch,
     compute_scanlines,
+    compute_tile_shape,
     has_alpha,
     is_bgr,
     is_compressed,
@@ -32,7 +33,7 @@ __all__ = [
     "DXGIFormat", "FMT", "format_from_name",
     "CP_FLAGS", "bits_per_color", "bits_per_pixel", "bytes_per_block",
     "calculate_mip_levels", "calculate_mip_levels_3d", "compute_pitch",
-    "compute_scanlines", "has_alpha", "is_bgr", "is_compressed",
+    "compute_scanlines", "compute_tile_shape", "has_alpha", "is_bgr", "is_compressed",
     "is_depth_stencil", "is_packed", "is_palettized", "is_planar", "is_srgb",
     "is_typeless", "is_valid", "is_video", "make_linear", "make_srgb",
     "make_typeless", "make_typeless_float", "make_typeless_unorm",

@@ -592,3 +592,62 @@ _FLOAT_OF_TYPELESS = {
 
 def make_typeless_float(fmt: DXGIFormat) -> DXGIFormat:
     return _FLOAT_OF_TYPELESS.get(fmt, fmt)
+
+
+# ---------------------------------------------------------------------------
+# Tiled-resource tile shapes (DirectXTexUtil.cpp:1259, DirectXTex.h:538-578)
+# ---------------------------------------------------------------------------
+
+TILED_RESOURCE_TILE_SIZE_IN_BYTES = 65536
+
+
+def compute_tile_shape(fmt: DXGIFormat, dimension: int) -> tuple[int, int, int]:
+    """Standard 64KB tile shape (width, height, depth) for a format.
+
+    dimension is a TexDimension value (2=1D, 3=2D, 4=3D). Raises ValueError
+    for video/packed/1bpp/24bpp/96bpp formats, matching the reference.
+    """
+    if is_video(fmt) or is_packed(fmt):
+        raise ValueError(f"no tile shape for video/packed format {fmt!r}")
+    bpp = bits_per_pixel(fmt)
+    if bpp in (0, 1, 24, 96):
+        raise ValueError(f"no tile shape for {bpp}bpp format {fmt!r}")
+    compressed = is_compressed(fmt)
+    bpb = bytes_per_block(fmt)
+
+    if dimension == 2:  # TEXTURE1D
+        if compressed:
+            raise ValueError("1D tiled resources cannot be compressed")
+        return (TILED_RESOURCE_TILE_SIZE_IN_BYTES * 8 // bpp, 1, 1)
+
+    if dimension == 3:  # TEXTURE2D
+        if compressed:
+            if bpb == 8:
+                return (128 * 4, 64 * 4, 1)
+            return (64 * 4, 64 * 4, 1)
+        if bpp <= 8:
+            return (256, 256, 1)
+        if bpp <= 16:
+            return (256, 128, 1)
+        if bpp <= 32:
+            return (128, 128, 1)
+        if bpp <= 64:
+            return (128, 64, 1)
+        return (64, 64, 1)
+
+    if dimension == 4:  # TEXTURE3D
+        if compressed:
+            if bpb == 8:
+                return (32 * 4, 16 * 4, 16)
+            return (16 * 4, 16 * 4, 16)
+        if bpp <= 8:
+            return (64, 32, 32)
+        if bpp <= 16:
+            return (32, 32, 32)
+        if bpp <= 32:
+            return (32, 32, 16)
+        if bpp <= 64:
+            return (32, 16, 16)
+        return (16, 16, 16)
+
+    raise ValueError(f"invalid dimension {dimension}")

@@ -5,6 +5,10 @@ from .dds import (
     load_from_dds_file, load_from_dds_memory, save_to_dds_file,
     save_to_dds_memory,
 )
+from .loaders import (
+    capture_texture, create_texture_from_dds, create_texture_from_image,
+    save_dds_texture_to_file, save_image_texture_to_file,
+)
 from .hdr import (
     get_metadata_from_hdr_memory, load_from_hdr_file, load_from_hdr_memory,
     save_to_hdr_file, save_to_hdr_memory,
@@ -12,6 +16,11 @@ from .hdr import (
 from .tga import (
     TGA_FLAGS, get_metadata_from_tga_memory, load_from_tga_file,
     load_from_tga_memory, save_to_tga_file, save_to_tga_memory,
+)
+from .ppm import (
+    load_from_pfm_file, load_from_pfm_memory, load_from_ppm_file,
+    load_from_ppm_memory, save_to_pfm_file, save_to_pfm_memory,
+    save_to_ppm_file, save_to_ppm_memory,
 )
 from .wic import (
     WIC_CODEC, WIC_FLAGS, load_from_wic_file, load_from_wic_memory,
@@ -44,6 +53,10 @@ def load_texture(path, **kwargs):
         return load_from_tga_file(path, **kwargs)
     if ext == ".hdr":
         return load_from_hdr_file(path)
+    if ext in (".ppm", ".pnm"):
+        return load_from_ppm_file(path)
+    if ext == ".pfm":
+        return load_from_pfm_file(path)
     return load_from_wic_file(path, **kwargs)
 
 
@@ -57,4 +70,8 @@ def save_texture(tex, path, **kwargs):
         return save_to_tga_file(tex, path, **kwargs)
     if ext == ".hdr":
         return save_to_hdr_file(tex, path)
+    if ext in (".ppm", ".pnm"):
+        return save_to_ppm_file(tex, path)
+    if ext == ".pfm":
+        return save_to_pfm_file(tex, path)
     return save_to_wic_file(tex, path, **kwargs)

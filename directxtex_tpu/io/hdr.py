@@ -80,7 +80,13 @@ def get_metadata_from_hdr_memory(data: bytes) -> TexMetadata:
 
 
 def _decode_scanlines(data: bytes, offset: int, width: int, height: int) -> np.ndarray:
-    """Decode RGBE scanlines (both RLE styles) -> [H, W, 4] uint8."""
+    """Decode RGBE scanlines (both RLE styles) -> [H, W, 4] uint8.
+
+    Uses the native C++ codec when available, Python fallback otherwise."""
+    from .. import native
+    fast = native.hdr_decode_scanlines(bytes(data), offset, width, height)
+    if fast is not None:
+        return fast
     src = np.frombuffer(data, np.uint8)
     out = np.empty((height, width, 4), np.uint8)
     pos = offset
@@ -176,6 +182,10 @@ def _float_to_rgbe(img: np.ndarray) -> np.ndarray:
 
 def _encode_rle_channel(ch: np.ndarray) -> bytes:
     """New-style per-channel RLE: runs >= 4 become repeat packets."""
+    from .. import native
+    fast = native.hdr_encode_rle_channel(ch)
+    if fast is not None:
+        return fast
     n = len(ch)
     out = bytearray()
     # find run boundaries

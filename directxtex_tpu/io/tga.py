@@ -163,7 +163,14 @@ def _apply_srgb_meta(data: bytes, fmt: DXGIFormat, flags: TGA_FLAGS) -> DXGIForm
 
 
 def _decode_rle(data: np.ndarray, bytes_pp: int, count: int) -> np.ndarray:
-    """Decode TGA RLE packets to `count` pixels of bytes_pp each."""
+    """Decode TGA RLE packets to `count` pixels of bytes_pp each.
+
+    Uses the native C++ codec when available (directxtex_tpu.native), with
+    this Python implementation as the fallback."""
+    from .. import native
+    fast = native.tga_rle_decode(data.tobytes(), count, bytes_pp)
+    if fast is not None:
+        return fast
     out = np.empty(count * bytes_pp, np.uint8)
     si = 0
     di = 0

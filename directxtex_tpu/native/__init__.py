@@ -1,0 +1,105 @@
+"""Native host-side runtime components.
+
+The reference's container parsing and RLE codecs are C++ (DirectXTexTGA.cpp,
+DirectXTexHDR.cpp); here the byte-stream hot paths compile once from
+rle_codec.cpp into a shared library bound via ctypes. Pure-Python fallbacks
+in the io/ modules keep everything working if no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "rle_codec.cpp")
+_SO = os.path.join(_HERE, "librle_codec.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        src_mtime = os.path.getmtime(_SRC)
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
+            return True
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+        lib.tga_rle_decode.restype = ctypes.c_longlong
+        lib.tga_rle_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_int]
+        lib.hdr_decode_scanlines.restype = ctypes.c_int
+        lib.hdr_decode_scanlines.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        lib.hdr_encode_rle_channel.restype = ctypes.c_longlong
+        lib.hdr_encode_rle_channel.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def tga_rle_decode(data: bytes, count: int, bytes_pp: int):
+    """Native TGA RLE decode; returns np.uint8 array or None if unavailable."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(count * bytes_pp, np.uint8)
+    consumed = lib.tga_rle_decode(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        count, bytes_pp)
+    if consumed < 0:
+        raise ValueError("TGA: RLE data truncated")
+    return out
+
+
+def hdr_decode_scanlines(data: bytes, offset: int, width: int, height: int):
+    """Native HDR scanline decode -> [H, W, 4] u8 RGBE, or None."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((height, width, 4), np.uint8)
+    rc = lib.hdr_decode_scanlines(
+        data, len(data), offset, width, height,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise ValueError("HDR: invalid or truncated scanline data")
+    return out
+
+
+def hdr_encode_rle_channel(ch) -> bytes | None:
+    """Native new-style RLE encode of one channel row, or None."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    ch = np.ascontiguousarray(ch, np.uint8)
+    out = np.empty(len(ch) * 2 + 2, np.uint8)
+    n = lib.hdr_encode_rle_channel(
+        ch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(ch),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[:n].tobytes()

@@ -300,3 +300,50 @@ def test_jpeg_lossy_close():
     blob = save_to_wic_memory(tex, WIC_CODEC.JPEG, quality=95)
     back = load_from_wic_memory(blob)
     assert np.abs(back.to_numpy()[..., 0] - smooth[..., 0]).mean() < 0.05
+
+
+def test_ppm_pfm_roundtrip(tmp_path):
+    from directxtex_tpu.io import (load_from_pfm_memory, load_from_ppm_memory,
+                                   save_to_pfm_memory, save_to_ppm_memory)
+    tex = rand_tex(6, 4)
+    blob = save_to_ppm_memory(tex)
+    assert blob.startswith(b"P6")
+    back = load_from_ppm_memory(blob)
+    np.testing.assert_allclose(back.to_numpy()[..., :3],
+                               tex.to_numpy()[..., :3], atol=1e-6)
+    # ascii P3
+    u8 = np.round(tex.to_numpy()[..., :3] * 255).astype(int)
+    p3 = b"P3\n# comment\n4 6\n255\n" + " ".join(
+        str(v) for v in u8.reshape(-1)).encode()
+    back3 = load_from_ppm_memory(p3)
+    np.testing.assert_allclose(back3.to_numpy()[..., :3],
+                               tex.to_numpy()[..., :3], atol=1e-6)
+
+    hdr = np.abs(np.random.default_rng(1).standard_normal((4, 4, 4))
+                 ).astype(np.float32) * 10
+    ht = Texture.from_array(hdr, fmt=FMT.R32G32B32A32_FLOAT)
+    pf = save_to_pfm_memory(ht)
+    backf = load_from_pfm_memory(pf)
+    np.testing.assert_allclose(backf.to_numpy()[..., :3], hdr[..., :3],
+                               rtol=1e-6)
+
+
+def test_loaders_and_screengrab(tmp_path):
+    from directxtex_tpu.io import (capture_texture, create_texture_from_dds,
+                                   create_texture_from_image,
+                                   save_dds_texture_to_file,
+                                   save_image_texture_to_file)
+    tex = rand_tex(16, 16)
+    p = str(tmp_path / "t.dds")
+    save_to_dds_memory  # noqa: B018 - dispatch sanity
+    save_dds_texture_to_file(tex, p)
+    loaded = create_texture_from_dds(p)
+    np.testing.assert_allclose(loaded.to_numpy(), tex.to_numpy(), atol=1e-6)
+
+    png = str(tmp_path / "t.png")
+    save_image_texture_to_file(np.asarray(tex.levels[0][0]), png)
+    wic = create_texture_from_image(png, max_size=8, gen_mips=True)
+    assert wic.metadata.width == 8 and wic.mip_levels == 4
+
+    cap = capture_texture(np.zeros((4, 4, 4), np.float32))
+    assert cap.metadata.width == 4
