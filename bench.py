@@ -58,19 +58,20 @@ def main():
             return bc67.encode_bc7(blocks)
         return bc123.encode_bc1(blocks, 0.5, 0)
 
-    fn = jax.jit(step)
+    # Time device execution with a 4-byte scalar fetch per step: on the axon
+    # tunnel block_until_ready() returns before remote execution finishes
+    # (bogus 0ms timings) and a full D2H copy of the blocks measures tunnel
+    # bandwidth, not the chip. Reducing to a checksum forces the whole encode
+    # to run while fetching only a scalar.
+    fn = jax.jit(lambda im: jnp.sum(step(im), dtype=jnp.uint32))
     x_dev = jnp.asarray(img)
 
-    # warmup / compile
-    out = fn(x_dev)
-    out.block_until_ready()
+    int(fn(x_dev))  # warmup / compile
 
-    # steady-state timing
     n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = fn(x_dev)
-    out.block_until_ready()
+        int(fn(x_dev))
     dt = (time.perf_counter() - t0) / n_iter
 
     mtexels = size * size / dt / 1e6

@@ -161,107 +161,134 @@ def decode_bc3(blocks: jnp.ndarray) -> jnp.ndarray:
 # encode
 # ---------------------------------------------------------------------------
 
-def _optimize_rgb(points: jnp.ndarray, csteps: int, uniform: bool
-                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched OptimizeRGB (BC.cpp:65): returns endpoint colors X, Y
-    each [NB, 3] in the (possibly luminance-weighted) space of `points`."""
-    nb = points.shape[0]
-    if csteps == 3:
-        pC = jnp.asarray([2/2, 1/2, 0/2, 0.0], jnp.float32)
-        pD = jnp.asarray([0/2, 1/2, 2/2, 0.0], jnp.float32)
-    else:
-        pC = jnp.asarray([3/3, 2/3, 1/3, 0/3], jnp.float32)
-        pD = jnp.asarray([0/3, 1/3, 2/3, 3/3], jnp.float32)
+# ---------------------------------------------------------------------------
+# encode — lane-major layout
+# ---------------------------------------------------------------------------
+#
+# TPU vector registers are (8 sublanes, 128 lanes) over the two minor
+# dimensions. A [NB, 16, 4] layout puts 16x4 in the vector unit and wastes
+# ~97% of each register, so the encoders transpose once to channel planes of
+# shape [16, NB] (block index minor = full lanes) and do all arithmetic
+# there. Semantics are identical to the reference scalar loops.
 
-    init_max = jnp.ones((3,), jnp.float32) if uniform else jnp.asarray(_LUM)
-    X = jnp.minimum(jnp.min(points, axis=1), init_max[None, :])
-    Y = jnp.maximum(jnp.max(points, axis=1), 0.0)
 
-    AB = Y - X
-    fAB = jnp.sum(AB * AB, axis=1)
-    single_color = fAB < jnp.finfo(jnp.float32).tiny
+def _optimize_rgb_t(pr, pg, pb, csteps: int, uniform: bool):
+    """Batched OptimizeRGB (BC.cpp:65) over [16, NB] channel planes.
+    Returns endpoint planes ((Xr,Xg,Xb), (Yr,Yg,Yb)) each [NB]."""
+    pC = ([2 / 2, 1 / 2, 0 / 2] if csteps == 3 else [3 / 3, 2 / 3, 1 / 3, 0 / 3])
+    pD = ([0 / 2, 1 / 2, 2 / 2] if csteps == 3 else [0 / 3, 1 / 3, 2 / 3, 3 / 3])
 
-    # 4-diagonal axis pick (BC.cpp:124-194)
-    inv = 1.0 / jnp.where(single_color, 1.0, fAB)
-    Dir = AB * inv[:, None]
-    Mid = (X + Y) * 0.5
-    Pt = (points - Mid[:, None, :]) * Dir[:, None, :]
-    f0 = Pt[..., 0] + Pt[..., 1] + Pt[..., 2]
-    f1 = Pt[..., 0] + Pt[..., 1] - Pt[..., 2]
-    f2 = Pt[..., 0] - Pt[..., 1] + Pt[..., 2]
-    f3 = Pt[..., 0] - Pt[..., 1] - Pt[..., 2]
-    fdir = jnp.stack([jnp.sum(f0 * f0, axis=1), jnp.sum(f1 * f1, axis=1),
-                      jnp.sum(f2 * f2, axis=1), jnp.sum(f3 * f3, axis=1)],
-                     axis=1)
-    idirmax = jnp.argmax(fdir, axis=1)
+    init = (1.0, 1.0, 1.0) if uniform else _LUM
+    Xr = jnp.minimum(jnp.min(pr, axis=0), init[0])
+    Xg = jnp.minimum(jnp.min(pg, axis=0), init[1])
+    Xb = jnp.minimum(jnp.min(pb, axis=0), init[2])
+    Yr = jnp.maximum(jnp.max(pr, axis=0), 0.0)
+    Yg = jnp.maximum(jnp.max(pg, axis=0), 0.0)
+    Yb = jnp.maximum(jnp.max(pb, axis=0), 0.0)
+
+    ABr, ABg, ABb = Yr - Xr, Yg - Xg, Yb - Xb
+    fAB = ABr * ABr + ABg * ABg + ABb * ABb
+    single = fAB < jnp.finfo(jnp.float32).tiny
+
+    inv = 1.0 / jnp.where(single, 1.0, fAB)
+    Dr, Dg, Db = ABr * inv, ABg * inv, ABb * inv
+    Mr, Mg, Mb = (Xr + Yr) * 0.5, (Xg + Yg) * 0.5, (Xb + Yb) * 0.5
+    Ptr = (pr - Mr) * Dr
+    Ptg = (pg - Mg) * Dg
+    Ptb = (pb - Mb) * Db
+    f0 = Ptr + Ptg + Ptb
+    f1 = Ptr + Ptg - Ptb
+    f2 = Ptr - Ptg + Ptb
+    f3 = Ptr - Ptg - Ptb
+    d0 = jnp.sum(f0 * f0, axis=0)
+    d1 = jnp.sum(f1 * f1, axis=0)
+    d2 = jnp.sum(f2 * f2, axis=0)
+    d3 = jnp.sum(f3 * f3, axis=0)
+    # argmax over the four diagonals (BC.cpp:174-194)
+    best01 = jnp.where(d1 > d0, 1, 0)
+    bv01 = jnp.maximum(d0, d1)
+    best23 = jnp.where(d3 > d2, 3, 2)
+    bv23 = jnp.maximum(d2, d3)
+    idirmax = jnp.where(bv23 > bv01, best23, best01)
     swap_g = (idirmax & 2) != 0
     swap_b = (idirmax & 1) != 0
-    Xg = jnp.where(swap_g, Y[:, 1], X[:, 1])
-    Yg = jnp.where(swap_g, X[:, 1], Y[:, 1])
-    Xb = jnp.where(swap_b, Y[:, 2], X[:, 2])
-    Yb = jnp.where(swap_b, X[:, 2], Y[:, 2])
-    X = jnp.stack([X[:, 0], Xg, Xb], axis=1)
-    Y = jnp.stack([Y[:, 0], Yg, Yb], axis=1)
+    Xg, Yg = jnp.where(swap_g, Yg, Xg), jnp.where(swap_g, Xg, Yg)
+    Xb, Yb = jnp.where(swap_b, Yb, Xb), jnp.where(swap_b, Xb, Yb)
 
-    two_color = fAB < (1.0 / 4096.0)
-    frozen = single_color | two_color
+    frozen = single | (fAB < 1.0 / 4096.0)
+    fsteps = float(csteps - 1)
 
-    def body(i, carry):
-        X, Y, done = carry
-        steps = (X[:, None, :] * pC[None, :csteps, None]
-                 + Y[:, None, :] * pD[None, :csteps, None])  # [NB, csteps, 3]
-        Dir = Y - X
-        flen = jnp.sum(Dir * Dir, axis=1)
+    def body(_, carry):
+        Xr, Xg, Xb, Yr, Yg, Yb, done = carry
+        Dr, Dg, Db = Yr - Xr, Yg - Xg, Yb - Xb
+        flen = Dr * Dr + Dg * Dg + Db * Db
         stop = flen < (1.0 / 4096.0)
-        scale = (csteps - 1) / jnp.where(stop, 1.0, flen)
-        Dirs = Dir * scale[:, None]
+        scale = fsteps / jnp.where(stop, 1.0, flen)
+        Dr, Dg, Db = Dr * scale, Dg * scale, Db * scale
 
-        fdot = jnp.sum((points - X[:, None, :]) * Dirs[:, None, :], axis=2)
+        fdot = (pr - Xr) * Dr + (pg - Xg) * Dg + (pb - Xb) * Db  # [16, NB]
         istep = jnp.where(fdot <= 0.0, 0,
-                          jnp.where(fdot >= (csteps - 1), csteps - 1,
+                          jnp.where(fdot >= fsteps, csteps - 1,
                                     jnp.floor(fdot + 0.5).astype(jnp.int32)))
-        # one-hot select (gathers don't vectorize on the VPU)
-        onehot = (istep[:, :, None] == jnp.arange(csteps)[None, None, :]
-                  ).astype(jnp.float32)                      # [NB,16,csteps]
-        sel_c = onehot @ pC[:csteps]                          # [NB,16]
-        sel_d = onehot @ pD[:csteps]
-        step_sel = jnp.einsum("nik,nkc->nic", onehot, steps,
-                              preferred_element_type=jnp.float32)
-        diff = step_sel - points
-        fc = sel_c * (1.0 / 8.0)
-        fd = sel_d * (1.0 / 8.0)
+        d2X = jnp.zeros_like(Xr)
+        d2Y = jnp.zeros_like(Xr)
+        dXr = jnp.zeros_like(Xr); dXg = jnp.zeros_like(Xr); dXb = jnp.zeros_like(Xr)
+        dYr = jnp.zeros_like(Xr); dYg = jnp.zeros_like(Xr); dYb = jnp.zeros_like(Xr)
+        for k in range(csteps):
+            m = (istep == k).astype(jnp.float32)              # [16, NB]
+            sr = Xr * pC[k] + Yr * pD[k]
+            sg = Xg * pC[k] + Yg * pD[k]
+            sb = Xb * pC[k] + Yb * pD[k]
+            diffr = m * (sr - pr)
+            diffg = m * (sg - pg)
+            diffb = m * (sb - pb)
+            cnt = jnp.sum(m, axis=0)
+            fc = pC[k] * (1.0 / 8.0)
+            fd = pD[k] * (1.0 / 8.0)
+            d2X = d2X + cnt * (fc * pC[k])
+            d2Y = d2Y + cnt * (fd * pD[k])
+            dXr = dXr + fc * jnp.sum(diffr, axis=0)
+            dXg = dXg + fc * jnp.sum(diffg, axis=0)
+            dXb = dXb + fc * jnp.sum(diffb, axis=0)
+            dYr = dYr + fd * jnp.sum(diffr, axis=0)
+            dYg = dYg + fd * jnp.sum(diffg, axis=0)
+            dYb = dYb + fd * jnp.sum(diffb, axis=0)
 
-        d2X = jnp.sum(fc * sel_c, axis=1)
-        dX = jnp.sum(fc[:, :, None] * diff, axis=1)
-        d2Y = jnp.sum(fd * sel_d, axis=1)
-        dY = jnp.sum(fd[:, :, None] * diff, axis=1)
-
-        nX = jnp.where((d2X > 0)[:, None], X - dX / jnp.where(d2X > 0, d2X, 1.0)[:, None], X)
-        nY = jnp.where((d2Y > 0)[:, None], Y - dY / jnp.where(d2Y > 0, d2Y, 1.0)[:, None], Y)
+        okX = d2X > 0
+        invX = 1.0 / jnp.where(okX, d2X, 1.0)
+        nXr = jnp.where(okX, Xr - dXr * invX, Xr)
+        nXg = jnp.where(okX, Xg - dXg * invX, Xg)
+        nXb = jnp.where(okX, Xb - dXb * invX, Xb)
+        okY = d2Y > 0
+        invY = 1.0 / jnp.where(okY, d2Y, 1.0)
+        nYr = jnp.where(okY, Yr - dYr * invY, Yr)
+        nYg = jnp.where(okY, Yg - dYg * invY, Yg)
+        nYb = jnp.where(okY, Yb - dYb * invY, Yb)
 
         eps = (0.25 / 64.0) * (0.25 / 64.0)
-        converged = jnp.all(dX * dX < eps, axis=1) & jnp.all(dY * dY < eps, axis=1)
+        conv = ((dXr * dXr < eps) & (dXg * dXg < eps) & (dXb * dXb < eps)
+                & (dYr * dYr < eps) & (dYg * dYg < eps) & (dYb * dYb < eps))
+        act = jnp.logical_not(done | stop)
+        Xr = jnp.where(act, nXr, Xr); Xg = jnp.where(act, nXg, Xg)
+        Xb = jnp.where(act, nXb, Xb)
+        Yr = jnp.where(act, nYr, Yr); Yg = jnp.where(act, nYg, Yg)
+        Yb = jnp.where(act, nYb, Yb)
+        done = done | stop | (act & conv)
+        return Xr, Xg, Xb, Yr, Yg, Yb, done
 
-        active = jnp.logical_not(done | stop)
-        X = jnp.where(active[:, None], nX, X)
-        Y = jnp.where(active[:, None], nY, Y)
-        done = done | stop | (active & converged)
-        return X, Y, done
-
-    X, Y, _ = lax.fori_loop(0, 8, body, (X, Y, frozen))
-    return X, Y
+    Xr, Xg, Xb, Yr, Yg, Yb, _ = lax.fori_loop(
+        0, 8, body, (Xr, Xg, Xb, Yr, Yg, Yb, frozen))
+    return (Xr, Xg, Xb), (Yr, Yg, Yb)
 
 
 def _fs_dither_quantize(values: jnp.ndarray, quantize_fn) -> jnp.ndarray:
     """Floyd-Steinberg error diffusion over the 16 raster-order pixels of
-    each block (EncodeBC1 dither, BC.cpp:414-489). values: [NB, 16, C].
-    Returns the dithered (pre-quantization-error-adjusted) values."""
+    each block (EncodeBC1 dither, BC.cpp:414-489). values: [16, NB, C] in
+    lane-major layout. Returns the quantized (error-diffused) values."""
     values = jnp.asarray(values, jnp.float32)
-    nb, _, c = values.shape
 
     def step(error, i):
-        # error: [NB, 16, C] accumulated
-        v = values[:, i] + error[:, i]
+        v = values[i] + error[i]
         q = quantize_fn(v)
         diff = v - q
         w_right = jnp.where((i & 3) != 3, 7.0 / 16.0, 0.0)
@@ -270,143 +297,161 @@ def _fs_dither_quantize(values: jnp.ndarray, quantize_fn) -> jnp.ndarray:
         w_dr = jnp.where((i < 12) & ((i & 3) != 3), 1.0 / 16.0, 0.0)
         for offset, wgt in ((1, w_right), (3, w_dl), (4, w_down), (5, w_dr)):
             j = jnp.minimum(i + offset, 15)
-            error = error.at[:, j].add(jnp.where(wgt > 0, diff * wgt, 0.0))
+            error = error.at[j].add(jnp.where(wgt > 0, diff * wgt, 0.0))
         return error, q
 
     error0 = jnp.zeros_like(values)
     _, qs = lax.scan(step, error0, jnp.arange(16))
-    return qs.transpose(1, 0, 2)  # [16, NB, C] -> [NB, 16, C]
+    return qs  # [16, NB, C]
 
 
-def _quantize565_f(v: jnp.ndarray) -> jnp.ndarray:
-    """Quantize float RGB to the 565 grid, returned as float (BC.cpp:433)."""
-    r = jnp.floor(v[..., 0] * 31.0 + 0.5) * (1.0 / 31.0)
-    g = jnp.floor(v[..., 1] * 63.0 + 0.5) * (1.0 / 63.0)
-    b = jnp.floor(v[..., 2] * 31.0 + 0.5) * (1.0 / 31.0)
-    return jnp.stack([r, g, b], axis=-1)
+def _quantize565_planes(r, g, b):
+    """Quantize channel planes to the 565 grid as floats (BC.cpp:433)."""
+    return (jnp.floor(r * 31.0 + 0.5) * _INV5,
+            jnp.floor(g * 63.0 + 0.5) * _INV6,
+            jnp.floor(b * 31.0 + 0.5) * _INV5)
+
+
+def _encode565_planes(r, g, b):
+    cr = jnp.clip(r, 0.0, 1.0)
+    cg = jnp.clip(g, 0.0, 1.0)
+    cb = jnp.clip(b, 0.0, 1.0)
+    return ((jnp.floor(cr * 31.0 + 0.5).astype(jnp.uint32) << 11)
+            | (jnp.floor(cg * 63.0 + 0.5).astype(jnp.uint32) << 5)
+            | jnp.floor(cb * 31.0 + 0.5).astype(jnp.uint32))
+
+
+def _decode565_planes(w):
+    return (((w >> 11) & 31).astype(jnp.float32) * _INV5,
+            ((w >> 5) & 63).astype(jnp.float32) * _INV6,
+            (w & 31).astype(jnp.float32) * _INV5)
 
 
 def _encode_bc1_core(color: jnp.ndarray, alpha: jnp.ndarray, color_key: bool,
                      threshold: float, flags: int) -> jnp.ndarray:
-    """EncodeBC1 (BC.cpp:370). color [NB,16,3] (straight RGB), alpha [NB,16].
-    Returns (w565_0, w565_1, bitmap) packed into [NB, 8] u8."""
+    """EncodeBC1 (BC.cpp:370). color [NB,16,3] straight RGB, alpha [NB,16].
+    Returns packed [NB, 8] u8 blocks."""
     nb = color.shape[0]
     uniform = bool(flags & BC_FLAGS_UNIFORM)
     dither = bool(flags & BC_FLAGS_DITHER_RGB)
 
+    # lane-major planes
+    ct = jnp.transpose(jnp.asarray(color, jnp.float32), (1, 2, 0))  # [16,3,NB]
+    at = jnp.transpose(jnp.asarray(alpha, jnp.float32), (1, 0))    # [16,NB]
+    pr, pg, pb = ct[:, 0], ct[:, 1], ct[:, 2]
+
     if color_key:
-        transparent = alpha < threshold
-        n_key = jnp.sum(transparent, axis=1)
+        transparent = at < threshold
+        n_key = jnp.sum(transparent, axis=0)
         all_key = n_key == 16
         three = n_key > 0
     else:
-        transparent = jnp.zeros_like(alpha, bool)
+        transparent = jnp.zeros_like(at, bool)
         all_key = jnp.zeros(nb, bool)
         three = jnp.zeros(nb, bool)
 
-    # quantize to 565 grid (with optional FS dithering), BC.cpp:408-490
+    # 565-grid quantization (+ optional FS dithering), BC.cpp:408-490
     if dither:
-        q = _fs_dither_quantize(color, _quantize565_f)
+        q = _fs_dither_quantize(
+            jnp.stack([pr, pg, pb], axis=-1),
+            lambda v: jnp.stack(_quantize565_planes(v[..., 0], v[..., 1],
+                                                    v[..., 2]), axis=-1))
+        qr, qg, qb = q[..., 0], q[..., 1], q[..., 2]
     else:
-        q = _quantize565_f(color)
+        qr, qg, qb = _quantize565_planes(pr, pg, pb)
     if not uniform:
-        lum = jnp.asarray(_LUM)
-        q = q * lum[None, None, :]
-        wcolor = color * lum[None, None, :]
+        qr, qg, qb = qr * _LUM[0], qg * _LUM[1], qb * _LUM[2]
+        wr, wg, wb = pr * _LUM[0], pg * _LUM[1], pb * _LUM[2]
     else:
-        wcolor = color
+        wr, wg, wb = pr, pg, pb
 
-    # endpoint optimization in weighted space; OptimizeRGB is
-    # shape-specialized on csteps, so run both variants and select
-    Xa4, Ya4 = _optimize_rgb(q, 4, uniform)
+    # endpoint optimization; both step counts, select per block
+    (X4r, X4g, X4b), (Y4r, Y4g, Y4b) = _optimize_rgb_t(qr, qg, qb, 4, uniform)
     if color_key:
-        Xa3, Ya3 = _optimize_rgb(q, 3, uniform)
-        Xa = jnp.where(three[:, None], Xa3, Xa4)
-        Ya = jnp.where(three[:, None], Ya3, Ya4)
+        (X3r, X3g, X3b), (Y3r, Y3g, Y3b) = _optimize_rgb_t(qr, qg, qb, 3, uniform)
+        Xr = jnp.where(three, X3r, X4r); Xg = jnp.where(three, X3g, X4g)
+        Xb = jnp.where(three, X3b, X4b)
+        Yr = jnp.where(three, Y3r, Y4r); Yg = jnp.where(three, Y3g, Y4g)
+        Yb = jnp.where(three, Y3b, Y4b)
     else:
-        Xa, Ya = Xa4, Ya4
+        Xr, Xg, Xb, Yr, Yg, Yb = X4r, X4g, X4b, Y4r, Y4g, Y4b
 
-    inv = jnp.ones((3,), jnp.float32) if uniform else jnp.asarray(_LUM_INV)
-    wA = _encode565(Xa * inv[None, :])
-    wB = _encode565(Ya * inv[None, :])
+    inv = (1.0, 1.0, 1.0) if uniform else _LUM_INV
+    wA = _encode565_planes(Xr * inv[0], Xg * inv[1], Xb * inv[2])
+    wB = _encode565_planes(Yr * inv[0], Yg * inv[1], Yb * inv[2])
 
-    # re-decode quantized endpoints back into weighted space
-    lumv = jnp.ones((3,), jnp.float32) if uniform else jnp.asarray(_LUM)
-    cA = _decode565(wA)[:, :3] * lumv[None, :]
-    cB = _decode565(wB)[:, :3] * lumv[None, :]
+    lum = (1.0, 1.0, 1.0) if uniform else _LUM
+    cAr, cAg, cAb = _decode565_planes(wA)
+    cBr, cBg, cBb = _decode565_planes(wB)
+    cAr, cAg, cAb = cAr * lum[0], cAg * lum[1], cAb * lum[2]
+    cBr, cBg, cBb = cBr * lum[0], cBg * lum[1], cBb * lum[2]
 
-    # order endpoints: 4-color needs w0 > w1; 3-color needs w0 <= w1
-    want_le = three  # (3 == uSteps) == (wColorA <= wColorB) keeps order
-    is_le = wA <= wB
-    keep = (want_le == is_le)
+    # endpoint storage order: 4-color needs w0 > w1; 3-color needs w0 <= w1
+    keep = (three == (wA <= wB))
     w0 = jnp.where(keep, wA, wB)
     w1 = jnp.where(keep, wB, wA)
-    s0 = jnp.where(keep[:, None], cA, cB)
-    s1 = jnp.where(keep[:, None], cB, cA)
+    s0r = jnp.where(keep, cAr, cBr); s0g = jnp.where(keep, cAg, cBg)
+    s0b = jnp.where(keep, cAb, cBb)
+    s1r = jnp.where(keep, cBr, cAr); s1g = jnp.where(keep, cBg, cAg)
+    s1b = jnp.where(keep, cBb, cAb)
 
     csteps_f = jnp.where(three, 2.0, 3.0)
-    # palette steps in storage-index order via pSteps map
-    dirv = s1 - s0
-    lensq = jnp.sum(dirv * dirv, axis=1)
-    fscale = jnp.where(wA != wB, csteps_f / jnp.where(lensq == 0, 1.0, lensq), 0.0)
-    dirs = dirv * fscale[:, None]
+    dr, dg, db = s1r - s0r, s1g - s0g, s1b - s0b
+    lensq = dr * dr + dg * dg + db * db
+    fscale = jnp.where(wA != wB,
+                       csteps_f / jnp.where(lensq == 0, 1.0, lensq), 0.0)
+    dr, dg, db = dr * fscale, dg * fscale, db * fscale
 
-    fdot = jnp.sum((wcolor - s0[:, None, :]) * dirs[:, None, :], axis=2)
-    # step palette values for dither error calc: order [s0, s1, mid...]
-    step2_3 = s0 + 0.5 * (s1 - s0)
-    step2_4 = s0 + (1.0 / 3.0) * (s1 - s0)
-    step3_4 = s0 + (2.0 / 3.0) * (s1 - s0)
-
-    # index mapping pSteps3 = [0,2,1], pSteps4 = [0,2,3,1] as select chains
-    raw = jnp.floor(fdot + 0.5).astype(jnp.int32)
-    raw = jnp.clip(raw, 0, jnp.where(three, 2, 3)[:, None])
+    fdot = (wr - s0r) * dr + (wg - s0g) * dg + (wb - s0b) * db  # [16, NB]
+    raw = jnp.clip(jnp.floor(fdot + 0.5).astype(jnp.int32), 0,
+                   jnp.where(three, 2, 3))
+    # pSteps3 = [0,2,1], pSteps4 = [0,2,3,1]
     m3 = jnp.where(raw == 0, 0, jnp.where(raw == 1, 2, 1))
     m4 = jnp.where(raw == 0, 0, jnp.where(raw == 1, 2,
                    jnp.where(raw == 2, 3, 1)))
-    mapped = jnp.where(three[:, None], m3, m4)
+    mapped = jnp.where(three, m3, m4)
     istep = jnp.where(fdot <= 0.0, 0,
-                      jnp.where(fdot >= csteps_f[:, None], 1, mapped))
-    istep = jnp.where(transparent & three[:, None], 3, istep)
-
-    # single-color degenerate case: 4-color with equal endpoints -> bitmap 0
+                      jnp.where(fdot >= csteps_f, 1, mapped))
+    istep = jnp.where(transparent & three, 3, istep)
     degen = (~three) & (wA == wB)
-    istep = jnp.where(degen[:, None], 0, istep)
+    istep = jnp.where(degen, 0, istep)
 
-    shifts = jnp.arange(16, dtype=jnp.uint32) * 2
-    bitmap = jnp.sum(istep.astype(jnp.uint32) << shifts[None, :], axis=1)
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[:, None]
+    bitmap = jnp.sum(istep.astype(jnp.uint32) << shifts, axis=0)
 
-    # all-transparent block override (BC.cpp:393-399)
     w0 = jnp.where(all_key, 0x0000, w0)
     w1 = jnp.where(all_key, 0xFFFF, w1)
     bitmap = jnp.where(all_key, jnp.uint32(0xFFFFFFFF), bitmap)
 
-    word0 = w0 | (w1 << 16)
-    out = jnp.stack([word0, bitmap], axis=1)
+    out = jnp.stack([w0 | (w1 << 16), bitmap], axis=1)  # [NB, 2] u32
     return lax.bitcast_convert_type(out, jnp.uint8).reshape(nb, 8)
 
 
 def encode_bc1(colors: jnp.ndarray, threshold: float = 0.5,
                flags: int = 0) -> jnp.ndarray:
     """[NB, 16, 4] f32 -> [NB, 8] u8 (D3DXEncodeBC1, BC.cpp:738)."""
+    colors = jnp.asarray(colors, jnp.float32)
     return _encode_bc1_core(colors[..., :3], colors[..., 3], True,
                             threshold, flags)
 
 
 def encode_bc2(colors: jnp.ndarray, flags: int = 0) -> jnp.ndarray:
     """[NB, 16, 4] f32 -> [NB, 16] u8 (D3DXEncodeBC2, BC.cpp:828)."""
+    colors = jnp.asarray(colors, jnp.float32)
     nb = colors.shape[0]
-    alpha = colors[..., 3]
+    at = jnp.transpose(colors[..., 3], (1, 0))  # [16, NB]
     if flags & BC_FLAGS_DITHER_A:
-        q = _fs_dither_quantize(alpha[..., None],
-                                lambda v: jnp.floor(v * 15.0 + 0.5) * (1.0 / 15.0))
-        codes = jnp.clip(jnp.floor(q[..., 0] * 15.0 + 0.5), 0, 15).astype(jnp.uint32)
+        q = _fs_dither_quantize(
+            at[..., None], lambda v: jnp.floor(v * 15.0 + 0.5) * _INV15)
+        codes = jnp.clip(jnp.floor(q[..., 0] * 15.0 + 0.5), 0, 15
+                         ).astype(jnp.uint32)
     else:
-        codes = jnp.clip(jnp.floor(alpha * 15.0 + 0.5), 0, 15).astype(jnp.uint32)
-    sh = jnp.arange(8, dtype=jnp.uint32) * 4
-    a0 = jnp.sum(codes[:, :8] << sh[None, :], axis=1)
-    a1 = jnp.sum(codes[:, 8:] << sh[None, :], axis=1)
+        codes = jnp.clip(jnp.floor(at * 15.0 + 0.5), 0, 15).astype(jnp.uint32)
+    sh = (jnp.arange(8, dtype=jnp.uint32) * 4)[:, None]
+    a0 = jnp.sum(codes[:8] << sh, axis=0)
+    a1 = jnp.sum(codes[8:] << sh, axis=0)
 
-    rgb = _encode_bc1_core(colors[..., :3], alpha, False, 0.0, flags)
+    rgb = _encode_bc1_core(colors[..., :3], colors[..., 3], False, 0.0, flags)
     rgb_words = lax.bitcast_convert_type(rgb.reshape(nb, 2, 4), jnp.uint32)
     out = jnp.concatenate([a0[:, None], a1[:, None], rgb_words], axis=1)
     return lax.bitcast_convert_type(out, jnp.uint8).reshape(nb, 16)
@@ -414,90 +459,71 @@ def encode_bc2(colors: jnp.ndarray, flags: int = 0) -> jnp.ndarray:
 
 def encode_bc3(colors: jnp.ndarray, flags: int = 0) -> jnp.ndarray:
     """[NB, 16, 4] f32 -> [NB, 16] u8 (D3DXEncodeBC3, BC.cpp:944)."""
-    nb = colors.shape[0]
-    alpha = colors[..., 3]
+    from .common import optimize_alpha_t
 
-    # quantize alpha to A8 grid (with optional dithering), BC.cpp:957-1005
+    colors = jnp.asarray(colors, jnp.float32)
+    nb = colors.shape[0]
+    at = jnp.transpose(colors[..., 3], (1, 0))  # [16, NB]
+
+    # quantize alpha to the A8 grid (+ optional dithering), BC.cpp:957-1005
     if flags & BC_FLAGS_DITHER_A:
-        fq = _fs_dither_quantize(alpha[..., None],
-                                 lambda v: jnp.floor(v * 255.0 + 0.5) * (1.0 / 255.0))
+        fq = _fs_dither_quantize(
+            at[..., None], lambda v: jnp.floor(v * 255.0 + 0.5) * _INV255)
         falpha = fq[..., 0]
     else:
-        falpha = jnp.floor(alpha * 255.0 + 0.5) * (1.0 / 255.0)
-    fmin = jnp.min(falpha, axis=1)
-    fmax = jnp.max(falpha, axis=1)
+        falpha = jnp.floor(at * 255.0 + 0.5) * _INV255
+    fmin = jnp.min(falpha, axis=0)
+    fmax = jnp.max(falpha, axis=0)
 
     all_opaque = fmin == 1.0
     six_steps = (fmin == 0.0) | (fmax == 1.0)
 
-    # optimize both variants, select per block
-    x6, y6 = optimize_alpha(falpha, 6, False)
-    x8, y8 = optimize_alpha(falpha, 8, False)
+    x6, y6 = optimize_alpha_t(falpha, 6, False)
+    x8, y8 = optimize_alpha_t(falpha, 8, False)
     fx = jnp.where(six_steps, x6, x8)
     fy = jnp.where(six_steps, y6, y8)
 
     bA = jnp.floor(fx * 255.0 + 0.5).astype(jnp.uint32)
     bB = jnp.floor(fy * 255.0 + 0.5).astype(jnp.uint32)
-    fA = bA.astype(jnp.float32) * (1.0 / 255.0)
-    fB = bB.astype(jnp.float32) * (1.0 / 255.0)
+    fA = bA.astype(jnp.float32) * _INV255
+    fB = bB.astype(jnp.float32) * _INV255
 
-    # 8-step degenerate: equal endpoints -> zero bitmap
     degen8 = (~six_steps) & (bA == bB)
-
-    # byte order: 6-step stores (bA, bB); 8-step stores (bB, bA)
     a_lo = jnp.where(six_steps, bA, bB)
     a_hi = jnp.where(six_steps, bB, bA)
-
-    # build step palette in *storage order* f[0], f[1] then interpolants
     s0 = jnp.where(six_steps, fA, fB)
     s1 = jnp.where(six_steps, fB, fA)
-    i6 = jnp.arange(1, 5, dtype=jnp.float32)
-    pal6 = jnp.concatenate(
-        [s0[:, None], s1[:, None],
-         (s0[:, None] * (5.0 - i6)[None] + s1[:, None] * i6[None]) * (1.0 / 5.0),
-         jnp.zeros((nb, 1), jnp.float32), jnp.ones((nb, 1), jnp.float32)],
-        axis=1)
-    i8 = jnp.arange(1, 7, dtype=jnp.float32)
-    pal8 = jnp.concatenate(
-        [s0[:, None], s1[:, None],
-         (s0[:, None] * (7.0 - i8)[None] + s1[:, None] * i8[None]) * (1.0 / 7.0)],
-        axis=1)
-    pal = jnp.where(six_steps[:, None], pal6, pal8)
 
-    psteps6 = jnp.asarray([0, 2, 3, 4, 5, 1, 1, 1], jnp.int32)
-    psteps8 = jnp.asarray([0, 2, 3, 4, 5, 6, 7, 1], jnp.int32)
     csteps_f = jnp.where(six_steps, 5.0, 7.0)
     fscale = jnp.where(s0 != s1, csteps_f / (s1 - s0), 0.0)
 
     # index assignment reads the pre-quantization alpha (BC.cpp:1102)
-    fdot = (alpha - s0[:, None]) * fscale[:, None]
+    fdot = (at - s0) * fscale                      # [16, NB]
     raw = jnp.clip(jnp.floor(fdot + 0.5).astype(jnp.int32), 0,
-                   jnp.where(six_steps, 5, 7)[:, None])
-    mapped = jnp.where(six_steps[:, None], psteps6[raw], psteps8[raw])
-    lo6 = jnp.where(alpha <= s0[:, None] * 0.5, 6, 0)
-    hi6 = jnp.where(alpha >= (s1[:, None] + 1.0) * 0.5, 7, 1)
-    lo = jnp.where(six_steps[:, None], lo6, 0)
-    hi = jnp.where(six_steps[:, None], hi6, 1)
+                   jnp.where(six_steps, 5, 7))
+    # pSteps6 = [0,2,3,4,5,1]; pSteps8 = [0,2,3,4,5,6,7,1]
+    m6 = jnp.where(raw == 0, 0, jnp.where(raw == 5, 1, raw + 1))
+    m8 = jnp.where(raw == 0, 0, jnp.where(raw == 7, 1, raw + 1))
+    mapped = jnp.where(six_steps, m6, m8)
+    lo6 = jnp.where(at <= s0 * 0.5, 6, 0)
+    hi6 = jnp.where(at >= (s1 + 1.0) * 0.5, 7, 1)
+    lo = jnp.where(six_steps, lo6, 0)
+    hi = jnp.where(six_steps, hi6, 1)
     istep = jnp.where(fdot <= 0.0, lo,
-                      jnp.where(fdot >= csteps_f[:, None], hi, mapped))
+                      jnp.where(fdot >= csteps_f, hi, mapped))
 
-    # overrides: all-opaque and degenerate blocks
-    istep = jnp.where((all_opaque | degen8)[:, None], 0, istep)
+    zero_bits = all_opaque | degen8
+    istep = jnp.where(zero_bits, 0, istep)
     a_lo = jnp.where(all_opaque, 0xFF, a_lo)
     a_hi = jnp.where(all_opaque, 0xFF, a_hi)
 
-    # pack 16x 3-bit indices into 6 bytes
-    sh = jnp.arange(8, dtype=jnp.uint32) * 3
-    half0 = jnp.sum(istep[:, :8].astype(jnp.uint32) << sh[None, :], axis=1)
-    half1 = jnp.sum(istep[:, 8:].astype(jnp.uint32) << sh[None, :], axis=1)
-    zero_bits = (all_opaque | degen8)
-    half0 = jnp.where(zero_bits, 0, half0)
-    half1 = jnp.where(zero_bits, 0, half1)
-
+    sh = (jnp.arange(8, dtype=jnp.uint32) * 3)[:, None]
+    half0 = jnp.sum(istep[:8].astype(jnp.uint32) << sh, axis=0)
+    half1 = jnp.sum(istep[8:].astype(jnp.uint32) << sh, axis=0)
     word0 = a_lo | (a_hi << 8) | ((half0 & 0xFFFF) << 16)
     word1 = (half0 >> 16) | ((half1 & 0xFFFFFF) << 8)
 
-    rgb = _encode_bc1_core(colors[..., :3], alpha, False, 0.0, flags)
+    rgb = _encode_bc1_core(colors[..., :3], colors[..., 3], False, 0.0, flags)
     rgb_words = lax.bitcast_convert_type(rgb.reshape(nb, 2, 4), jnp.uint32)
     out = jnp.concatenate([word0[:, None], word1[:, None], rgb_words], axis=1)
     return lax.bitcast_convert_type(out, jnp.uint8).reshape(nb, 16)

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as _np
 from jax import lax
 
-from .common import optimize_alpha
+from .common import optimize_alpha_t
 
 __all__ = ["decode_bc4u", "decode_bc4s", "decode_bc5u", "decode_bc5s",
            "encode_bc4u", "encode_bc4s", "encode_bc5u", "encode_bc5s"]
@@ -123,13 +123,14 @@ def _float_to_snorm8(v: jnp.ndarray) -> jnp.ndarray:
 def _encode_bc4_channel(texels: jnp.ndarray, signed: bool) -> jnp.ndarray:
     """[NB, 16] float -> [NB, 2] u32 words of the 8-byte BC4 block."""
     nb = texels.shape[0]
-    fmin = jnp.min(texels, axis=1)
-    fmax = jnp.max(texels, axis=1)
+    t = jnp.transpose(jnp.asarray(texels, jnp.float32))  # lane-major [16,NB]
+    fmin = jnp.min(t, axis=0)
+    fmax = jnp.max(t, axis=0)
     min_norm = -1.0 if signed else 0.0
     use_6 = (fmin == min_norm) | (fmax == 1.0)  # boundary -> 6-step codec
 
-    x8, y8 = optimize_alpha(texels, 8, signed)
-    x6, y6 = optimize_alpha(texels, 6, signed)
+    x8, y8 = optimize_alpha_t(t, 8, signed)
+    x6, y6 = optimize_alpha_t(t, 6, signed)
 
     if signed:
         to_code = _float_to_snorm8
@@ -143,15 +144,19 @@ def _encode_bc4_channel(texels: jnp.ndarray, signed: bool) -> jnp.ndarray:
     r0 = jnp.where(use_6, to_code(x6), to_code(y8))
     r1 = jnp.where(use_6, to_code(y6), to_code(x8))
 
-    pal = _bc4_palette(r0, r1, signed)  # decode-exact gradient
-    # FindClosest: nearest palette entry by absolute distance
-    dist = jnp.abs(pal[:, None, :] - texels[:, :, None])  # [NB, 16, 8]
-    idx = jnp.argmin(dist, axis=2).astype(jnp.uint32)
+    pal = _bc4_palette(r0, r1, signed)  # [NB, 8] decode-exact gradient
+    # FindClosest: nearest palette entry, lane-major argmin over 8 entries
+    best = jnp.abs(t - pal[:, 0][None, :])
+    idx = jnp.zeros(t.shape, jnp.uint32)
+    for k in range(1, 8):
+        d = jnp.abs(t - pal[:, k][None, :])
+        better = d < best
+        best = jnp.where(better, d, best)
+        idx = jnp.where(better, k, idx)
 
-
-    sh = jnp.arange(8, dtype=jnp.uint32) * 3
-    half0 = jnp.sum(idx[:, :8] << sh[None, :], axis=1)
-    half1 = jnp.sum(idx[:, 8:] << sh[None, :], axis=1)
+    sh = (jnp.arange(8, dtype=jnp.uint32) * 3)[:, None]
+    half0 = jnp.sum(idx[:8] << sh, axis=0)
+    half1 = jnp.sum(idx[8:] << sh, axis=0)
     word0 = r0 | (r1 << 8) | ((half0 & 0xFFFF) << 16)
     word1 = (half0 >> 16) | ((half1 & 0xFFFFFF) << 8)
     return jnp.stack([word0, word1], axis=1)

@@ -273,6 +273,10 @@ def decode_bc7(blocks: jnp.ndarray) -> jnp.ndarray:
 # (uniform work is free on a vector unit — the same trade the reference's own
 # compute shaders make, Shaders/BC7Encode.hlsl) and refines with closed-form
 # least-squares endpoint refits, keeping a running argmin.
+#
+# Layout: TPU vector registers are (8 sublanes, 128 lanes) over the two minor
+# dims, so all per-candidate math runs on [16, C, NB] / [16, NB] planes with
+# the block index minor (full lanes); [NB, ...] appears only at the API edge.
 
 _BC7_QUICK = 0x100000       # TEX_COMPRESS_BC7_QUICK / BC_FLAGS_FORCE_BC7_MODE6
 _BC7_USE_3SUBSETS = 0x80000
@@ -286,171 +290,178 @@ def _quantize_u8(c: jnp.ndarray, prec: int) -> jnp.ndarray:
     return rnd >> (8 - prec)
 
 
-def _palette(e0q: jnp.ndarray, e1q: jnp.ndarray, prec: int) -> jnp.ndarray:
-    """Unquantized endpoint pair [..., 4] -> palette [..., 2^prec, 4] int32."""
-    w = jnp.asarray(_WEIGHTS[prec])
-    shape = (1,) * (e0q.ndim - 1) + (1 << prec, 1)
-    wv = w.reshape(shape)
-    return ((64 - wv) * e0q[..., None, :] + wv * e1q[..., None, :] + 32) >> 6
-
-
-def _assign_indices(px: jnp.ndarray, pal: jnp.ndarray,
-                    mask: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """px [NB,16,4] int32, pal [NB,P,4], mask [NB,16] bool ->
-    (indices [NB,16] int32, err [NB] float masked-summed)."""
-    d = px[:, :, None, :].astype(jnp.float32) - pal[:, None, :, :].astype(jnp.float32)
-    dist = jnp.sum(d * d, axis=-1)          # [NB, 16, P]
-    idx = jnp.argmin(dist, axis=-1)
-    best = jnp.min(dist, axis=-1)
-    err = jnp.sum(jnp.where(mask, best, 0.0), axis=-1)
-    return idx.astype(jnp.int32), err
-
-
-def _ls_refit(px_f: jnp.ndarray, idx: jnp.ndarray, mask: jnp.ndarray,
-              prec: int, e0: jnp.ndarray, e1: jnp.ndarray,
-              channels: slice = slice(0, 4)) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Least-squares endpoint refit given index assignment.
-
-    px_f [NB,16,4] float (u8 scale); idx [NB,16]; mask [NB,16].
-    Returns updated float endpoints [NB,4] (only `channels` refit)."""
-    w = jnp.asarray(_WEIGHTS[prec]).astype(jnp.float32) / 64.0
-    onehot = (idx[:, :, None] == jnp.arange(1 << prec)[None, None, :]
-              ).astype(jnp.float32)
-    x = onehot @ w                                # [NB,16]
-    m = mask.astype(jnp.float32)
-    a = (1.0 - x) * m
-    b = x * m
-    A = jnp.sum(a * a, axis=1)
-    B = jnp.sum(a * b, axis=1)
-    C = jnp.sum(b * b, axis=1)
-    r0 = jnp.einsum("ni,nic->nc", a, px_f)
-    r1 = jnp.einsum("ni,nic->nc", b, px_f)
-    det = A * C - B * B
-    ok = jnp.abs(det) > 1e-6
-    inv = 1.0 / jnp.where(ok, det, 1.0)
-    n0 = (C[:, None] * r0 - B[:, None] * r1) * inv[:, None]
-    n1 = (A[:, None] * r1 - B[:, None] * r0) * inv[:, None]
-    n0 = jnp.clip(n0, 0.0, 255.0)
-    n1 = jnp.clip(n1, 0.0, 255.0)
-    okc = ok[:, None]
-    out0, out1 = e0, e1
-    ch = channels
-    out0 = out0.at[:, ch].set(jnp.where(okc, n0, e0)[:, ch])
-    out1 = out1.at[:, ch].set(jnp.where(okc, n1, e1)[:, ch])
-    return out0, out1
-
-
-def _quantize_endpoints(e0f, e1f, mode: "_BC7Mode"):
-    """Float endpoints [NB,4] (u8 scale) -> quantized codes with p-bit
-    majority vote (Quantize + FixEndpointPBits semantics). Returns
-    (q0, q1, p0, p1) where q codes are at rgba_prec (without p bit) and
-    p0/p1 are the chosen p-bits [NB] (p1 unused for shared)."""
+def _quantize_endpoints_t(e0f, e1f, mode: "_BC7Mode"):
+    """Float endpoints [4, NB] (u8 scale) -> quantized codes + p-bit majority
+    vote (Quantize + FixEndpointPBits semantics). Returns (q0, q1 [4, NB]
+    codes at rgba_prec without the p bit, p0, p1 [NB])."""
     e0 = jnp.clip(jnp.round(e0f), 0, 255).astype(jnp.int32)
     e1 = jnp.clip(jnp.round(e1f), 0, 255).astype(jnp.int32)
-    has_p = mode.rgba_prec != mode.rgba_prec_p
-    q0 = jnp.zeros_like(e0)
-    q1 = jnp.zeros_like(e1)
-    vote0 = jnp.zeros(e0.shape[0], jnp.int32)
-    vote1 = jnp.zeros(e1.shape[0], jnp.int32)
+    q0_rows, q1_rows = [], []
+    vote0 = jnp.zeros(e0.shape[1], jnp.int32)
+    vote1 = jnp.zeros(e1.shape[1], jnp.int32)
     nvote = 0
     for ch in range(4):
         prec = mode.rgba_prec[ch]
         prec_p = mode.rgba_prec_p[ch]
         if prec == 0:
+            q0_rows.append(jnp.zeros_like(vote0))
+            q1_rows.append(jnp.zeros_like(vote1))
             continue
         if prec != prec_p:
-            f0 = _quantize_u8(e0[:, ch], prec_p)
-            f1 = _quantize_u8(e1[:, ch], prec_p)
+            f0 = _quantize_u8(e0[ch], prec_p)
+            f1 = _quantize_u8(e1[ch], prec_p)
             vote0 = vote0 + (f0 & 1)
             vote1 = vote1 + (f1 & 1)
             nvote += 1
-            q0 = q0.at[:, ch].set(f0 >> 1)
-            q1 = q1.at[:, ch].set(f1 >> 1)
+            q0_rows.append(f0 >> 1)
+            q1_rows.append(f1 >> 1)
         else:
-            q0 = q0.at[:, ch].set(_quantize_u8(e0[:, ch], prec))
-            q1 = q1.at[:, ch].set(_quantize_u8(e1[:, ch], prec))
+            q0_rows.append(_quantize_u8(e0[ch], prec))
+            q1_rows.append(_quantize_u8(e1[ch], prec))
     if nvote:
         p0 = (vote0 > (nvote >> 1)).astype(jnp.int32)
         p1 = (vote1 > (nvote >> 1)).astype(jnp.int32)
     else:
-        p0 = jnp.zeros(e0.shape[0], jnp.int32)
+        p0 = jnp.zeros(e0.shape[1], jnp.int32)
         p1 = p0
-    return q0, q1, p0, p1
+    return jnp.stack(q0_rows), jnp.stack(q1_rows), p0, p1
 
 
-def _unquantize_with_p(q0, q1, p0, p1, mode: "_BC7Mode", shared_p: bool):
-    """Quantized codes + p-bits -> unquantized u8 endpoint values."""
+def _unquantize_with_p_t(q0, q1, p0, p1, mode: "_BC7Mode", shared_p: bool):
+    """Quantized codes [4, NB] + p-bits -> unquantized u8 endpoint values."""
     if shared_p:
         p1 = p0
-    u0 = jnp.zeros_like(q0)
-    u1 = jnp.zeros_like(q1)
+    u0_rows, u1_rows = [], []
     for ch in range(4):
         prec = mode.rgba_prec[ch]
         prec_p = mode.rgba_prec_p[ch]
         if prec == 0:
-            u0 = u0.at[:, ch].set(255)
-            u1 = u1.at[:, ch].set(255)
+            u0_rows.append(jnp.full_like(p0, 255))
+            u1_rows.append(jnp.full_like(p1, 255))
             continue
         if prec != prec_p:
-            c0 = (q0[:, ch] << 1) | p0
-            c1 = (q1[:, ch] << 1) | p1
+            c0 = (q0[ch] << 1) | p0
+            c1 = (q1[ch] << 1) | p1
         else:
-            c0, c1 = q0[:, ch], q1[:, ch]
-        u0 = u0.at[:, ch].set(_unquantize(c0, prec_p))
-        u1 = u1.at[:, ch].set(_unquantize(c1, prec_p))
-    return u0, u1
+            c0, c1 = q0[ch], q1[ch]
+        u0_rows.append(_unquantize(c0, prec_p))
+        u1_rows.append(_unquantize(c1, prec_p))
+    return jnp.stack(u0_rows), jnp.stack(u1_rows)
 
 
-def _minmax_axis_endpoints(px_f: jnp.ndarray, mask: jnp.ndarray,
-                           with_alpha: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _assign_indices_t(px_i, u0, u1, prec: int, mask, channels=4):
+    """Index assignment over lane-major planes.
+
+    px_i [16, 4, NB] int32; u0/u1 [4, NB] unquantized endpoints.
+    Returns (idx [16, NB], err [NB]) over the first `channels` channels
+    (integer palette interpolation, distances in float)."""
+    w = _WEIGHTS[prec]
+    P = 1 << prec
+    big = jnp.float32(3.4e38)
+    best = None
+    idx = None
+    for k in range(P):
+        wk = int(w[k])
+        d = jnp.zeros(px_i.shape[::2][1:] + (0,)) if False else 0.0
+        dist = jnp.zeros((px_i.shape[0], px_i.shape[2]), jnp.float32)
+        for ch in range(channels):
+            pal = ((64 - wk) * u0[ch] + wk * u1[ch] + 32) >> 6   # [NB]
+            dd = (px_i[:, ch, :] - pal[None, :]).astype(jnp.float32)
+            dist = dist + dd * dd
+        if best is None:
+            best = dist
+            idx = jnp.zeros_like(dist, dtype=jnp.int32)
+        else:
+            better = dist < best
+            best = jnp.where(better, dist, best)
+            idx = jnp.where(better, k, idx)
+    err = jnp.sum(jnp.where(mask, best, 0.0), axis=0)
+    return idx, err
+
+
+def _ls_refit_t(px_f, idx, mask, prec: int, e0, e1, ch_start=0, ch_end=4):
+    """Least-squares endpoint refit over planes.
+
+    px_f [16, 4, NB]; idx [16, NB]; mask [16, NB]; e0/e1 [4, NB] float.
+    Refits channels [ch_start, ch_end); others pass through."""
+    w = _WEIGHTS[prec]
+    x = jnp.zeros(idx.shape, jnp.float32)
+    for k in range(1, 1 << prec):
+        x = x + (idx == k).astype(jnp.float32) * (float(w[k]) / 64.0)
+    m = mask.astype(jnp.float32)
+    a = (1.0 - x) * m
+    b = x * m
+    A = jnp.sum(a * a, axis=0)
+    B = jnp.sum(a * b, axis=0)
+    C = jnp.sum(b * b, axis=0)
+    det = A * C - B * B
+    ok = jnp.abs(det) > 1e-6
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+
+    e0_rows = [e0[c] for c in range(4)]
+    e1_rows = [e1[c] for c in range(4)]
+    for c in range(ch_start, ch_end):
+        r0 = jnp.sum(a * px_f[:, c, :], axis=0)
+        r1 = jnp.sum(b * px_f[:, c, :], axis=0)
+        n0 = jnp.clip((C * r0 - B * r1) * inv, 0.0, 255.0)
+        n1 = jnp.clip((A * r1 - B * r0) * inv, 0.0, 255.0)
+        e0_rows[c] = jnp.where(ok, n0, e0_rows[c])
+        e1_rows[c] = jnp.where(ok, n1, e1_rows[c])
+    return jnp.stack(e0_rows), jnp.stack(e1_rows)
+
+
+def _minmax_axis_endpoints_t(px_f, mask, with_alpha: bool):
     """Initial endpoints: masked min/max box + best-diagonal axis pick
-    (OptimizeRGBA init, BC6HBC7.cpp:1392-1460). px_f [NB,16,4] u8-scale."""
+    (OptimizeRGBA init, BC6HBC7.cpp:1392-1460).
+
+    px_f [16, 4, NB]; mask [16, NB]. Returns e0, e1 [4, NB]."""
     big = jnp.float32(1e9)
-    mi = jnp.min(jnp.where(mask[:, :, None], px_f, big), axis=1)
-    ma = jnp.max(jnp.where(mask[:, :, None], px_f, -big), axis=1)
+    m = mask[:, None, :]
+    mi = jnp.min(jnp.where(m, px_f, big), axis=0)    # [4, NB]
+    ma = jnp.max(jnp.where(m, px_f, -big), axis=0)
     mid = (mi + ma) * 0.5
     ab = ma - mi
-    fab = jnp.sum(ab * ab, axis=1)
-    dirv = ab / jnp.where(fab > 0, fab, 1.0)[:, None]
-    pt = (px_f - mid[:, None, :]) * dirv[:, None, :] * mask[:, :, None]
     nch = 4 if with_alpha else 3
-    # evaluate all +-1 sign combinations of channels g/b(/a) (r fixed +)
-    best_score = jnp.full(px_f.shape[0], -1.0)
-    best_sg = jnp.ones(px_f.shape[0])
-    best_sb = jnp.ones(px_f.shape[0])
-    best_sa = jnp.ones(px_f.shape[0])
+    fab = jnp.sum(ab[:nch] * ab[:nch], axis=0)
+    dirv = ab / jnp.where(fab > 0, fab, 1.0)[None, :]
+    pt = (px_f - mid[None, :, :]) * dirv[None, :, :] * m  # [16, 4, NB]
+
+    best_score = jnp.full(px_f.shape[2], -1.0)
+    best_sg = jnp.ones(px_f.shape[2])
+    best_sb = jnp.ones(px_f.shape[2])
+    best_sa = jnp.ones(px_f.shape[2])
     signs = [(sg, sb, sa)
              for sg in (1.0, -1.0) for sb in (1.0, -1.0)
              for sa in ((1.0, -1.0) if with_alpha else (1.0,))]
     for sg, sb, sa in signs:
-        f = pt[..., 0] + sg * pt[..., 1] + sb * pt[..., 2]
+        f = pt[:, 0, :] + sg * pt[:, 1, :] + sb * pt[:, 2, :]
         if with_alpha:
-            f = f + sa * pt[..., 3]
-        score = jnp.sum(f * f, axis=1)
+            f = f + sa * pt[:, 3, :]
+        score = jnp.sum(f * f, axis=0)
         better = score > best_score
         best_score = jnp.where(better, score, best_score)
         best_sg = jnp.where(better, sg, best_sg)
         best_sb = jnp.where(better, sb, best_sb)
         best_sa = jnp.where(better, sa, best_sa)
 
-    def flip(lo, hi, s):
-        return (jnp.where(s < 0, hi, lo), jnp.where(s < 0, lo, hi))
+    def flip(lo, hi, sgn):
+        return (jnp.where(sgn < 0, hi, lo), jnp.where(sgn < 0, lo, hi))
 
-    g0, g1 = flip(mi[:, 1], ma[:, 1], best_sg)
-    b0, b1 = flip(mi[:, 2], ma[:, 2], best_sb)
+    g0, g1 = flip(mi[1], ma[1], best_sg)
+    b0, b1 = flip(mi[2], ma[2], best_sb)
     if with_alpha:
-        a0, a1 = flip(mi[:, 3], ma[:, 3], best_sa)
+        a0, a1 = flip(mi[3], ma[3], best_sa)
     else:
-        a0, a1 = mi[:, 3], ma[:, 3]
-    e0 = jnp.stack([mi[:, 0], g0, b0, a0], axis=1)
-    e1 = jnp.stack([ma[:, 0], g1, b1, a1], axis=1)
+        a0, a1 = mi[3], ma[3]
+    e0 = jnp.stack([mi[0], g0, b0, a0])
+    e1 = jnp.stack([ma[0], g1, b1, a1])
     return e0, e1
 
 
 def _scatter_bits(words: jnp.ndarray, value: jnp.ndarray,
                   offset, nbits) -> jnp.ndarray:
-    """OR `value` (u32 [NB] or [NB,K]) into the 128-bit block at bit
-    `offset` (static int or [NB,K] array)."""
+    """OR `value` (u32 [NB] or [K, NB]) into 128-bit blocks [NB, 4] at bit
+    `offset` (static int, or [K, NB] / [1, K] array of dynamic offsets)."""
     if isinstance(offset, int):
         wi = offset // 32
         sh = offset % 32
@@ -459,7 +470,7 @@ def _scatter_bits(words: jnp.ndarray, value: jnp.ndarray,
         if sh and sh + int(nbits) > 32:
             words = words.at[:, wi + 1].set(words[:, wi + 1] | (v >> (32 - sh)))
         return words
-    # dynamic offsets: accumulate into each word with one-hot masks
+    # dynamic offsets: accumulate into each of the 4 words with masks
     v = value.astype(jnp.uint32)
     wi = (offset >> 5).astype(jnp.int32)
     sh = (offset & 31).astype(jnp.uint32)
@@ -467,8 +478,12 @@ def _scatter_bits(words: jnp.ndarray, value: jnp.ndarray,
         lo = jnp.where(wi == w, v << sh, 0)
         hi = jnp.where((wi == w - 1) & (sh != 0), v >> ((32 - sh) & 31), 0)
         contrib = jnp.bitwise_or(lo, hi)
-        red = jnp.bitwise_or.reduce(contrib, axis=tuple(range(1, contrib.ndim))) \
-            if contrib.ndim > 1 else contrib
+        if contrib.ndim > 1:
+            red = contrib[0]
+            for k in range(1, contrib.shape[0]):
+                red = red | contrib[k]
+        else:
+            red = contrib
         words = words.at[:, w].set(words[:, w] | red)
     return words
 
@@ -479,13 +494,12 @@ def _emit_bc7(mode_id: int, shape, rotation: int, index_mode: int,
               nb: int) -> jnp.ndarray:
     """Pack one candidate into [NB, 4] u32 words (EmitBlock, BC6HBC7.cpp:3221).
 
-    q0_list/q1_list: per-subset quantized endpoint codes [NB, 4].
-    shape: int or [NB] array. idx1/idx2: [NB, 16] full-precision indices
-    (anchor compression applied here)."""
+    q0_list/q1_list: per-subset quantized endpoint codes [4, NB].
+    idx1/idx2: [16, NB] full-precision indices (anchor compression applied
+    via the per-shape offset/width tables)."""
     m = _BC7_MODES[mode_id]
     n_sub = m.partitions + 1
     words = jnp.zeros((nb, 4), jnp.uint32)
-    bit = 0
     words = _scatter_bits(words, jnp.full((nb,), 1 << mode_id, jnp.uint32),
                           0, mode_id + 1)
     bit = mode_id + 1
@@ -506,10 +520,10 @@ def _emit_bc7(mode_id: int, shape, rotation: int, index_mode: int,
         if prec == 0:
             continue
         for sub in range(n_sub):
-            words = _scatter_bits(words, q0_list[sub][:, ch].astype(jnp.uint32),
+            words = _scatter_bits(words, q0_list[sub][ch].astype(jnp.uint32),
                                   bit, prec)
             bit += prec
-            words = _scatter_bits(words, q1_list[sub][:, ch].astype(jnp.uint32),
+            words = _scatter_bits(words, q1_list[sub][ch].astype(jnp.uint32),
                                   bit, prec)
             bit += prec
     if m.p_bits:
@@ -523,86 +537,62 @@ def _emit_bc7(mode_id: int, shape, rotation: int, index_mode: int,
                 bit += 1
                 words = _scatter_bits(words, p1_list[sub].astype(jnp.uint32), bit, 1)
                 bit += 1
-    # index section 1
+    # index section 1 (anchor-compressed widths depend on the shape)
     offs_t, nbits_t = _get_index_layout(m.partitions, m.index_prec)
     if isinstance(shape, int):
-        offs = jnp.asarray(offs_t[shape])[None, :] + bit
-        nb1 = jnp.asarray(nbits_t[shape])[None, :]
+        offs = jnp.asarray(offs_t[shape])[:, None] + bit        # [16, 1]
+        nb1 = jnp.asarray(nbits_t[shape])[:, None]
     else:
-        offs = jnp.asarray(offs_t)[shape] + bit
-        nb1 = jnp.asarray(nbits_t)[shape]
+        offs = jnp.asarray(offs_t)[shape].T + bit               # [16, NB]
+        nb1 = jnp.asarray(nbits_t)[shape].T
     total1 = int(offs_t[0, 15] + nbits_t[0, 15])
     words = _scatter_bits(words, idx1.astype(jnp.uint32), offs, nb1)
     bit += total1
     if m.index_prec2 and idx2 is not None:
         offs2_t, nbits2_t = _get_index_layout(0, m.index_prec2)
-        offs2 = jnp.asarray(offs2_t[0])[None, :] + bit
+        offs2 = jnp.asarray(offs2_t[0])[:, None] + bit
         words = _scatter_bits(words, idx2.astype(jnp.uint32), offs2,
-                              jnp.asarray(nbits2_t[0])[None, :])
+                              jnp.asarray(nbits2_t[0])[:, None])
     return words
-
-
-def _anchor_fix(idx, e_pair_list, p_pair_list, mask_list, anchors, prec):
-    """Swap subset endpoints where the anchor pixel's index has its MSB set
-    (AssignIndices swap, BC6HBC7.cpp:3139+). anchors: [NB] or int per subset.
-    Returns fixed (idx, endpoint list, pbit list)."""
-    msb = 1 << (prec - 1)
-    maxi = (1 << prec) - 1
-    new_e = []
-    new_p = []
-    for sub, (mask, anchor) in enumerate(zip(mask_list, anchors)):
-        if isinstance(anchor, int):
-            a_idx = idx[:, anchor]
-        else:
-            a_idx = jnp.take_along_axis(idx, anchor[:, None], axis=1)[:, 0]
-        swap = (a_idx & msb) != 0
-        (e0, e1) = e_pair_list[sub]
-        (p0, p1) = p_pair_list[sub]
-        new_e.append((jnp.where(swap[:, None], e1, e0),
-                      jnp.where(swap[:, None], e0, e1)))
-        new_p.append((jnp.where(swap, p1, p0), jnp.where(swap, p0, p1)))
-        idx = jnp.where(swap[:, None] & mask, maxi - idx, idx)
-    return idx, new_e, new_p
 
 
 def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id):
     """Evaluate one (mode, shape) candidate for all blocks.
 
-    px_i [NB,16,4] int32, px_f float, mask_list: per-subset [NB,16] bool,
+    px_i [16, 4, NB] int32, px_f float, mask_list: per-subset [16, NB] bool,
     anchors: per-subset anchor pixel ([NB] array or int).
-    Returns (err [NB], q0s, q1s, p0s, p1s, idx [NB,16])."""
+    Returns (err [NB], q0s, q1s, p0s, p1s [lists], idx [16, NB])."""
     m = _BC7_MODES[mode_id]
     shared_p = m.p_bits == (m.partitions + 1) and m.p_bits > 0
     prec = m.index_prec
 
-    total_err = jnp.zeros(px_i.shape[0], jnp.float32)
+    total_err = jnp.zeros(px_i.shape[2], jnp.float32)
     e_pairs, p_pairs = [], []
-    idx_full = jnp.zeros(px_i.shape[:2], jnp.int32)
+    idx_full = jnp.zeros((px_i.shape[0], px_i.shape[2]), jnp.int32)
 
     for sub, mask in enumerate(mask_list):
-        e0f, e1f = _minmax_axis_endpoints(px_f, mask, with_alpha=m.rgba_prec[3] > 0)
+        e0f, e1f = _minmax_axis_endpoints_t(px_f, mask,
+                                            with_alpha=m.rgba_prec[3] > 0)
 
         def qpal(e0f_, e1f_):
-            q0, q1, p0, p1 = _quantize_endpoints(e0f_, e1f_, m)
-            u0, u1 = _unquantize_with_p(q0, q1, p0, p1, m, shared_p)
-            pal = _palette(u0, u1, prec)
-            idx, err = _assign_indices(px_i, pal, mask)
+            q0, q1, p0, p1 = _quantize_endpoints_t(e0f_, e1f_, m)
+            u0, u1 = _unquantize_with_p_t(q0, q1, p0, p1, m, shared_p)
+            idx, err = _assign_indices_t(px_i, u0, u1, prec, mask)
             return q0, q1, p0, p1, idx, err
 
         q0a, q1a, p0a, p1a, idx_a, err_a = qpal(e0f, e1f)
-        # two rounds of least-squares refinement
         idx_r, err_r = idx_a, err_a
         q0b, q1b, p0b, p1b = q0a, q1a, p0a, p1a
         e0c, e1c = e0f, e1f
         for _ in range(2):
-            e0c, e1c = _ls_refit(px_f, idx_r, mask, prec, e0c, e1c)
+            e0c, e1c = _ls_refit_t(px_f, idx_r, mask, prec, e0c, e1c)
             q0b, q1b, p0b, p1b, idx_r, err_r = qpal(e0c, e1c)
         better = err_r < err_a
-        q0 = jnp.where(better[:, None], q0b, q0a)
-        q1 = jnp.where(better[:, None], q1b, q1a)
+        q0 = jnp.where(better[None, :], q0b, q0a)
+        q1 = jnp.where(better[None, :], q1b, q1a)
         p0 = jnp.where(better, p0b, p0a)
         p1 = jnp.where(better, p1b, p1a)
-        idx = jnp.where(better[:, None], idx_r, idx_a)
+        idx = jnp.where(better[None, :], idx_r, idx_a)
         err = jnp.where(better, err_r, err_a)
 
         total_err = total_err + err
@@ -610,51 +600,131 @@ def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id):
         p_pairs.append((p0, p1))
         idx_full = jnp.where(mask, idx, idx_full)
 
-    idx_full, e_pairs, p_pairs = _anchor_fix(
-        idx_full, e_pairs, p_pairs, mask_list, anchors, prec)
-    q0s = [e[0] for e in e_pairs]
-    q1s = [e[1] for e in e_pairs]
-    p0s = [p[0] for p in p_pairs]
-    p1s = [p[1] for p in p_pairs]
+    # anchor swaps (AssignIndices, BC6HBC7.cpp:3181-3194)
+    msb = 1 << (prec - 1)
+    maxi = (1 << prec) - 1
+    q0s, q1s, p0s, p1s = [], [], [], []
+    for sub, (mask, anchor) in enumerate(zip(mask_list, anchors)):
+        if isinstance(anchor, int):
+            a_idx = idx_full[anchor]
+        else:
+            # anchor is [NB] pixel positions; one-hot select over 16 rows
+            a_idx = jnp.zeros(idx_full.shape[1], jnp.int32)
+            for i in range(16):
+                a_idx = jnp.where(anchor == i, idx_full[i], a_idx)
+        swap = (a_idx & msb) != 0
+        q0, q1 = e_pairs[sub]
+        p0, p1 = p_pairs[sub]
+        q0s.append(jnp.where(swap[None, :], q1, q0))
+        q1s.append(jnp.where(swap[None, :], q0, q1))
+        p0s.append(jnp.where(swap, p1, p0))
+        p1s.append(jnp.where(swap, p0, p1))
+        idx_full = jnp.where(swap[None, :] & mask, maxi - idx_full, idx_full)
     return total_err, q0s, q1s, p0s, p1s, idx_full
 
 
-def _try_partition_mode(px_i, px_f, mode_id, best_err, best_words):
-    """Modes 0/1/2/3/7: loop shapes with lax.fori_loop, running argmin."""
-    m = _BC7_MODES[mode_id]
-    nb = px_i.shape[0]
-    n_shapes = 1 << m.partition_bits
-    parts_tab = jnp.asarray(PARTITIONS[m.partitions])   # [64,16]
-    fix_tab = jnp.asarray(FIXUPS[m.partitions])         # [64,3]
+# Shapes fully refined per partitioned mode after the cheap estimate pass.
+# 4 keeps quality within ~0.05 dB of exhaustive while cutting the dominant
+# mode-1/3 cost ~8x (the reference's exhaustive loop is RoughMSE-free,
+# BC6HBC7.cpp:2819; the estimate-then-refine policy is the TPU restructuring).
+BC7_SHAPE_CANDIDATES = 4
 
-    def body(s, carry):
-        best_err, best_words = carry
-        pmask = parts_tab[s]                            # [16]
-        mask_list = [jnp.broadcast_to(pmask == p, px_i.shape[:2])
-                     for p in range(m.partitions + 1)]
-        anchors = [0 if p == 0 else
-                   jnp.broadcast_to(fix_tab[s, p], (nb,)).astype(jnp.int32)
+
+def _shape_estimate(px_f, mask, nch: int):
+    """Cheap per-shape error proxy: residual variance off the bounding-box
+    diagonal (total masked variance minus the component along the axis).
+    px_f [16, 4, NB]; mask [16, NB] -> [NB]."""
+    big = jnp.float32(1e9)
+    m3 = mask[:, None, :]
+    mf = mask.astype(jnp.float32)
+    mi = jnp.min(jnp.where(m3, px_f, big), axis=0)     # [4, NB]
+    ma = jnp.max(jnp.where(m3, px_f, -big), axis=0)
+    mid = (mi + ma) * 0.5
+    ab = ma - mi
+    len2 = jnp.zeros(px_f.shape[2], jnp.float32)
+    tot = jnp.zeros(px_f.shape[2], jnp.float32)
+    along = jnp.zeros((px_f.shape[0], px_f.shape[2]), jnp.float32)
+    for c in range(nch):
+        len2 = len2 + ab[c] * ab[c]
+        pt = (px_f[:, c, :] - mid[c][None, :]) * mf
+        tot = tot + jnp.sum(pt * pt, axis=0)
+        along = along + pt * ab[c][None, :]
+    proj2 = jnp.sum(along * along, axis=0) / jnp.maximum(len2, 1e-6)
+    return tot - proj2
+
+
+def _shape_estimates_table(px_f, partitions: int, nch: int,
+                           n_shapes: int | None = None):
+    """[n_shapes, NB] estimate for every shape of a partition class."""
+    if n_shapes is None:
+        n_shapes = 64 if partitions else 1
+    parts_tab = jnp.asarray(PARTITIONS[partitions])
+    nb = px_f.shape[2]
+
+    def body(s, buf):
+        pmask = parts_tab[s]
+        est = jnp.zeros(nb, jnp.float32)
+        for p in range(partitions + 1):
+            mask = jnp.broadcast_to((pmask == p)[:, None], (16, nb))
+            est = est + _shape_estimate(px_f, mask, nch)
+        return lax.dynamic_update_slice(buf, est[None, :], (s, 0))
+
+    return lax.fori_loop(0, n_shapes, body,
+                         jnp.zeros((n_shapes, nb), jnp.float32))
+
+
+def _top_k_shapes(ests, k: int):
+    """Per-block indices of the k smallest estimates. ests [S, NB]."""
+    picks = []
+    work = ests
+    rows = jnp.arange(ests.shape[0])[:, None]
+    for _ in range(min(k, ests.shape[0])):
+        s_blk = jnp.argmin(work, axis=0).astype(jnp.int32)    # [NB]
+        picks.append(s_blk)
+        work = jnp.where(rows == s_blk[None, :], jnp.inf, work)
+    return picks
+
+
+def _try_partition_mode(px_i, px_f, mode_id, ests=None):
+    """Modes 0/1/2/3/7: estimate all shapes, fully refine the best
+    BC7_SHAPE_CANDIDATES per block. Returns (err [NB], words [NB, 4])."""
+    m = _BC7_MODES[mode_id]
+    nb = px_i.shape[2]
+    parts_tab = jnp.asarray(PARTITIONS[m.partitions])   # [64, 16]
+    fix_tab = jnp.asarray(FIXUPS[m.partitions])         # [64, 3]
+
+    if ests is None:
+        ests = _shape_estimates_table(px_f, m.partitions,
+                                      4 if m.rgba_prec[3] else 3)
+
+    best_err = jnp.full((nb,), jnp.inf, jnp.float32)
+    best_words = jnp.zeros((nb, 4), jnp.uint32)
+    for s_blk in _top_k_shapes(ests, BC7_SHAPE_CANDIDATES):
+        pmask = parts_tab[s_blk].T                       # [16, NB]
+        mask_list = [pmask == p for p in range(m.partitions + 1)]
+        anchors = [0 if p == 0 else fix_tab[s_blk, p].astype(jnp.int32)
                    for p in range(m.partitions + 1)]
         err, q0s, q1s, p0s, p1s, idx = _eval_subset_candidate(
             px_i, px_f, mask_list, anchors, mode_id)
-        shape_arr = jnp.full((nb,), s, jnp.uint32)
-        words = _emit_bc7(mode_id, shape_arr, 0, 0, q0s, q1s, p0s, p1s,
-                          idx, None, nb)
+        words = _emit_bc7(mode_id, s_blk.astype(jnp.uint32), 0, 0,
+                          q0s, q1s, p0s, p1s, idx, None, nb)
         better = err < best_err
         best_words = jnp.where(better[:, None], words, best_words)
         best_err = jnp.minimum(err, best_err)
-        return best_err, best_words
-
-    return lax.fori_loop(0, n_shapes, body, (best_err, best_words))
+    return best_err, best_words
 
 
-def _try_single_mode(px_i, px_f, mode_id, best_err, best_words):
-    """Modes 4/5/6: single subset, rotations x index modes."""
+def _try_single_mode(px_i, px_f, mode_id):
+    """Modes 4/5/6: single subset, rotations x index modes.
+    Returns (err [NB], words [NB, 4])."""
     m = _BC7_MODES[mode_id]
-    nb = px_i.shape[0]
-    mask = jnp.ones(px_i.shape[:2], bool)
+    nb = px_i.shape[2]
+    mask = jnp.ones((16, nb), bool)
     n_rot = 1 << m.rotation_bits
     n_im = 1 << m.index_mode_bits
+
+    best_err = jnp.full((nb,), jnp.inf, jnp.float32)
+    best_words = jnp.zeros((nb, 4), jnp.uint32)
 
     for rot in range(n_rot):
         if rot == 0:
@@ -663,8 +733,8 @@ def _try_single_mode(px_i, px_f, mode_id, best_err, best_words):
             ch = rot - 1  # swap channel ch with alpha
             perm = list(range(4))
             perm[ch], perm[3] = 3, ch
-            pr_i = px_i[:, :, perm]
-            pr_f = px_f[:, :, perm]
+            pr_i = px_i[:, perm, :]
+            pr_f = px_f[:, perm, :]
         for im in range(n_im):
             if m.index_prec2 == 0:
                 # mode 6: joint RGBA indices
@@ -675,67 +745,67 @@ def _try_single_mode(px_i, px_f, mode_id, best_err, best_words):
             else:
                 cprec = m.index_prec2 if im else m.index_prec
                 aprec = m.index_prec if im else m.index_prec2
-                # endpoints: RGB from axis fit, alpha min/max (RoughMSE :3553)
-                e0f, e1f = _minmax_axis_endpoints(pr_f, mask, with_alpha=False)
-                a_min = jnp.min(pr_f[:, :, 3], axis=1)
-                a_max = jnp.max(pr_f[:, :, 3], axis=1)
-                e0f = e0f.at[:, 3].set(a_min)
-                e1f = e1f.at[:, 3].set(a_max)
+                # endpoints: RGB axis fit + alpha min/max (RoughMSE :3553)
+                e0f, e1f = _minmax_axis_endpoints_t(pr_f, mask, with_alpha=False)
+                a_min = jnp.min(pr_f[:, 3, :], axis=0)
+                a_max = jnp.max(pr_f[:, 3, :], axis=0)
+                e0f = e0f.at[3].set(a_min)
+                e1f = e1f.at[3].set(a_max)
 
                 def qpal(e0f_, e1f_):
-                    q0, q1, p0, p1 = _quantize_endpoints(e0f_, e1f_, m)
-                    u0, u1 = _unquantize_with_p(q0, q1, p0, p1, m, False)
-                    cpal = _palette(u0, u1, cprec)       # color palette
-                    apal = _palette(u0, u1, aprec)
-                    # color distance over RGB only; alpha separately
-                    dc = (pr_i[:, :, None, :3] - cpal[:, None, :, :3]).astype(jnp.float32)
-                    cdist = jnp.sum(dc * dc, axis=-1)
-                    cidx = jnp.argmin(cdist, axis=-1).astype(jnp.int32)
-                    cerr = jnp.sum(jnp.min(cdist, axis=-1), axis=-1)
-                    da = (pr_i[:, :, None, 3] - apal[:, None, :, 3]).astype(jnp.float32)
-                    adist = da * da
-                    aidx = jnp.argmin(adist, axis=-1).astype(jnp.int32)
-                    aerr = jnp.sum(jnp.min(adist, axis=-1), axis=-1)
+                    q0, q1, p0, p1 = _quantize_endpoints_t(e0f_, e1f_, m)
+                    u0, u1 = _unquantize_with_p_t(q0, q1, p0, p1, m, False)
+                    cidx, cerr = _assign_indices_t(pr_i, u0, u1, cprec, mask,
+                                                   channels=3)
+                    # alpha-only assignment
+                    wA = _WEIGHTS[aprec]
+                    bestd = None
+                    aidx = None
+                    for k in range(1 << aprec):
+                        wk = int(wA[k])
+                        pal = ((64 - wk) * u0[3] + wk * u1[3] + 32) >> 6
+                        dd = (pr_i[:, 3, :] - pal[None, :]).astype(jnp.float32)
+                        dd = dd * dd
+                        if bestd is None:
+                            bestd, aidx = dd, jnp.zeros_like(dd, dtype=jnp.int32)
+                        else:
+                            b = dd < bestd
+                            bestd = jnp.where(b, dd, bestd)
+                            aidx = jnp.where(b, k, aidx)
+                    aerr = jnp.sum(bestd, axis=0)
                     return q0, q1, p0, p1, cidx, aidx, cerr + aerr
 
                 q0, q1, p0, p1, cidx, aidx, err = qpal(e0f, e1f)
                 e0c, e1c = e0f, e1f
                 for _ in range(2):
-                    e0c, e1c = _ls_refit(pr_f, cidx, mask, cprec, e0c, e1c,
-                                         channels=slice(0, 3))
-                    e0c, e1c = _ls_refit(pr_f, aidx, mask, aprec, e0c, e1c,
-                                         channels=slice(3, 4))
+                    e0c, e1c = _ls_refit_t(pr_f, cidx, mask, cprec, e0c, e1c,
+                                           ch_start=0, ch_end=3)
+                    e0c, e1c = _ls_refit_t(pr_f, aidx, mask, aprec, e0c, e1c,
+                                           ch_start=3, ch_end=4)
                     q0b, q1b, p0b, p1b, cidx_b, aidx_b, err_b = qpal(e0c, e1c)
                 better = err_b < err
-                q0 = jnp.where(better[:, None], q0b, q0)
-                q1 = jnp.where(better[:, None], q1b, q1)
-                cidx = jnp.where(better[:, None], cidx_b, cidx)
-                aidx = jnp.where(better[:, None], aidx_b, aidx)
+                q0 = jnp.where(better[None, :], q0b, q0)
+                q1 = jnp.where(better[None, :], q1b, q1)
+                cidx = jnp.where(better[None, :], cidx_b, cidx)
+                aidx = jnp.where(better[None, :], aidx_b, aidx)
                 err = jnp.minimum(err_b, err)
                 p0 = jnp.where(better, p0b, p0)
                 p1 = jnp.where(better, p1b, p1)
 
                 # anchor fixes: color and alpha endpoint components swap
-                # INDEPENDENTLY (AssignIndices, BC6HBC7.cpp:3196-3216): color
-                # indices only reference RGB and alpha indices only A, so
-                # each stored index set clears its own anchor MSB by swapping
-                # just its channel group.
+                # INDEPENDENTLY (AssignIndices, BC6HBC7.cpp:3196-3216)
                 w1 = cidx if im == 0 else aidx
                 w2 = aidx if im == 0 else cidx
                 p1_, p2_ = m.index_prec, m.index_prec2
                 msb1, maxi1 = 1 << (p1_ - 1), (1 << p1_) - 1
                 msb2, maxi2 = 1 << (p2_ - 1), (1 << p2_) - 1
-                swap1 = (w1[:, 0] & msb1) != 0
-                w1 = jnp.where(swap1[:, None], maxi1 - w1, w1)
-                swap2 = (w2[:, 0] & msb2) != 0
-                w2 = jnp.where(swap2[:, None], maxi2 - w2, w2)
+                swap1 = (w1[0] & msb1) != 0
+                w1 = jnp.where(swap1[None, :], maxi1 - w1, w1)
+                swap2 = (w2[0] & msb2) != 0
+                w2 = jnp.where(swap2[None, :], maxi2 - w2, w2)
                 swap_rgb = swap1 if im == 0 else swap2
                 swap_a = swap2 if im == 0 else swap1
-                q0f = q0
-                q1f = q1
-                rgb_swap = swap_rgb[:, None] & jnp.asarray([True, True, True, False])[None, :]
-                a_swap = swap_a[:, None] & jnp.asarray([False, False, False, True])[None, :]
-                do_swap = rgb_swap | a_swap
+                do_swap = jnp.stack([swap_rgb, swap_rgb, swap_rgb, swap_a])
                 q0f = jnp.where(do_swap, q1, q0)
                 q1f = jnp.where(do_swap, q0, q1)
                 words = _emit_bc7(mode_id, 0, rot, im, [q0f], [q1f],
@@ -750,10 +820,12 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0) -> jnp.ndarray:
     """[NB, 16, 4] f32 -> [NB, 16] u8 (D3DXEncodeBC7, BC6HBC7.cpp:2783)."""
     px_f32 = jnp.asarray(blocks, jnp.float32)
     nb = px_f32.shape[0]
-    # LDR quantization with the reference's +0.01 rounding bias (:2794)
-    px_i = jnp.clip(px_f32 * 255.0 + 0.01, 0.0, 255.0).astype(jnp.int32)
+    # LDR quantization with the reference's +0.01 rounding bias (:2794),
+    # transposed to lane-major [16, 4, NB]
+    px_i = jnp.clip(jnp.transpose(px_f32, (1, 2, 0)) * 255.0 + 0.01,
+                    0.0, 255.0).astype(jnp.int32)
     px_f = px_i.astype(jnp.float32)
-    has_alpha = jnp.any(px_i[:, :, 3] != 255, axis=1)
+    has_alpha = jnp.any(px_i[:, 3, :] != 255, axis=0)
 
     best_err = jnp.full((nb,), jnp.inf, jnp.float32)
     best_words = jnp.zeros((nb, 4), jnp.uint32)
@@ -766,16 +838,20 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0) -> jnp.ndarray:
     else:
         modes = ([0, 2] if use3 else []) + [1, 3, 5, 6, 7, 4]
 
+    est_cache = {}
     for mode_id in modes:
         if mode_id in (0, 1, 2, 3, 7):
+            m = _BC7_MODES[mode_id]
+            key = (m.partitions, 4 if m.rgba_prec[3] else 3)
+            if key not in est_cache:
+                est_cache[key] = _shape_estimates_table(px_f, *key)
             err, words = _try_partition_mode(px_i, px_f, mode_id,
-                                             jnp.full((nb,), jnp.inf), best_words * 0)
+                                             ests=est_cache[key])
             if mode_id == 7:
                 # no value for opaque blocks (reference skip, :2818)
                 err = jnp.where(has_alpha, err, jnp.inf)
         else:
-            err, words = _try_single_mode(px_i, px_f, mode_id,
-                                          jnp.full((nb,), jnp.inf), best_words * 0)
+            err, words = _try_single_mode(px_i, px_f, mode_id)
         better = err < best_err
         best_err = jnp.minimum(err, best_err)
         best_words = jnp.where(better[:, None], words, best_words)
@@ -969,48 +1045,56 @@ def _nbits_fit(v: jnp.ndarray, prec: int, is_signed_field: bool) -> jnp.ndarray:
     return (v >= lo) & (v <= hi)
 
 
-def _bc6h_palette_err(px_int, mask, q0, q1, precW, iprec, signed):
-    """Quantized endpoints -> palette -> indices + masked error.
-    px_int [NB,16,3]; q0/q1 [NB,3]."""
-    u0 = jnp.stack([_bc6h_unquantize(q0[:, c], precW[c], signed)
-                    for c in range(3)], axis=1)
-    u1 = jnp.stack([_bc6h_unquantize(q1[:, c], precW[c], signed)
-                    for c in range(3)], axis=1)
-    w = jnp.asarray(_WEIGHTS[iprec])
-    # the reference metric compares source F16-ints against the FINISHED
-    # palette (GeneratePaletteQuantized applies FinishUnquantize, :2028)
-    pal = (u0[:, None, :] * (64 - w)[None, :, None]
-           + u1[:, None, :] * w[None, :, None] + 32) >> 6
-    pal = _bc6h_finish_unquantize(pal, signed)          # [NB, P, 3]
-    d = (px_int[:, :, None, :] - pal[:, None, :, :]).astype(jnp.float32)
-    dist = jnp.sum(d * d, axis=-1)
-    idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)
-    err = jnp.sum(jnp.where(mask, jnp.min(dist, axis=-1), 0.0), axis=-1)
+def _bc6h_palette_err_t(px_int, mask, q0, q1, precW, iprec, signed):
+    """Quantized endpoints -> palette -> indices + masked error, lane-major.
+
+    px_int [16, 3, NB]; q0/q1 [3, NB]; mask [16, NB]. The metric compares
+    source F16-ints against the FINISHED palette (GeneratePaletteQuantized
+    applies FinishUnquantize, BC6HBC7.cpp:2028)."""
+    u = [(_bc6h_unquantize(q0[c], precW[c], signed),
+          _bc6h_unquantize(q1[c], precW[c], signed)) for c in range(3)]
+    w = _WEIGHTS[iprec]
+    best = None
+    idx = None
+    for k in range(1 << iprec):
+        wk = int(w[k])
+        dist = jnp.zeros((px_int.shape[0], px_int.shape[2]), jnp.float32)
+        for c in range(3):
+            pal = (u[c][0] * (64 - wk) + u[c][1] * wk + 32) >> 6
+            pal = _bc6h_finish_unquantize(pal, signed)
+            dd = (px_int[:, c, :] - pal[None, :]).astype(jnp.float32)
+            dist = dist + dd * dd
+        if best is None:
+            best = dist
+            idx = jnp.zeros_like(dist, dtype=jnp.int32)
+        else:
+            b = dist < best
+            best = jnp.where(b, dist, best)
+            idx = jnp.where(b, k, idx)
+    err = jnp.sum(jnp.where(mask, best, 0.0), axis=0)
     return idx, err
 
 
 def _bc6h_emit(row: int, shape, q_pairs, idx, nb) -> jnp.ndarray:
-    """Pack one BC6H candidate into [NB,4] u32 (EmitBlock :2330)."""
+    """Pack one BC6H candidate into [NB, 4] u32 (EmitBlock :2330).
+
+    q_pairs: per-region pairs of [3, NB] stored field values; idx [16, NB]."""
     mode_val, partitions, transformed, iprec, precW, precX, precY, precZ = \
         BC6H_MODE_INFO[row]
     header_bits = 82 if partitions else 65
     words = jnp.zeros((nb, 4), jnp.uint32)
 
-    # field values: 2=shape(D), RW..BZ = 3..14
     fields = {}
     if isinstance(shape, int):
         fields[2] = jnp.full((nb,), shape, jnp.int32)
     else:
         fields[2] = shape.astype(jnp.int32)
+    zero = jnp.zeros((nb,), jnp.int32)
     for ch, base in ((0, 3), (1, 7), (2, 11)):
-        fields[base + 0] = q_pairs[0][0][:, ch]
-        fields[base + 1] = q_pairs[0][1][:, ch]
-        if partitions:
-            fields[base + 2] = q_pairs[1][0][:, ch]
-            fields[base + 3] = q_pairs[1][1][:, ch]
-        else:
-            fields[base + 2] = jnp.zeros((nb,), jnp.int32)
-            fields[base + 3] = jnp.zeros((nb,), jnp.int32)
+        fields[base + 0] = q_pairs[0][0][ch]
+        fields[base + 1] = q_pairs[0][1][ch]
+        fields[base + 2] = q_pairs[1][0][ch] if partitions else zero
+        fields[base + 3] = q_pairs[1][1][ch] if partitions else zero
 
     desc = BC6H_DESC[row]
     mode_arr = jnp.full((nb,), mode_val, jnp.uint32)
@@ -1026,69 +1110,78 @@ def _bc6h_emit(row: int, shape, q_pairs, idx, nb) -> jnp.ndarray:
 
     offs_t, nbits_t = _get_index_layout(partitions, iprec)
     if isinstance(shape, int):
-        offs = jnp.asarray(offs_t[shape])[None, :] + header_bits
-        nbw = jnp.asarray(nbits_t[shape])[None, :]
+        offs = jnp.asarray(offs_t[shape])[:, None] + header_bits
+        nbw = jnp.asarray(nbits_t[shape])[:, None]
     else:
-        offs = jnp.asarray(offs_t)[shape] + header_bits
-        nbw = jnp.asarray(nbits_t)[shape]
+        offs = jnp.asarray(offs_t)[shape].T + header_bits
+        nbw = jnp.asarray(nbits_t)[shape].T
     words = _scatter_bits(words, idx.astype(jnp.uint32), offs, nbw)
     return words
 
 
 def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed):
-    """One (mode, shape) candidate. Returns (err, q_pairs, idx)."""
+    """One (mode, shape) candidate over lane-major planes.
+
+    px_int/px_f [16, 3, NB]; masks [16, NB]. Returns (err [NB], emit_pairs,
+    idx [16, NB])."""
     mode_val, partitions, transformed, iprec, precW, precX, precY, precZ = \
         BC6H_MODE_INFO[row]
-    nb = px_int.shape[0]
-    idx_full = jnp.zeros(px_int.shape[:2], jnp.int32)
+    nb = px_int.shape[2]
+    idx_full = jnp.zeros((px_int.shape[0], nb), jnp.int32)
     total_err = jnp.zeros(nb, jnp.float32)
     q_pairs = []
 
     for sub, mask in enumerate(mask_list):
         big = jnp.float32(1e9)
-        mi = jnp.min(jnp.where(mask[:, :, None], px_f, big), axis=1)
-        ma = jnp.max(jnp.where(mask[:, :, None], px_f, -big), axis=1)
+        m3 = mask[:, None, :]
+        mi = jnp.min(jnp.where(m3, px_f, big), axis=0)    # [3, NB]
+        ma = jnp.max(jnp.where(m3, px_f, -big), axis=0)
 
         def quant(e):
             ei = jnp.round(e).astype(jnp.int32)
-            return jnp.stack([_bc6h_quantize(ei[:, c], precW[c], signed)
-                              for c in range(3)], axis=1)
+            return jnp.stack([_bc6h_quantize(ei[c], precW[c], signed)
+                              for c in range(3)])
 
         q0, q1 = quant(mi), quant(ma)
-        idx, err = _bc6h_palette_err(px_int, mask, q0, q1, precW, iprec, signed)
+        idx, err = _bc6h_palette_err_t(px_int, mask, q0, q1, precW, iprec,
+                                       signed)
 
         # least-squares refinement in int space (2 rounds)
-        wtab = jnp.asarray(_WEIGHTS[iprec]).astype(jnp.float32) / 64.0
+        wtab = _WEIGHTS[iprec]
         e0f, e1f = mi, ma
         q0b, q1b, idx_b, err_b = q0, q1, idx, err
         for _ in range(2):
-            xoh = (idx_b[:, :, None]
-                   == jnp.arange(1 << iprec)[None, None, :]).astype(jnp.float32)
-            x = xoh @ wtab
-            m = mask.astype(jnp.float32)
-            a = (1.0 - x) * m
-            b = x * m
-            A = jnp.sum(a * a, axis=1)
-            B = jnp.sum(a * b, axis=1)
-            C = jnp.sum(b * b, axis=1)
-            r0 = jnp.einsum("ni,nic->nc", a, px_f)
-            r1 = jnp.einsum("ni,nic->nc", b, px_f)
+            x = jnp.zeros(idx_b.shape, jnp.float32)
+            for k in range(1, 1 << iprec):
+                x = x + (idx_b == k).astype(jnp.float32) * (float(wtab[k]) / 64.0)
+            mm = mask.astype(jnp.float32)
+            a = (1.0 - x) * mm
+            b = x * mm
+            A = jnp.sum(a * a, axis=0)
+            B = jnp.sum(a * b, axis=0)
+            C = jnp.sum(b * b, axis=0)
             det = A * C - B * B
             ok = jnp.abs(det) > 1e-6
             inv = 1.0 / jnp.where(ok, det, 1.0)
             lim = float(_F16MAX)
             lo = -lim if signed else 0.0
-            n0 = jnp.clip((C[:, None] * r0 - B[:, None] * r1) * inv[:, None], lo, lim)
-            n1 = jnp.clip((A[:, None] * r1 - B[:, None] * r0) * inv[:, None], lo, lim)
-            e0f = jnp.where(ok[:, None], n0, e0f)
-            e1f = jnp.where(ok[:, None], n1, e1f)
+            rows0, rows1 = [], []
+            for c in range(3):
+                r0 = jnp.sum(a * px_f[:, c, :], axis=0)
+                r1 = jnp.sum(b * px_f[:, c, :], axis=0)
+                n0 = jnp.clip((C * r0 - B * r1) * inv, lo, lim)
+                n1 = jnp.clip((A * r1 - B * r0) * inv, lo, lim)
+                rows0.append(jnp.where(ok, n0, e0f[c]))
+                rows1.append(jnp.where(ok, n1, e1f[c]))
+            e0f = jnp.stack(rows0)
+            e1f = jnp.stack(rows1)
             q0b, q1b = quant(e0f), quant(e1f)
-            idx_b, err_b = _bc6h_palette_err(px_int, mask, q0b, q1b,
-                                             precW, iprec, signed)
+            idx_b, err_b = _bc6h_palette_err_t(px_int, mask, q0b, q1b,
+                                               precW, iprec, signed)
         better = err_b < err
-        q0 = jnp.where(better[:, None], q0b, q0)
-        q1 = jnp.where(better[:, None], q1b, q1)
-        idx = jnp.where(better[:, None], idx_b, idx)
+        q0 = jnp.where(better[None, :], q0b, q0)
+        q1 = jnp.where(better[None, :], q1b, q1)
+        idx = jnp.where(better[None, :], idx_b, idx)
         err = jnp.minimum(err_b, err)
 
         total_err = total_err + err
@@ -1101,50 +1194,49 @@ def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed):
     fixed = []
     for sub, (mask, anchor) in enumerate(zip(mask_list, anchors)):
         if isinstance(anchor, int):
-            a_idx = idx_full[:, anchor]
+            a_idx = idx_full[anchor]
         else:
-            a_idx = jnp.take_along_axis(idx_full, anchor[:, None], axis=1)[:, 0]
+            a_idx = jnp.zeros(nb, jnp.int32)
+            for i in range(16):
+                a_idx = jnp.where(anchor == i, idx_full[i], a_idx)
         swap = (a_idx & msb) != 0
         q0, q1 = q_pairs[sub]
-        fixed.append((jnp.where(swap[:, None], q1, q0),
-                      jnp.where(swap[:, None], q0, q1)))
-        idx_full = jnp.where(swap[:, None] & mask, maxi - idx_full, idx_full)
+        fixed.append((jnp.where(swap[None, :], q1, q0),
+                      jnp.where(swap[None, :], q0, q1)))
+        idx_full = jnp.where(swap[None, :] & mask, maxi - idx_full, idx_full)
     q_pairs = fixed
 
     # delta transform + fit check (TransformForward + EndPointsFit :1948)
     base = q_pairs[0][0]
-    out_pairs = [q_pairs[0]]
     fit = jnp.ones(nb, bool)
     deltas = [(q_pairs[0][1], precX)]
     if partitions:
         deltas.append((q_pairs[1][0], precY))
         deltas.append((q_pairs[1][1], precZ))
     if transformed:
-        new = []
+        stored = []
         for val, prec in deltas:
             d = val - base
             for c in range(3):
-                fit = fit & _nbits_fit(d[:, c], prec[c], True)
-            new.append(d)
-        stored = new
+                fit = fit & _nbits_fit(d[c], prec[c], True)
+            stored.append(d)
     else:
         stored = [v for v, _ in deltas]
         for val, prec in deltas:
             for c in range(3):
-                fit = fit & _nbits_fit(val[:, c], prec[c], signed)
-    # base endpoint must fit precW (unsigned unless signed format)
+                fit = fit & _nbits_fit(val[c], prec[c], signed)
     for c in range(3):
-        fit = fit & _nbits_fit(base[:, c], precW[c], signed)
+        fit = fit & _nbits_fit(base[c], precW[c], signed)
 
-    # mask stored field values to their bit widths for emission
     def field_mask(v, prec):
-        return jnp.stack([v[:, c] & ((1 << prec[c]) - 1) for c in range(3)],
-                         axis=1)
+        return jnp.stack([v[c] & ((1 << prec[c]) - 1) for c in range(3)])
 
     emit_pairs = [(field_mask(base, precW), field_mask(stored[0], precX))]
     if partitions:
         emit_pairs.append((field_mask(stored[1], precY),
                            field_mask(stored[2], precZ)))
+    else:
+        emit_pairs.append(emit_pairs[0])  # unused filler
 
     total_err = jnp.where(fit, total_err, jnp.inf)
     return total_err, emit_pairs, idx_full
@@ -1154,13 +1246,14 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool) -> jnp.ndarray:
     """[NB, 16, 4] f32 -> [NB, 16] u8 (D3DXEncodeBC6HU/S, BC6HBC7.cpp:1817)."""
     rgb = jnp.asarray(blocks, jnp.float32)[..., :3]
     nb = rgb.shape[0]
-    px_int = _f16_to_int(rgb, signed)        # [NB,16,3] int32
+    # lane-major [16, 3, NB]
+    px_int = _f16_to_int(jnp.transpose(rgb, (1, 2, 0)), signed)
     px_f = px_int.astype(jnp.float32)
 
     best_err = jnp.full((nb,), jnp.inf, jnp.float32)
     best_words = jnp.zeros((nb, 4), jnp.uint32)
 
-    ones = jnp.ones(px_int.shape[:2], bool)
+    ones = jnp.ones((16, nb), bool)
 
     # 1-region modes (rows 10-13): one candidate each
     for row in range(10, 14):
@@ -1171,26 +1264,24 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool) -> jnp.ndarray:
         best_err = jnp.minimum(err, best_err)
         best_words = jnp.where(better[:, None], words, best_words)
 
-    # 2-region modes (rows 0-9): 32 shapes each via fori_loop
+    # 2-region modes (rows 0-9): shared estimate over the 32 BC6H shapes,
+    # then full refinement of the best BC7_SHAPE_CANDIDATES shapes per row.
+    # px_f here is [16, 3, NB]; pad a zero alpha plane for the estimator.
     parts_tab = jnp.asarray(PARTITIONS[1])
     fix_tab = jnp.asarray(FIXUPS[1])
+    px4 = jnp.concatenate([px_f, jnp.zeros((16, 1, nb), jnp.float32)], axis=1)
+    ests = _shape_estimates_table(px4, 1, 3, n_shapes=32)
+    shape_picks = _top_k_shapes(ests, BC7_SHAPE_CANDIDATES)
     for row in range(10):
-        def body(s, carry):
-            best_err, best_words = carry
-            pmask = parts_tab[s]
-            mask_list = [jnp.broadcast_to(pmask == 0, px_int.shape[:2]),
-                         jnp.broadcast_to(pmask == 1, px_int.shape[:2])]
-            anchors = [0, jnp.broadcast_to(fix_tab[s, 1], (nb,)).astype(jnp.int32)]
+        for s_blk in shape_picks:
+            pmask = parts_tab[s_blk].T                   # [16, NB]
+            mask_list = [pmask == 0, pmask == 1]
+            anchors = [0, fix_tab[s_blk, 1].astype(jnp.int32)]
             err, pairs, idx = _bc6h_eval_candidate(
                 px_int, px_f, mask_list, anchors, row, signed)
-            shape_arr = jnp.full((nb,), s, jnp.uint32)
-            words = _bc6h_emit(row, shape_arr, pairs, idx, nb)
+            words = _bc6h_emit(row, s_blk.astype(jnp.uint32), pairs, idx, nb)
             better = err < best_err
             best_words = jnp.where(better[:, None], words, best_words)
             best_err = jnp.minimum(err, best_err)
-            return best_err, best_words
-
-        best_err, best_words = lax.fori_loop(0, 32, body,
-                                             (best_err, best_words))
 
     return lax.bitcast_convert_type(best_words, jnp.uint8).reshape(nb, 16)

@@ -13,6 +13,7 @@ from jax import lax
 
 __all__ = [
     "image_to_blocks", "blocks_to_image", "optimize_alpha",
+    "optimize_alpha_t",
 ]
 
 
@@ -44,73 +45,65 @@ def blocks_to_image(blocks: jnp.ndarray, height: int, width: int) -> jnp.ndarray
     return img[:height, :width]
 
 
-def optimize_alpha(points: jnp.ndarray, csteps: int,
-                   signed: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched OptimizeAlpha (BC.h:187-311): Newton least-squares endpoint
-    fit for the BC3/BC4/BC5 scalar channel.
+def optimize_alpha_t(points: jnp.ndarray, csteps: int,
+                     signed: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched OptimizeAlpha (BC.h:187-311) over lane-major [16, NB] planes.
 
-    points: [NB, 16] float. Returns (fX, fY) each [NB] — note fX <= fY like
-    the reference (min endpoint first).
+    Newton least-squares endpoint fit for the BC3/BC4/BC5 scalar channel.
+    Returns (fX, fY) each [NB] with fX <= fY (min endpoint first).
     """
     if csteps == 6:
-        pC = jnp.asarray([5/5, 4/5, 3/5, 2/5, 1/5, 0/5, 0.0, 0.0], jnp.float32)
-        pD = jnp.asarray([0/5, 1/5, 2/5, 3/5, 4/5, 5/5, 0.0, 0.0], jnp.float32)
+        pC = [5/5, 4/5, 3/5, 2/5, 1/5, 0/5, 0.0, 0.0]
+        pD = [0/5, 1/5, 2/5, 3/5, 4/5, 5/5, 0.0, 0.0]
     else:
-        pC = jnp.asarray([7/7, 6/7, 5/7, 4/7, 3/7, 2/7, 1/7, 0/7], jnp.float32)
-        pD = jnp.asarray([0/7, 1/7, 2/7, 3/7, 4/7, 5/7, 6/7, 7/7], jnp.float32)
+        pC = [7/7, 6/7, 5/7, 4/7, 3/7, 2/7, 1/7, 0/7]
+        pD = [0/7, 1/7, 2/7, 3/7, 4/7, 5/7, 6/7, 7/7]
 
     MIN_VALUE = -1.0 if signed else 0.0
     MAX_VALUE = 1.0
 
     if csteps == 8:
-        fX = jnp.min(points, axis=1)
-        fY = jnp.max(points, axis=1)
+        fX = jnp.min(points, axis=0)
+        fY = jnp.max(points, axis=0)
     else:
         # min/max excluding values at the codec boundary (BC.h:216-230)
-        inside_lo = points > MIN_VALUE
-        inside_hi = points < MAX_VALUE
-        fX = jnp.min(jnp.where(inside_lo, points, MAX_VALUE), axis=1)
-        fY = jnp.max(jnp.where(inside_hi, points, MIN_VALUE), axis=1)
+        fX = jnp.min(jnp.where(points > MIN_VALUE, points, MAX_VALUE), axis=0)
+        fY = jnp.max(jnp.where(points < MAX_VALUE, points, MIN_VALUE), axis=0)
         fY = jnp.where(fX == fY, MAX_VALUE, fY)
 
     fsteps = float(csteps - 1)
 
-    def body(i, carry):
+    def body(_, carry):
         fX, fY, done = carry
         stop_now = (fY - fX) < (1.0 / 256.0)
         active = jnp.logical_not(done | stop_now)
 
         scale = fsteps / jnp.where(fY - fX == 0, 1.0, fY - fX)
-        # steps [NB, 8]
-        steps = pC[None, :] * fX[:, None] + pD[None, :] * fY[:, None]
-        if csteps == 6:
-            steps = steps.at[:, 6].set(MIN_VALUE).at[:, 7].set(MAX_VALUE)
-
-        fdot = (points - fX[:, None]) * scale[:, None]
-        # uint32_t(fDot + 0.5): round half-up, not round-half-even
+        fdot = (points - fX) * scale                      # [16, NB]
+        # uint32_t(fDot + 0.5): round half-up
         istep_mid = jnp.floor(fdot + 0.5).astype(jnp.int32)
         if csteps == 6:
-            lo = jnp.where(points <= (fX[:, None] + MIN_VALUE) * 0.5, 6, 0)
-            hi = jnp.where(points >= (fY[:, None] + MAX_VALUE) * 0.5, 7, csteps - 1)
+            lo = jnp.where(points <= (fX + MIN_VALUE) * 0.5, 6, 0)
+            hi = jnp.where(points >= (fY + MAX_VALUE) * 0.5, 7, csteps - 1)
         else:
             lo = jnp.zeros_like(istep_mid)
             hi = jnp.full_like(istep_mid, csteps - 1)
         istep = jnp.where(fdot <= 0.0, lo,
                           jnp.where(fdot >= fsteps, hi, istep_mid))
 
-        in_range = istep < csteps
-        onehot = (jnp.clip(istep, 0, 7)[:, :, None]
-                  == jnp.arange(8)[None, None, :]).astype(jnp.float32)
-        c = jnp.where(in_range, onehot @ pC, 0.0)
-        d = jnp.where(in_range, onehot @ pD, 0.0)
-        step_sel = jnp.einsum("nik,nk->ni", onehot, steps,
-                              preferred_element_type=jnp.float32)
-        diff = jnp.where(in_range, step_sel - points, 0.0)
-
-        dX = jnp.sum(c * diff, axis=1)
-        d2X = jnp.sum(c * c, axis=1)
-        dY = jnp.sum(d * diff, axis=1)
-        d2Y = jnp.sum(d * d, axis=1)
+        dX = jnp.zeros_like(fX)
+        dY = jnp.zeros_like(fX)
+        d2X = jnp.zeros_like(fX)
+        d2Y = jnp.zeros_like(fX)
+        for k in range(csteps):  # istep in {6,7} contributes pC/pD = 0 anyway
+            m = (istep == k).astype(jnp.float32)
+            step_k = pC[k] * fX + pD[k] * fY
+            diff = jnp.sum(m * (step_k - points), axis=0)
+            cnt = jnp.sum(m, axis=0)
+            dX = dX + pC[k] * diff
+            d2X = d2X + cnt * (pC[k] * pC[k])
+            dY = dY + pD[k] * diff
+            d2Y = d2Y + cnt * (pD[k] * pD[k])
 
         nX = jnp.where(d2X > 0, fX - dX / jnp.where(d2X > 0, d2X, 1.0), fX)
         nY = jnp.where(d2Y > 0, fY - dY / jnp.where(d2Y > 0, d2Y, 1.0), fY)
@@ -123,7 +116,14 @@ def optimize_alpha(points: jnp.ndarray, csteps: int,
         done = done | stop_now | (active & converged)
         return fX, fY, done
 
-    done0 = jnp.zeros(points.shape[0], bool)
+    done0 = jnp.zeros(points.shape[1], bool)
     fX, fY, _ = lax.fori_loop(0, 8, body, (fX, fY, done0))
     return (jnp.clip(fX, MIN_VALUE, MAX_VALUE),
             jnp.clip(fY, MIN_VALUE, MAX_VALUE))
+
+
+def optimize_alpha(points: jnp.ndarray, csteps: int,
+                   signed: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[NB, 16]-layout wrapper around optimize_alpha_t."""
+    return optimize_alpha_t(jnp.transpose(jnp.asarray(points, jnp.float32)),
+                            csteps, signed)
