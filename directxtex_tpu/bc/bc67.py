@@ -584,7 +584,7 @@ def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id):
         idx_r, err_r = idx_a, err_a
         q0b, q1b, p0b, p1b = q0a, q1a, p0a, p1a
         e0c, e1c = e0f, e1f
-        for _ in range(2):
+        for _ in range(1):
             e0c, e1c = _ls_refit_t(px_f, idx_r, mask, prec, e0c, e1c)
             q0b, q1b, p0b, p1b, idx_r, err_r = qpal(e0c, e1c)
         better = err_r < err_a
@@ -630,47 +630,62 @@ def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id):
 BC7_SHAPE_CANDIDATES = 4
 
 
-def _shape_estimate(px_f, mask, nch: int):
-    """Cheap per-shape error proxy: residual variance off the bounding-box
-    diagonal (total masked variance minus the component along the axis).
-    px_f [16, 4, NB]; mask [16, NB] -> [NB]."""
-    big = jnp.float32(1e9)
-    m3 = mask[:, None, :]
-    mf = mask.astype(jnp.float32)
-    mi = jnp.min(jnp.where(m3, px_f, big), axis=0)     # [4, NB]
-    ma = jnp.max(jnp.where(m3, px_f, -big), axis=0)
-    mid = (mi + ma) * 0.5
-    ab = ma - mi
-    len2 = jnp.zeros(px_f.shape[2], jnp.float32)
-    tot = jnp.zeros(px_f.shape[2], jnp.float32)
-    along = jnp.zeros((px_f.shape[0], px_f.shape[2]), jnp.float32)
-    for c in range(nch):
-        len2 = len2 + ab[c] * ab[c]
-        pt = (px_f[:, c, :] - mid[c][None, :]) * mf
-        tot = tot + jnp.sum(pt * pt, axis=0)
-        along = along + pt * ab[c][None, :]
-    proj2 = jnp.sum(along * along, axis=0) / jnp.maximum(len2, 1e-6)
-    return tot - proj2
-
-
 def _shape_estimates_table(px_f, partitions: int, nch: int,
                            n_shapes: int | None = None):
-    """[n_shapes, NB] estimate for every shape of a partition class."""
+    """[n_shapes, NB] cheap error proxy for every shape of a partition class.
+
+    For each (shape, subset): within-subset variance minus the variance
+    along a per-block global color axis (one covariance power-iteration).
+    All per-subset sums are matmuls of static [n_shapes, 16] mask matrices
+    against [16, NB] pixel planes, so the whole table rides the MXU — no
+    per-shape loop. Channels beyond `nch` still participate but contribute
+    zero once centered when constant (e.g. opaque alpha), so one table
+    serves BC7 modes 1/3/7."""
     if n_shapes is None:
         n_shapes = 64 if partitions else 1
-    parts_tab = jnp.asarray(PARTITIONS[partitions])
     nb = px_f.shape[2]
 
-    def body(s, buf):
-        pmask = parts_tab[s]
-        est = jnp.zeros(nb, jnp.float32)
-        for p in range(partitions + 1):
-            mask = jnp.broadcast_to((pmask == p)[:, None], (16, nb))
-            est = est + _shape_estimate(px_f, mask, nch)
-        return lax.dynamic_update_slice(buf, est[None, :], (s, 0))
+    mu = jnp.mean(px_f, axis=0)                       # [4, NB]
+    xc = px_f - mu[None, :, :]                        # [16, 4, NB] centered
+    var = jnp.sum(xc * xc, axis=0)                    # [4, NB]
+    # reference channel = per-block argmax variance (one-hot select)
+    ref = jnp.argmax(var[:nch], axis=0)               # [NB]
+    t_ref = jnp.zeros((16, nb), jnp.float32)
+    for c in range(nch):
+        t_ref = jnp.where(ref[None, :] == c, xc[:, c, :], t_ref)
+    # axis: covariance column of the reference channel, sharpened by one
+    # extra power iteration (a <- Cov a)
+    a = jnp.sum(xc * t_ref[:, None, :], axis=0)       # [4, NB]
+    t = jnp.sum(xc * a[None, :, :], axis=1)           # [16, NB]
+    a = jnp.sum(xc * t[:, None, :], axis=0)
+    a = a / jnp.maximum(jnp.sqrt(jnp.sum(a * a, axis=0)), 1e-6)[None, :]
+    t = jnp.sum(xc * a[None, :, :], axis=1)           # [16, NB] projection
+    len2 = jnp.sum(a * a, axis=0)                     # [NB]
+    inv_len2 = 1.0 / jnp.maximum(len2, 1e-6)
 
-    return lax.fori_loop(0, n_shapes, body,
-                         jnp.zeros((n_shapes, nb), jnp.float32))
+    q = jnp.sum(xc * xc, axis=1)                      # [16, NB] per-px |xc|^2
+    t2 = t * t
+
+    # one fused mask matmul: rows = every (subset, shape) pair, contracting
+    # the 16-pixel axis; 7 stacked planes (|xc|^2, t^2, t, 4 channels)
+    parts = PARTITIONS[partitions][:n_shapes]         # host [S, 16]
+    n_sub = partitions + 1
+    m_host = np.concatenate(
+        [(parts == p).astype(np.float32) for p in range(n_sub)], axis=0)
+    n_inv = 1.0 / np.maximum(m_host.sum(axis=1), 1.0)  # [n_sub*S]
+    rhs = jnp.concatenate(
+        [jnp.stack([q, t2, t], axis=1), xc], axis=1)   # [16, 7, NB]
+    s_all = jnp.einsum("mk,kqn->mqn", jnp.asarray(m_host), rhs,
+                       preferred_element_type=jnp.float32)
+
+    est = jnp.zeros((n_shapes, nb), jnp.float32)
+    for p in range(n_sub):
+        sp = s_all[p * n_shapes:(p + 1) * n_shapes]    # [S, 7, NB]
+        ninv = jnp.asarray(n_inv[p * n_shapes:(p + 1) * n_shapes])[:, None]
+        tot = sp[:, 0] - jnp.sum(sp[:, 3:7] * sp[:, 3:7], axis=1) * ninv
+        va = (sp[:, 1] - sp[:, 2] * sp[:, 2] * ninv) * inv_len2[None, :]
+        est = est + tot - va
+    return est
 
 
 def _top_k_shapes(ests, k: int):
@@ -777,7 +792,7 @@ def _try_single_mode(px_i, px_f, mode_id):
 
                 q0, q1, p0, p1, cidx, aidx, err = qpal(e0f, e1f)
                 e0c, e1c = e0f, e1f
-                for _ in range(2):
+                for _ in range(1):
                     e0c, e1c = _ls_refit_t(pr_f, cidx, mask, cprec, e0c, e1c,
                                            ch_start=0, ch_end=3)
                     e0c, e1c = _ls_refit_t(pr_f, aidx, mask, aprec, e0c, e1c,
@@ -842,11 +857,11 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0) -> jnp.ndarray:
     for mode_id in modes:
         if mode_id in (0, 1, 2, 3, 7):
             m = _BC7_MODES[mode_id]
-            key = (m.partitions, 4 if m.rgba_prec[3] else 3)
-            if key not in est_cache:
-                est_cache[key] = _shape_estimates_table(px_f, *key)
+            if m.partitions not in est_cache:
+                est_cache[m.partitions] = _shape_estimates_table(
+                    px_f, m.partitions, 4)
             err, words = _try_partition_mode(px_i, px_f, mode_id,
-                                             ests=est_cache[key])
+                                             ests=est_cache[m.partitions])
             if mode_id == 7:
                 # no value for opaque blocks (reference skip, :2818)
                 err = jnp.where(has_alpha, err, jnp.inf)

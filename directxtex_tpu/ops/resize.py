@@ -112,9 +112,11 @@ def resize_array(img: jnp.ndarray, width: int, height: int,
         img = img[None]
     n, h, w, c = img.shape
     mode = int(filter_flags) & TEX_FILTER_MODE_MASK
-    if mode == int(TF.BOX) and not (h == height * 2 and w == width * 2):
-        # reference requires pow2 halving for box (DirectXTexResize.cpp:312)
-        raise ValueError("box filter requires exact 2x downscale")
+    # BOX==FANT (same flag value): at exact 2x the box matrix applies, at any
+    # other ratio this falls through to the Fant area filter — matching the
+    # reference, where BOX/FANT resize goes through WIC's Fant resampler at
+    # arbitrary ratios (DirectXTexResize.cpp:24) and the pow2-only custom box
+    # path is just its special case (:312).
 
     wy = jnp.asarray(filter_weights(
         h, height, mode, bool(filter_flags & TF.WRAP_V),

@@ -73,6 +73,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="BC1 alpha threshold")
     p.add_argument("-tonemap", action="store_true",
                    help="Reinhard tonemap HDR to LDR")
+    p.add_argument("-rotatecolor", default=None,
+                   choices=["709to2020", "2020to709", "709toHDR10",
+                            "HDR10to709", "P3D65toHDR10", "P3D65to2020",
+                            "709toP3D65", "P3D65to709"],
+                   help="rotate color primaries / HDR10 PQ transfer")
+    p.add_argument("-nits", type=float, default=200.0,
+                   help="paper-white nits for HDR10 rotations")
+    p.add_argument("-pow2", action="store_true", dest="fit_pow2",
+                   help="fit dimensions to powers of 2 (rounding down)")
+    p.add_argument("-x2bias", action="store_true",
+                   help="x2 bias for UNORM<->FLOAT conversions")
+    p.add_argument("-tu", action="store_true", dest="typeless_unorm",
+                   help="treat TYPELESS input as UNORM")
+    p.add_argument("-tf", action="store_true", dest="typeless_float",
+                   help="treat TYPELESS input as FLOAT")
+    p.add_argument("-badtails", action="store_true",
+                   help="accept DDS files with truncated DXTn mip tails")
+    p.add_argument("-permissive", action="store_true",
+                   help="relaxed DDS header validation")
+    p.add_argument("-ignoremips", action="store_true",
+                   help="ignore the DDS mip chain, load level 0 only")
     p.add_argument("-swizzle", default=None, metavar="RGBA",
                    help="channel swizzle mask, e.g. 'bgra' or 'rrra'")
     p.add_argument("-c", "--colorkey", default=None, metavar="RRGGBB",
@@ -107,6 +128,8 @@ def _filter_flags(args):
         flags |= TF.SRGB_IN
     if args.srgb or args.srgbo:
         flags |= TF.SRGB_OUT
+    if getattr(args, "x2bias", False):
+        flags |= TF.FLOAT_X2BIAS
     return flags
 
 
@@ -127,7 +150,27 @@ def process_file(path: str, args, log=print) -> str:
     from ..texture import CompressedTexture
 
     t0 = time.perf_counter()
-    tex = load_texture(path)
+    load_kwargs = {}
+    if path.lower().endswith(".dds"):
+        dflags = DDS_FLAGS.NONE
+        if args.badtails:
+            dflags |= DDS_FLAGS.BAD_DXTN_TAILS
+        if args.permissive:
+            dflags |= DDS_FLAGS.PERMISSIVE
+        if args.ignoremips:
+            dflags |= DDS_FLAGS.IGNORE_MIPS
+        if dflags:
+            load_kwargs["flags"] = dflags
+    tex = load_texture(path, **load_kwargs)
+
+    # TYPELESS promotion (-tu / -tf, texconv.cpp:2245-2263)
+    if traits.is_typeless(tex.metadata.format):
+        if args.typeless_unorm:
+            tex = tex.replace_levels(tex.levels, tex.metadata.with_format(
+                traits.make_typeless_unorm(tex.metadata.format)))
+        elif args.typeless_float:
+            tex = tex.replace_levels(tex.levels, tex.metadata.with_format(
+                traits.make_typeless_float(tex.metadata.format)))
 
     # decompress BC input (texconv.cpp:2316)
     if isinstance(tex, CompressedTexture):
@@ -153,9 +196,14 @@ def process_file(path: str, args, log=print) -> str:
 
     filt = _filter_flags(args)
 
-    # resize (:2576)
+    # resize (:2576); -pow2 fits each axis to the next power of 2 down
+    # (FitPowerOf2, texconv.cpp:500-540)
     tw = args.width or tex.metadata.width
     th = args.height or tex.metadata.height
+    if args.fit_pow2:
+        def _pow2_down(v):
+            return 1 << max(0, v.bit_length() - 1)
+        tw, th = _pow2_down(tw), _pow2_down(th)
     if args.fixbc4x4 and traits.is_compressed(target_fmt):
         tw, th = max(4, tw & ~3), max(4, th & ~3)
     if (tw, th) != (tex.metadata.width, tex.metadata.height):
@@ -169,6 +217,13 @@ def process_file(path: str, args, log=print) -> str:
         while len(sw) < 4:
             sw.append(sw[-1])
         tex = transform_image(tex, lambda img: img[..., sw])
+
+    # color rotation (:2696)
+    if args.rotatecolor:
+        from ..ops.rotatecolor import ROTATE_COLOR, rotate_color
+        rot = ROTATE_COLOR(args.rotatecolor)
+        tex = transform_image(
+            tex, lambda img: rotate_color(img, rot, args.nits))
 
     # tonemap (:2966): Reinhard with max-luminance white point
     if args.tonemap:

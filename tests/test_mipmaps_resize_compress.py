@@ -138,11 +138,19 @@ def test_resize_wrap_vs_clamp_differ():
     assert not np.allclose(clamp, wrap)
 
 
-def test_resize_box_requires_pow2():
+def test_resize_box_any_ratio():
+    # BOX==FANT: exact 2x uses the box matrix, any other ratio falls through
+    # to the Fant area filter (reference resolves BOX/FANT resize via WIC's
+    # Fant resampler at arbitrary ratios, DirectXTexResize.cpp:24)
     tex = rand_tex(8, 8)
-    resize(tex, 4, 4, TF.BOX)
-    with pytest.raises(ValueError):
-        resize(tex, 3, 3, TF.BOX)
+    out = resize(tex, 4, 4, TF.BOX)
+    assert out.metadata.width == 4
+    out = resize(tex, 3, 3, TF.BOX)
+    assert out.metadata.width == 3
+    # 3x3 of a constant image stays constant (area weights normalized)
+    const = Texture.from_array(np.full((8, 8, 4), 0.25, np.float32))
+    out = resize(const, 3, 3, TF.BOX)
+    np.testing.assert_allclose(np.asarray(out.levels[0][0]), 0.25, atol=1e-6)
 
 
 # -- compress / decompress --
