@@ -58,21 +58,33 @@ def main():
             return bc67.encode_bc7(blocks)
         return bc123.encode_bc1(blocks, 0.5, 0)
 
-    # Time device execution with a 4-byte scalar fetch per step: on the axon
-    # tunnel block_until_ready() returns before remote execution finishes
-    # (bogus 0ms timings) and a full D2H copy of the blocks measures tunnel
-    # bandwidth, not the chip. Reducing to a checksum forces the whole encode
-    # to run while fetching only a scalar.
-    fn = jax.jit(lambda im: jnp.sum(step(im), dtype=jnp.uint32))
+    # Device-time measurement on the axon tunnel: block_until_ready() returns
+    # before remote execution finishes, and every host fetch pays a ~27ms
+    # network round trip. So we chain n_iter dependent dispatches (each step's
+    # checksum feeds the next step's input) and fetch once, then subtract one
+    # measured round trip.
+    @jax.jit
+    def chained(im, s):
+        out = step(im + s * 1e-30)
+        return jnp.sum(out, dtype=jnp.uint32).astype(jnp.float32)
+
     x_dev = jnp.asarray(img)
+    float(chained(x_dev, jnp.float32(0.0)))  # warmup / compile
 
-    int(fn(x_dev))  # warmup / compile
+    trivial = jax.jit(lambda s: s + 1.0)
+    s = jnp.float32(0.0)
+    float(trivial(s))
+    t0 = time.perf_counter()
+    float(trivial(s))
+    rtt = time.perf_counter() - t0
 
-    n_iter = 10
+    n_iter = 20
+    s = jnp.float32(0.0)
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        int(fn(x_dev))
-    dt = (time.perf_counter() - t0) / n_iter
+        s = chained(x_dev, s)
+    float(s)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n_iter
 
     mtexels = size * size / dt / 1e6
     result = {

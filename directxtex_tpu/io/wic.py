@@ -109,18 +109,40 @@ def load_from_wic_memory(data: bytes,
         return _to_texture(im.copy(), flags)
 
 
-def save_to_wic_memory(tex: Texture, codec: WIC_CODEC,
-                       flags: WIC_FLAGS = WIC_FLAGS.NONE,
-                       mip: int = 0, item: int = 0, **save_kwargs) -> bytes:
+def _to_pil(tex: Texture, codec: WIC_CODEC, mip: int, item: int):
     from PIL import Image
     img = np.asarray(tex.image(mip, item))
     u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
     if codec == WIC_CODEC.JPEG:
-        pil = Image.fromarray(u8[..., :3], "RGB")
-    else:
-        pil = Image.fromarray(u8, "RGBA")
+        return Image.fromarray(u8[..., :3], "RGB")
+    return Image.fromarray(u8, "RGBA")
+
+
+def save_to_wic_memory(tex: Texture, codec: WIC_CODEC,
+                       flags: WIC_FLAGS = WIC_FLAGS.NONE,
+                       mip: int = 0, item: int = 0,
+                       quality: float | None = None, **save_kwargs) -> bytes:
+    """Encode one subresource (or, with WIC_FLAGS.ALL_FRAMES on a GIF/TIFF
+    target, every array item as a frame). `quality` in [0, 1] maps to the
+    codec's quality property (IPropertyBag2 "ImageQuality",
+    DirectXTexWIC.cpp:1404)."""
+    if quality is not None:
+        if codec == WIC_CODEC.JPEG:
+            save_kwargs.setdefault("quality", int(round(quality * 100)))
+        elif codec == WIC_CODEC.PNG:
+            # PNG is lossless; quality steers effort/size tradeoff
+            save_kwargs.setdefault("compress_level",
+                                   int(round((1.0 - quality) * 9)))
+    pil = _to_pil(tex, codec, mip, item)
     buf = _io.BytesIO()
-    pil.save(buf, format=_PIL_FORMAT[codec], **save_kwargs)
+    if (flags & WIC_FLAGS.ALL_FRAMES) and tex.metadata.array_size > 1 \
+            and codec in (WIC_CODEC.GIF, WIC_CODEC.TIFF):
+        rest = [_to_pil(tex, codec, mip, i)
+                for i in range(1, tex.metadata.array_size)]
+        pil.save(buf, format=_PIL_FORMAT[codec], save_all=True,
+                 append_images=rest, **save_kwargs)
+    else:
+        pil.save(buf, format=_PIL_FORMAT[codec], **save_kwargs)
     return buf.getvalue()
 
 

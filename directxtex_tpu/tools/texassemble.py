@@ -22,7 +22,7 @@ def build_parser() -> argparse.ArgumentParser:
         "cube", "volume", "array", "cubearray",
         "h-cross", "v-cross", "h-strip", "v-strip",
         "cube-from-hc", "cube-from-vc", "cube-from-hs", "cube-from-vs",
-        "merge",
+        "merge", "gif", "array-strip", "from-mips",
     ])
     p.add_argument("files", nargs="+", help="input images")
     p.add_argument("-o", "--output", required=True, help="output file")
@@ -91,6 +91,45 @@ def main(argv=None) -> int:
         tex = Texture(a.metadata, [out])
         save_texture(tex, args.output)
         print(f"  wrote {args.output}")
+        return 0
+
+    if cmd == "gif":
+        # animated GIF -> texture array (AnimatedGif.cpp)
+        from ..io.wic import WIC_FLAGS, load_from_wic_file
+        tex = load_from_wic_file(args.files[0], WIC_FLAGS.ALL_FRAMES)
+        save_texture(tex, args.output)
+        print(f"  wrote {args.output} ({tex.array_size} frames)")
+        return 0
+
+    if cmd == "array-strip":
+        # texture array -> one vertical strip image (CMD_ARRAY_STRIP)
+        texs = _load_normalized(args.files, args)
+        items = [texs[0].levels[0][i] for i in range(texs[0].array_size)] \
+            if len(texs) == 1 else [t.levels[0][0] for t in texs]
+        out = jnp.concatenate(items, axis=0)
+        save_texture(Texture.from_array(out), args.output)
+        print(f"  wrote {args.output}")
+        return 0
+
+    if cmd == "from-mips":
+        # mip chain -> texture array, one item per level upscaled back to
+        # the base size (CMD_FROM_MIPS)
+        from ..io import load_texture
+        from ..ops import decompress
+        from ..ops.resize import resize_array
+        from ..texture import CompressedTexture
+        t = load_texture(args.files[0])
+        if isinstance(t, CompressedTexture):
+            t = decompress(t)
+        w, h = t.metadata.width, t.metadata.height
+        items = [t.levels[lvl][0] for lvl in range(t.mip_levels)]
+        stacked = jnp.stack([resize_array(i, w, h) if i.shape[:2] != (h, w)
+                             else i for i in items])
+        meta = TexMetadata(width=w, height=h, array_size=len(items),
+                           mip_levels=1, format=t.metadata.format,
+                           dimension=TexDimension.TEXTURE2D)
+        save_texture(Texture(meta, [stacked]), args.output)
+        print(f"  wrote {args.output} ({len(items)} mips as array)")
         return 0
 
     if cmd in ("h-cross", "v-cross", "h-strip", "v-strip"):

@@ -104,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rebuild Z (blue) channel from X/Y for BC5 normals")
     p.add_argument("-fixbc4x4", action="store_true",
                    help="round size down to multiple of 4 for BC")
+    p.add_argument("-wicq", type=float, default=None, metavar="Q",
+                   help="WIC codec quality 0.0-1.0 (JPEG quality / PNG "
+                        "compression effort)")
+    p.add_argument("-wicmulti", action="store_true",
+                   help="save texture arrays as multiframe GIF/TIFF")
     p.add_argument("-timing", action="store_true", help="print per-stage times")
     p.add_argument("-nologo", action="store_true", help="suppress banner")
     p.add_argument("-dx9", action="store_true", help="force DX9 legacy DDS")
@@ -324,6 +329,12 @@ def process_file(path: str, args, log=print) -> str:
         if args.dx9:
             flags |= DDS_FLAGS.FORCE_DX9_LEGACY
         kwargs["flags"] = flags
+    elif ext in ("png", "jpg", "bmp", "tiff"):
+        from ..io.wic import WIC_FLAGS
+        if args.wicq is not None:
+            kwargs["quality"] = args.wicq
+        if args.wicmulti:
+            kwargs["flags"] = WIC_FLAGS.ALL_FRAMES
     save_texture(tex, out_path, **kwargs)
 
     if args.timing:
