@@ -570,7 +570,23 @@ def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id):
     e_pairs, p_pairs = [], []
     idx_full = jnp.zeros((px_i.shape[0], px_i.shape[2]), jnp.int32)
 
+    use_pallas = False
+    try:
+        from .pallas_kernels import _BC7_MODE_STATICS, _use_pallas, \
+            subset_eval_pallas
+        use_pallas = _use_pallas() and mode_id in _BC7_MODE_STATICS
+    except Exception:
+        pass
+
     for sub, mask in enumerate(mask_list):
+        if use_pallas:
+            # fused VMEM kernel: same math as the jnp body below in one pass
+            q0, q1, p0, p1, idx, err = subset_eval_pallas(px_i, mask, mode_id)
+            total_err = total_err + err
+            e_pairs.append((q0, q1))
+            p_pairs.append((p0, p1))
+            idx_full = jnp.where(mask, idx, idx_full)
+            continue
         e0f, e1f = _minmax_axis_endpoints_t(px_f, mask,
                                             with_alpha=m.rgba_prec[3] > 0)
 
@@ -1146,7 +1162,21 @@ def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed):
     total_err = jnp.zeros(nb, jnp.float32)
     q_pairs = []
 
+    use_pallas = False
+    try:
+        from .pallas_kernels import _use_pallas, bc6h_eval_pallas
+        use_pallas = _use_pallas()
+    except Exception:
+        pass
+
     for sub, mask in enumerate(mask_list):
+        if use_pallas:
+            # fused VMEM kernel: same math as the jnp body below in one pass
+            q0, q1, idx, err = bc6h_eval_pallas(px_int, mask, row, signed)
+            total_err = total_err + err
+            q_pairs.append((q0, q1))
+            idx_full = jnp.where(mask, idx, idx_full)
+            continue
         big = jnp.float32(1e9)
         m3 = mask[:, None, :]
         mi = jnp.min(jnp.where(m3, px_f, big), axis=0)    # [3, NB]
