@@ -745,6 +745,67 @@ def _try_partition_mode(px_i, px_f, mode_id, ests=None):
     return best_err, best_words
 
 
+def _dual_eval_ref(pr_i, pr_f, mode_id, im):
+    """Dual-index (modes 4/5) candidate evaluation, jnp reference path.
+
+    RGB axis-fit + alpha min/max endpoints (RoughMSE, BC6HBC7.cpp:3553),
+    quantize, independent color/alpha palette searches at the two index
+    precisions, one least-squares refit per group, second evaluation,
+    keep-best. Returns (q0, q1 [4, NB], p0, p1 [NB], cidx, aidx [16, NB],
+    err [NB]). pallas_kernels.dual_eval_pallas fuses this same math."""
+    m = _BC7_MODES[mode_id]
+    nb = pr_i.shape[2]
+    mask = jnp.ones((16, nb), bool)
+    cprec = m.index_prec2 if im else m.index_prec
+    aprec = m.index_prec if im else m.index_prec2
+
+    def qpal(e0f_, e1f_):
+        q0, q1, p0, p1 = _quantize_endpoints_t(e0f_, e1f_, m)
+        u0, u1 = _unquantize_with_p_t(q0, q1, p0, p1, m, False)
+        cidx, cerr = _assign_indices_t(pr_i, u0, u1, cprec, mask,
+                                       channels=3)
+        # alpha-only assignment
+        wA = _WEIGHTS[aprec]
+        bestd = None
+        aidx = None
+        for k in range(1 << aprec):
+            wk = int(wA[k])
+            pal = ((64 - wk) * u0[3] + wk * u1[3] + 32) >> 6
+            dd = (pr_i[:, 3, :] - pal[None, :]).astype(jnp.float32)
+            dd = dd * dd
+            if bestd is None:
+                bestd, aidx = dd, jnp.zeros_like(dd, dtype=jnp.int32)
+            else:
+                b = dd < bestd
+                bestd = jnp.where(b, dd, bestd)
+                aidx = jnp.where(b, k, aidx)
+        aerr = jnp.sum(bestd, axis=0)
+        return q0, q1, p0, p1, cidx, aidx, cerr + aerr
+
+    e0f, e1f = _minmax_axis_endpoints_t(pr_f, mask, with_alpha=False)
+    a_min = jnp.min(pr_f[:, 3, :], axis=0)
+    a_max = jnp.max(pr_f[:, 3, :], axis=0)
+    e0f = e0f.at[3].set(a_min)
+    e1f = e1f.at[3].set(a_max)
+
+    q0, q1, p0, p1, cidx, aidx, err = qpal(e0f, e1f)
+    e0c, e1c = e0f, e1f
+    e0c, e1c = _ls_refit_t(pr_f, cidx, mask, cprec, e0c, e1c,
+                           ch_start=0, ch_end=3)
+    e0c, e1c = _ls_refit_t(pr_f, aidx, mask, aprec, e0c, e1c,
+                           ch_start=3, ch_end=4)
+    q0b, q1b, p0b, p1b, cidx_b, aidx_b, err_b = qpal(e0c, e1c)
+    better = err_b < err
+    q0 = jnp.where(better[None, :], q0b, q0)
+    q1 = jnp.where(better[None, :], q1b, q1)
+    cidx = jnp.where(better[None, :], cidx_b, cidx)
+    aidx = jnp.where(better[None, :], aidx_b, aidx)
+    err = jnp.minimum(err_b, err)
+    p0 = jnp.where(better, p0b, p0)
+    p1 = jnp.where(better, p1b, p1)
+    return q0, q1, p0, p1, cidx, aidx, err
+
+
 def _try_single_mode(px_i, px_f, mode_id):
     """Modes 4/5/6: single subset, rotations x index modes.
     Returns (err [NB], words [NB, 4])."""
@@ -774,54 +835,23 @@ def _try_single_mode(px_i, px_f, mode_id):
                 words = _emit_bc7(mode_id, 0, rot, im, q0s, q1s, p0s, p1s,
                                   idx, None, nb)
             else:
-                cprec = m.index_prec2 if im else m.index_prec
-                aprec = m.index_prec if im else m.index_prec2
-                # endpoints: RGB axis fit + alpha min/max (RoughMSE :3553)
-                e0f, e1f = _minmax_axis_endpoints_t(pr_f, mask, with_alpha=False)
-                a_min = jnp.min(pr_f[:, 3, :], axis=0)
-                a_max = jnp.max(pr_f[:, 3, :], axis=0)
-                e0f = e0f.at[3].set(a_min)
-                e1f = e1f.at[3].set(a_max)
-
-                def qpal(e0f_, e1f_):
-                    q0, q1, p0, p1 = _quantize_endpoints_t(e0f_, e1f_, m)
-                    u0, u1 = _unquantize_with_p_t(q0, q1, p0, p1, m, False)
-                    cidx, cerr = _assign_indices_t(pr_i, u0, u1, cprec, mask,
-                                                   channels=3)
-                    # alpha-only assignment
-                    wA = _WEIGHTS[aprec]
-                    bestd = None
-                    aidx = None
-                    for k in range(1 << aprec):
-                        wk = int(wA[k])
-                        pal = ((64 - wk) * u0[3] + wk * u1[3] + 32) >> 6
-                        dd = (pr_i[:, 3, :] - pal[None, :]).astype(jnp.float32)
-                        dd = dd * dd
-                        if bestd is None:
-                            bestd, aidx = dd, jnp.zeros_like(dd, dtype=jnp.int32)
-                        else:
-                            b = dd < bestd
-                            bestd = jnp.where(b, dd, bestd)
-                            aidx = jnp.where(b, k, aidx)
-                    aerr = jnp.sum(bestd, axis=0)
-                    return q0, q1, p0, p1, cidx, aidx, cerr + aerr
-
-                q0, q1, p0, p1, cidx, aidx, err = qpal(e0f, e1f)
-                e0c, e1c = e0f, e1f
-                for _ in range(1):
-                    e0c, e1c = _ls_refit_t(pr_f, cidx, mask, cprec, e0c, e1c,
-                                           ch_start=0, ch_end=3)
-                    e0c, e1c = _ls_refit_t(pr_f, aidx, mask, aprec, e0c, e1c,
-                                           ch_start=3, ch_end=4)
-                    q0b, q1b, p0b, p1b, cidx_b, aidx_b, err_b = qpal(e0c, e1c)
-                better = err_b < err
-                q0 = jnp.where(better[None, :], q0b, q0)
-                q1 = jnp.where(better[None, :], q1b, q1)
-                cidx = jnp.where(better[None, :], cidx_b, cidx)
-                aidx = jnp.where(better[None, :], aidx_b, aidx)
-                err = jnp.minimum(err_b, err)
-                p0 = jnp.where(better, p0b, p0)
-                p1 = jnp.where(better, p1b, p1)
+                use_pallas = False
+                try:
+                    from .pallas_kernels import _use_pallas, dual_eval_pallas
+                    use_pallas = _use_pallas()
+                except Exception:
+                    pass
+                if use_pallas:
+                    # fused VMEM kernel: same math as _dual_eval_ref (axis
+                    # fit, quantize, dual palette search, LS refit,
+                    # keep-best), one HBM round-trip instead of many
+                    q0, q1, cidx, aidx, err = dual_eval_pallas(
+                        pr_i, mode_id, im)
+                    p0 = jnp.zeros(pr_i.shape[2], jnp.int32)
+                    p1 = p0
+                else:
+                    q0, q1, p0, p1, cidx, aidx, err = _dual_eval_ref(
+                        pr_i, pr_f, mode_id, im)
 
                 # anchor fixes: color and alpha endpoint components swap
                 # INDEPENDENTLY (AssignIndices, BC6HBC7.cpp:3196-3216)

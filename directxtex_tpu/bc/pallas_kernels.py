@@ -551,3 +551,200 @@ def bc6h_eval_pallas(px_int: jnp.ndarray, mask: jnp.ndarray, row: int,
         interpret=interpret,
     )(px_cm, mf)
     return q0[:3, :nb], q1[:3, :nb], idx[:, :nb], err8[0, :nb]
+
+
+# ---------------------------------------------------------------------------
+# BC7 dual-index (modes 4/5) mega-kernel
+# ---------------------------------------------------------------------------
+# Fuses the dual-index candidate evaluation from bc67._try_single_mode:
+# RGB axis endpoints + alpha min/max, quantize, separate color (RGB) and
+# alpha palette searches at different precisions, per-group least-squares
+# refits, second evaluation, keep-best. Rotation handling (channel swap) and
+# the independent RGB/A anchor fix-ups stay outside.
+
+_BC7_DUAL_STATICS = {
+    # mode_id: (rgba_prec, rgba_prec_p, index_prec, index_prec2)
+    4: ((5, 5, 5, 6), (5, 5, 5, 6), 2, 3),
+    5: ((7, 7, 7, 8), (7, 7, 7, 8), 2, 2),
+}
+
+
+def _dual_eval_kernel(px_ref, q0_ref, q1_ref, cidx_ref, aidx_ref, err_ref,
+                      *, mode_id: int, im: int):
+    rgba_prec, rgba_prec_p, prec1, prec2 = _BC7_DUAL_STATICS[mode_id]
+    cprec = prec2 if im else prec1
+    aprec = prec1 if im else prec2
+    wc = _WEIGHTS[cprec]
+    wa = _WEIGHTS[aprec]
+
+    xs = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
+    xf = [x.astype(jnp.float32) for x in xs]
+
+    # RGB axis fit (mask = all ones for single-subset modes) + alpha min/max
+    mi = [jnp.min(f, axis=0) for f in xf]
+    ma = [jnp.max(f, axis=0) for f in xf]
+    mid = [(a + b) * 0.5 for a, b in zip(mi, ma)]
+    ab = [b - a for a, b in zip(mi, ma)]
+    fab = sum(ab[c] * ab[c] for c in range(3))
+    fab = jnp.where(fab > 0, fab, 1.0)
+    pt = [(xf[c] - mid[c][None, :]) * (ab[c] / fab)[None, :]
+          for c in range(3)]
+    best_score = jnp.full_like(fab, -1.0)
+    best_sg = jnp.ones_like(fab)
+    best_sb = jnp.ones_like(fab)
+    for sg in (1.0, -1.0):
+        for sb in (1.0, -1.0):
+            f = pt[0] + sg * pt[1] + sb * pt[2]
+            score = jnp.sum(f * f, axis=0)
+            better = score > best_score
+            best_score = jnp.where(better, score, best_score)
+            best_sg = jnp.where(better, sg, best_sg)
+            best_sb = jnp.where(better, sb, best_sb)
+    g0 = jnp.where(best_sg < 0, ma[1], mi[1])
+    g1 = jnp.where(best_sg < 0, mi[1], ma[1])
+    b0 = jnp.where(best_sb < 0, ma[2], mi[2])
+    b1 = jnp.where(best_sb < 0, mi[2], ma[2])
+    e0 = [mi[0], g0, b0, mi[3]]
+    e1 = [ma[0], g1, b1, ma[3]]
+
+    def quantize_u8(c, prec):
+        if prec >= 8:
+            return c
+        return jnp.minimum(c + (1 << (7 - prec)), 255) >> (8 - prec)
+
+    def unquantize(c, prec):
+        if prec >= 8:
+            return c
+        c = (c << (8 - prec)) & 0xFF
+        return c | (c >> prec)
+
+    def qpal(e0l, e1l):
+        q0l = [quantize_u8(jnp.clip(jnp.round(e0l[c]), 0, 255)
+                           .astype(jnp.int32), rgba_prec[c])
+               for c in range(4)]
+        q1l = [quantize_u8(jnp.clip(jnp.round(e1l[c]), 0, 255)
+                           .astype(jnp.int32), rgba_prec[c])
+               for c in range(4)]
+        u0l = [unquantize(q0l[c], rgba_prec[c]) for c in range(4)]
+        u1l = [unquantize(q1l[c], rgba_prec[c]) for c in range(4)]
+        # color search over RGB
+        best = None
+        cidx = None
+        for k in range(1 << cprec):
+            wk = int(wc[k])
+            dist = None
+            for c in range(3):
+                pal = (u0l[c] * (64 - wk) + u1l[c] * wk + 32) >> 6
+                d = xs[c] - pal[None, :]
+                dd = d * d
+                dist = dd if dist is None else dist + dd
+            if best is None:
+                best = dist
+                cidx = jnp.zeros_like(dist)
+            else:
+                bt = dist < best
+                best = jnp.where(bt, dist, best)
+                cidx = jnp.where(bt, k, cidx)
+        cerr = jnp.sum(best.astype(jnp.float32), axis=0)
+        # alpha-only search
+        besta = None
+        aidx = None
+        for k in range(1 << aprec):
+            wk = int(wa[k])
+            pal = (u0l[3] * (64 - wk) + u1l[3] * wk + 32) >> 6
+            d = xs[3] - pal[None, :]
+            dd = (d * d).astype(jnp.float32)
+            if besta is None:
+                besta = dd
+                aidx = jnp.zeros((dd.shape[0], dd.shape[1]), jnp.int32)
+            else:
+                bt = dd < besta
+                besta = jnp.where(bt, dd, besta)
+                aidx = jnp.where(bt, k, aidx)
+        aerr = jnp.sum(besta, axis=0)
+        return q0l, q1l, cidx, aidx, cerr + aerr
+
+    def refit(idx, wtab, K, lo_ch, hi_ch, e0l, e1l):
+        x = jnp.zeros_like(xf[0])
+        for k in range(1, K):
+            x = x + jnp.where(idx == k, jnp.float32(float(wtab[k]) / 64.0),
+                              0.0)
+        av = 1.0 - x
+        bv = x
+        A = jnp.sum(av * av, axis=0)
+        B = jnp.sum(av * bv, axis=0)
+        C = jnp.sum(bv * bv, axis=0)
+        det = A * C - B * B
+        ok = jnp.abs(det) > 1e-6
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        e0n = list(e0l)
+        e1n = list(e1l)
+        for c in range(lo_ch, hi_ch):
+            r0 = jnp.sum(av * xf[c], axis=0)
+            r1 = jnp.sum(bv * xf[c], axis=0)
+            n0 = jnp.clip((C * r0 - B * r1) * inv, 0.0, 255.0)
+            n1 = jnp.clip((A * r1 - B * r0) * inv, 0.0, 255.0)
+            e0n[c] = jnp.where(ok, n0, e0l[c])
+            e1n[c] = jnp.where(ok, n1, e1l[c])
+        return e0n, e1n
+
+    q0a, q1a, cidx_a, aidx_a, err_a = qpal(e0, e1)
+    e0c, e1c = refit(cidx_a, wc, 1 << cprec, 0, 3, e0, e1)
+    e0c, e1c = refit(aidx_a, wa, 1 << aprec, 3, 4, e0c, e1c)
+    q0b, q1b, cidx_b, aidx_b, err_b = qpal(e0c, e1c)
+
+    better = err_b < err_a
+    bet16 = better[None, :]
+    q0 = [jnp.where(better, q0b[c], q0a[c]) for c in range(4)]
+    q1 = [jnp.where(better, q1b[c], q1a[c]) for c in range(4)]
+    cidx = jnp.where(bet16, cidx_b, cidx_a)
+    aidx = jnp.where(bet16, aidx_b, aidx_a)
+    err = jnp.minimum(err_b, err_a)
+
+    q0_ref[...] = jnp.stack(q0)
+    q1_ref[...] = jnp.stack(q1)
+    cidx_ref[...] = cidx
+    aidx_ref[...] = aidx
+    err_ref[...] = jnp.broadcast_to(err[None, :], err_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("mode_id", "im", "interpret"))
+def dual_eval_pallas(px_i: jnp.ndarray, mode_id: int, im: int,
+                     interpret: bool = False):
+    """Fused BC7 mode-4/5 dual-index evaluation (rotation applied by the
+    caller). px_i [16, 4, NB] int32. Returns (q0, q1 [4, NB] int32, cidx,
+    aidx [16, NB] int32, err [NB] float32)."""
+    from jax.experimental import pallas as pl
+
+    nb = px_i.shape[2]
+    nb_pad = -(-nb // _TILE) * _TILE
+    pad = nb_pad - nb
+
+    px_cm = jnp.transpose(px_i, (1, 0, 2)).reshape(64, nb)
+    if pad:
+        px_cm = jnp.pad(px_cm, ((0, 0), (0, pad)))
+
+    grid = (nb_pad // _TILE,)
+    kern = functools.partial(_dual_eval_kernel, mode_id=mode_id, im=im)
+    q0, q1, cidx, aidx, err8 = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((64, _TILE), lambda i: (0, i))],
+        out_specs=[
+            pl.BlockSpec((4, _TILE), lambda i: (0, i)),
+            pl.BlockSpec((4, _TILE), lambda i: (0, i)),
+            pl.BlockSpec((16, _TILE), lambda i: (0, i)),
+            pl.BlockSpec((16, _TILE), lambda i: (0, i)),
+            pl.BlockSpec((8, _TILE), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((4, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((16, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((16, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(px_cm)
+    return (q0[:, :nb], q1[:, :nb], cidx[:, :nb], aidx[:, :nb],
+            err8[0, :nb])

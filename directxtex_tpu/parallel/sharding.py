@@ -52,7 +52,10 @@ def sharded_compress_fn(encode_block_fn: Callable, mesh: Mesh,
 def sharded_mse(mesh: Mesh, axis: str = "batch") -> Callable:
     """Batch-sharded MSE: per-shard partial sums combine via psum — the only
     collective in the pipeline (SURVEY.md §2.6)."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # pre-0.8 JAX
+        from jax.experimental.shard_map import shard_map
 
     def local(a, b):
         d = a - b

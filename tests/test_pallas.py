@@ -42,3 +42,27 @@ def test_assign_indices_channel_ranges(data):
                                      ch_end=3, interpret=True)
     idx_r, _ = bc67._assign_indices_t(px, u0, u1, 2, mask, channels=3)
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_r))
+
+
+@pytest.mark.parametrize("mode_id", [4, 5])
+@pytest.mark.parametrize("im", [0, 1])
+def test_dual_eval_matches_reference(mode_id, im):
+    from directxtex_tpu.bc.pallas_kernels import dual_eval_pallas
+
+    if mode_id == 5 and im == 1:
+        pytest.skip("mode 5 has no index-mode bit")
+    rng = np.random.default_rng(7)
+    nb = 600
+    px_i = jnp.asarray(rng.integers(0, 256, (16, 4, nb)).astype(np.int32))
+    px_f = px_i.astype(jnp.float32)
+
+    q0p, q1p, cip, aip, errp = dual_eval_pallas(px_i, mode_id, im,
+                                                interpret=True)
+    q0r, q1r, _, _, cir, air, errr = bc67._dual_eval_ref(
+        px_i, px_f, mode_id, im)
+    np.testing.assert_array_equal(np.asarray(q0p), np.asarray(q0r))
+    np.testing.assert_array_equal(np.asarray(q1p), np.asarray(q1r))
+    np.testing.assert_array_equal(np.asarray(cip), np.asarray(cir))
+    np.testing.assert_array_equal(np.asarray(aip), np.asarray(air))
+    np.testing.assert_allclose(np.asarray(errp), np.asarray(errr),
+                               rtol=1e-5, atol=1e-2)
