@@ -52,10 +52,14 @@ def main():
     img += (rng.random(img.shape).astype(np.float32) - 0.5) * 0.05
     img = np.clip(img, 0, 1)
 
+    # the bench image is fully opaque; the compress() driver derives the
+    # same hint from IsAlphaAllOpaque before dispatch
+    opaque = bool(np.all(img[..., 3] >= 1.0))
+
     def step(im):
         blocks, _, _ = image_to_blocks(im)
         if codec == "bc7":
-            return bc67.encode_bc7(blocks)
+            return bc67.encode_bc7(blocks, opaque=opaque)
         return bc123.encode_bc1(blocks, 0.5, 0)
 
     # Device-time measurement on the axon tunnel: block_until_ready() returns

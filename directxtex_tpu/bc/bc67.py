@@ -349,33 +349,55 @@ def _unquantize_with_p_t(q0, q1, p0, p1, mode: "_BC7Mode", shared_p: bool):
     return jnp.stack(u0_rows), jnp.stack(u1_rows)
 
 
-def _assign_indices_t(px_i, u0, u1, prec: int, mask, channels=4):
-    """Index assignment over lane-major planes.
+def _pal_weight(k, K: int):
+    """Interpolation weight for index k: the g_aWeights2/3/4 tables are
+    exactly round(64k/(K-1)) (BC6HBC7.cpp:327-329); closed form keeps the
+    projection search table-free. Computed as an exact multiply-shift
+    because integer division is slow on the TPU VPU."""
+    m = -(-65536 // (2 * K - 2))
+    return ((128 * k + (K - 1)) * m) >> 16
+
+
+def _assign_indices_t(px_i, u0, u1, prec: int, mask, channels=4,
+                      ch_start=0):
+    """Projection-based index assignment over lane-major planes.
+
+    Follows the reference's own GPU encoder (BC7Encode.hlsl:501-533 /
+    BCDirectCompute.cpp): project each pixel onto the endpoint axis, snap
+    the 0..64 projection to the nearest interpolation weight (the aStep
+    table, here closed-form with a +/-1 nearest-weight correction), then
+    score the chosen index with the exact integer palette — O(1) per pixel
+    instead of the CPU codec's O(2^prec) exhaustive palette search.
 
     px_i [16, 4, NB] int32; u0/u1 [4, NB] unquantized endpoints.
-    Returns (idx [16, NB], err [NB]) over the first `channels` channels
-    (integer palette interpolation, distances in float)."""
-    w = _WEIGHTS[prec]
-    P = 1 << prec
-    big = jnp.float32(3.4e38)
-    best = None
-    idx = None
-    for k in range(P):
-        wk = int(w[k])
-        d = jnp.zeros(px_i.shape[::2][1:] + (0,)) if False else 0.0
-        dist = jnp.zeros((px_i.shape[0], px_i.shape[2]), jnp.float32)
-        for ch in range(channels):
-            pal = ((64 - wk) * u0[ch] + wk * u1[ch] + 32) >> 6   # [NB]
-            dd = (px_i[:, ch, :] - pal[None, :]).astype(jnp.float32)
-            dist = dist + dd * dd
-        if best is None:
-            best = dist
-            idx = jnp.zeros_like(dist, dtype=jnp.int32)
-        else:
-            better = dist < best
-            best = jnp.where(better, dist, best)
-            idx = jnp.where(better, k, idx)
-    err = jnp.sum(jnp.where(mask, best, 0.0), axis=0)
+    Returns (idx [16, NB], err [NB]) over channels [ch_start, channels)."""
+    K = 1 << prec
+    d0 = [px_i[:, c, :] - u0[c][None, :] for c in range(ch_start, channels)]
+    e = [u1[c] - u0[c] for c in range(ch_start, channels)]          # [NB]
+    dot = sum((d * ee[None, :] for d, ee in zip(d0, e)),
+              start=jnp.zeros_like(d0[0])).astype(jnp.float32)
+    span = sum((ee * ee for ee in e),
+               start=jnp.zeros_like(e[0])).astype(jnp.float32)      # [NB]
+    p64 = jnp.clip(dot * (64.0 / jnp.where(span > 0, span, 1.0))[None, :],
+                   0.0, 64.0)
+    kf = jnp.round(p64 * ((K - 1) / 64.0)).astype(jnp.int32)
+    kf = jnp.clip(kf, 0, K - 1)
+    # nearest-weight correction: the uniform inverse can land one off
+    # because the weight table itself is rounded
+    wk = _pal_weight(kf, K)
+    wkp = _pal_weight(jnp.minimum(kf + 1, K - 1), K)
+    wkm = _pal_weight(jnp.maximum(kf - 1, 0), K)
+    up = (kf < K - 1) & (2.0 * p64 > (wk + wkp).astype(jnp.float32))
+    dn = (kf > 0) & (2.0 * p64 < (wk + wkm).astype(jnp.float32))
+    idx = jnp.where(up, kf + 1, jnp.where(dn, kf - 1, kf))
+    wk = _pal_weight(idx, K)
+    # exact integer-palette error at the chosen index:
+    # ((64-w)u0 + w u1 + 32) >> 6 == u0 + ((w (u1-u0) + 32) >> 6)
+    dist = jnp.zeros_like(p64)
+    for d, ee in zip(d0, e):
+        r = (d - ((wk * ee[None, :] + 32) >> 6)).astype(jnp.float32)
+        dist = dist + r * r
+    err = jnp.sum(jnp.where(mask, dist, 0.0), axis=0)
     return idx, err
 
 
@@ -764,22 +786,8 @@ def _dual_eval_ref(pr_i, pr_f, mode_id, im):
         u0, u1 = _unquantize_with_p_t(q0, q1, p0, p1, m, False)
         cidx, cerr = _assign_indices_t(pr_i, u0, u1, cprec, mask,
                                        channels=3)
-        # alpha-only assignment
-        wA = _WEIGHTS[aprec]
-        bestd = None
-        aidx = None
-        for k in range(1 << aprec):
-            wk = int(wA[k])
-            pal = ((64 - wk) * u0[3] + wk * u1[3] + 32) >> 6
-            dd = (pr_i[:, 3, :] - pal[None, :]).astype(jnp.float32)
-            dd = dd * dd
-            if bestd is None:
-                bestd, aidx = dd, jnp.zeros_like(dd, dtype=jnp.int32)
-            else:
-                b = dd < bestd
-                bestd = jnp.where(b, dd, bestd)
-                aidx = jnp.where(b, k, aidx)
-        aerr = jnp.sum(bestd, axis=0)
+        aidx, aerr = _assign_indices_t(pr_i, u0, u1, aprec, mask,
+                                       channels=4, ch_start=3)
         return q0, q1, p0, p1, cidx, aidx, cerr + aerr
 
     e0f, e1f = _minmax_axis_endpoints_t(pr_f, mask, with_alpha=False)
@@ -877,8 +885,14 @@ def _try_single_mode(px_i, px_f, mode_id):
     return best_err, best_words
 
 
-def encode_bc7(blocks: jnp.ndarray, flags: int = 0) -> jnp.ndarray:
-    """[NB, 16, 4] f32 -> [NB, 16] u8 (D3DXEncodeBC7, BC6HBC7.cpp:2783)."""
+def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
+               opaque: bool = False) -> jnp.ndarray:
+    """[NB, 16, 4] f32 -> [NB, 16] u8 (D3DXEncodeBC7, BC6HBC7.cpp:2783).
+
+    `opaque=True` (a static hint the caller derives on host, e.g. from
+    IsAlphaAllOpaque) skips mode 7 for the whole batch — the reference
+    skips mode 7 per-block for opaque blocks (:2818); with uniform alpha
+    the skip specializes the compiled graph instead."""
     px_f32 = jnp.asarray(blocks, jnp.float32)
     nb = px_f32.shape[0]
     # LDR quantization with the reference's +0.01 rounding bias (:2794),
@@ -897,7 +911,8 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0) -> jnp.ndarray:
     if quick:
         modes = [6]
     else:
-        modes = ([0, 2] if use3 else []) + [1, 3, 5, 6, 7, 4]
+        modes = ([0, 2] if use3 else []) + [1, 3, 5, 6] \
+            + ([] if opaque else [7]) + [4]
 
     est_cache = {}
     for mode_id in modes:
@@ -1114,24 +1129,40 @@ def _bc6h_palette_err_t(px_int, mask, q0, q1, precW, iprec, signed):
     applies FinishUnquantize, BC6HBC7.cpp:2028)."""
     u = [(_bc6h_unquantize(q0[c], precW[c], signed),
           _bc6h_unquantize(q1[c], precW[c], signed)) for c in range(3)]
-    w = _WEIGHTS[iprec]
-    best = None
-    idx = None
-    for k in range(1 << iprec):
-        wk = int(w[k])
-        dist = jnp.zeros((px_int.shape[0], px_int.shape[2]), jnp.float32)
-        for c in range(3):
-            pal = (u[c][0] * (64 - wk) + u[c][1] * wk + 32) >> 6
-            pal = _bc6h_finish_unquantize(pal, signed)
-            dd = (px_int[:, c, :] - pal[None, :]).astype(jnp.float32)
-            dist = dist + dd * dd
-        if best is None:
-            best = dist
-            idx = jnp.zeros_like(dist, dtype=jnp.int32)
-        else:
-            b = dist < best
-            best = jnp.where(b, dist, best)
-            idx = jnp.where(b, k, idx)
+    K = 1 << iprec
+    # projection onto the finished-endpoint axis (FinishUnquantize is a
+    # uniform per-channel scaling, so nearest-weight along the axis is
+    # preserved); float dot because F16-int products overflow int32
+    f0 = [_bc6h_finish_unquantize(u[c][0], signed).astype(jnp.float32)
+          for c in range(3)]
+    f1 = [_bc6h_finish_unquantize(u[c][1], signed).astype(jnp.float32)
+          for c in range(3)]
+    dot = jnp.zeros((px_int.shape[0], px_int.shape[2]), jnp.float32)
+    span = jnp.zeros((px_int.shape[2],), jnp.float32)
+    for c in range(3):
+        e = f1[c] - f0[c]
+        dot = dot + (px_int[:, c, :].astype(jnp.float32) - f0[c][None, :]) \
+            * e[None, :]
+        span = span + e * e
+    p64 = jnp.clip(dot * (64.0 / jnp.where(span > 0, span, 1.0))[None, :],
+                   0.0, 64.0)
+    kf = jnp.round(p64 * ((K - 1) / 64.0)).astype(jnp.int32)
+    kf = jnp.clip(kf, 0, K - 1)
+    wk = _pal_weight(kf, K)
+    wkp = _pal_weight(jnp.minimum(kf + 1, K - 1), K)
+    wkm = _pal_weight(jnp.maximum(kf - 1, 0), K)
+    up = (kf < K - 1) & (2.0 * p64 > (wk + wkp).astype(jnp.float32))
+    dn = (kf > 0) & (2.0 * p64 < (wk + wkm).astype(jnp.float32))
+    idx = jnp.where(up, kf + 1, jnp.where(dn, kf - 1, kf))
+    wk = _pal_weight(idx, K)
+    # exact error at the chosen index with the true integer palette
+    best = jnp.zeros_like(dot)
+    for c in range(3):
+        pal = (u[c][0][None, :] * (64 - wk) + u[c][1][None, :] * wk
+               + 32) >> 6
+        pal = _bc6h_finish_unquantize(pal, signed)
+        dd = (px_int[:, c, :] - pal).astype(jnp.float32)
+        best = best + dd * dd
     err = jnp.sum(jnp.where(mask, best, 0.0), axis=0)
     return idx, err
 

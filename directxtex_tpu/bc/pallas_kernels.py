@@ -40,9 +40,51 @@ def _use_pallas() -> bool:
         return False
 
 
+def _pal_weight(k, K: int):
+    """round(64k/(K-1)), exactly the g_aWeights2/3/4 tables.
+
+    (128k + K-1) // (2K-2) as an exact multiply-shift — integer division
+    lowers to slow software division on the TPU VPU. Exactness over the
+    k in [0, K-1] domain is verified in tests/test_pallas.py."""
+    m = -(-65536 // (2 * K - 2))
+    return ((128 * k + (K - 1)) * m) >> 16
+
+
+def _project_assign(xs, u0l, u1l, prec: int, lo: int, hi: int):
+    """Projection index assignment (same math as bc67._assign_indices_t):
+    snap each pixel's 0..64 axis projection to the nearest interpolation
+    weight, then exact integer-palette distance for the chosen index.
+
+    xs: per-channel [16, T] int32 pixel planes; u0l/u1l: per-channel [T]
+    int32 endpoints. Returns (idx [16, T] int32, dist [16, T] f32)."""
+    K = 1 << prec
+    d0 = [xs[c] - u0l[c][None, :] for c in range(lo, hi)]
+    e = [u1l[c] - u0l[c] for c in range(lo, hi)]
+    dot = sum((d * ee[None, :] for d, ee in zip(d0, e)),
+              start=jnp.zeros_like(d0[0])).astype(jnp.float32)
+    span = sum((ee * ee for ee in e),
+               start=jnp.zeros_like(e[0])).astype(jnp.float32)
+    p64 = jnp.clip(dot * (64.0 / jnp.where(span > 0, span, 1.0))[None, :],
+                   0.0, 64.0)
+    kf = jnp.round(p64 * ((K - 1) / 64.0)).astype(jnp.int32)
+    kf = jnp.clip(kf, 0, K - 1)
+    wk = _pal_weight(kf, K)
+    wkp = _pal_weight(jnp.minimum(kf + 1, K - 1), K)
+    wkm = _pal_weight(jnp.maximum(kf - 1, 0), K)
+    up = (kf < K - 1) & (2.0 * p64 > (wk + wkp).astype(jnp.float32))
+    dn = (kf > 0) & (2.0 * p64 < (wk + wkm).astype(jnp.float32))
+    idx = jnp.where(up, kf + 1, jnp.where(dn, kf - 1, kf))
+    wk = _pal_weight(idx, K)
+    dist = jnp.zeros_like(p64)
+    for d, ee in zip(d0, e):
+        r = (d - ((wk * ee[None, :] + 32) >> 6)).astype(jnp.float32)
+        dist = dist + r * r
+    return idx, dist
+
+
 def _assign_kernel(px_ref, u0_ref, u1_ref, mask_ref, idx_ref, err_ref,
                    *, prec: int, ch_start: int, ch_end: int):
-    """One NB-tile of the palette search.
+    """One NB-tile of the projection-based palette assignment.
 
     px_ref   [64, T] int32 — channel-major pixel planes (ch*16 + pixel row)
     u0_ref   [4, T]  int32 — unquantized endpoint 0 per channel
@@ -51,27 +93,12 @@ def _assign_kernel(px_ref, u0_ref, u1_ref, mask_ref, idx_ref, err_ref,
     idx_ref  [16, T] int32 — winning palette index per pixel
     err_ref  [8, T]  float32 — masked total error (row 0; rows 1-7 padding)
     """
-    w = _WEIGHTS[prec]
-    best = None
-    idx = None
-    for k in range(1 << prec):
-        wk = int(w[k])
-        dist = None
-        for c in range(ch_start, ch_end):
-            pal = (u0_ref[c, :] * (64 - wk) + u1_ref[c, :] * wk + 32) >> 6
-            d = px_ref[c * 16:(c + 1) * 16, :] - pal[None, :]
-            dd = d * d
-            dist = dd if dist is None else dist + dd
-        if best is None:
-            best = dist
-            idx = jnp.zeros_like(dist)
-        else:
-            better = dist < best
-            best = jnp.where(better, dist, best)
-            idx = jnp.where(better, k, idx)
+    xs = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
+    u0l = [u0_ref[c, :] for c in range(4)]
+    u1l = [u1_ref[c, :] for c in range(4)]
+    idx, dist = _project_assign(xs, u0l, u1l, prec, ch_start, ch_end)
     idx_ref[...] = idx
-    err = jnp.sum(best.astype(jnp.float32) * mask_ref[...], axis=0,
-                  keepdims=True)
+    err = jnp.sum(dist * mask_ref[...], axis=0, keepdims=True)
     err_ref[...] = jnp.broadcast_to(err, err_ref.shape)
 
 
@@ -250,24 +277,8 @@ def _subset_eval_kernel(px_ref, mask_ref, q0_ref, q1_ref, pp_ref, idx_ref,
             else:
                 u0l.append(unquantize(q0l[ch], prec))
                 u1l.append(unquantize(q1l[ch], prec))
-        best = None
-        idx = None
-        for k in range(K):
-            wk = int(w[k])
-            dist = None
-            for c in range(4):
-                pal = (u0l[c] * (64 - wk) + u1l[c] * wk + 32) >> 6
-                d = xs[c] - pal[None, :]
-                dd = d * d
-                dist = dd if dist is None else dist + dd
-            if best is None:
-                best = dist
-                idx = jnp.zeros_like(dist)
-            else:
-                bt = dist < best
-                best = jnp.where(bt, dist, best)
-                idx = jnp.where(bt, k, idx)
-        err = jnp.sum(best.astype(jnp.float32) * mf, axis=0)
+        idx, dist = _project_assign(xs, u0l, u1l, iprec, 0, 4)
+        err = jnp.sum(dist * mf, axis=0)
         return q0l, q1l, p0, p1, idx, err
 
     q0a, q1a, p0a, p1a, idx_a, err_a = qpal(e0, e1)
@@ -440,25 +451,38 @@ def _bc6h_eval_kernel(px_ref, mask_ref, q0_ref, q1_ref, idx_ref, err_ref,
                 for c in range(3)]
 
     def palette_err(q0l, q1l):
+        # projection onto the finished-endpoint axis (same scheme as
+        # bc67._bc6h_palette_err_t): float dot (F16-int products overflow
+        # int32), nearest-weight snap, exact integer palette at the winner
         u0 = [unquantize(q0l[c], precW[c]) for c in range(3)]
         u1 = [unquantize(q1l[c], precW[c]) for c in range(3)]
-        best = None
-        idx = None
-        for k in range(K):
-            wk = int(w[k])
-            dist = None
-            for c in range(3):
-                pal = finish((u0[c] * (64 - wk) + u1[c] * wk + 32) >> 6)
-                d = (xs[c] - pal[None, :]).astype(jnp.float32)
-                dd = d * d
-                dist = dd if dist is None else dist + dd
-            if best is None:
-                best = dist
-                idx = jnp.zeros_like(dist, dtype=jnp.int32)
-            else:
-                bt = dist < best
-                best = jnp.where(bt, dist, best)
-                idx = jnp.where(bt, k, idx)
+        f0 = [finish(u0[c]).astype(jnp.float32) for c in range(3)]
+        f1 = [finish(u1[c]).astype(jnp.float32) for c in range(3)]
+        dot = jnp.zeros_like(mf)
+        span = jnp.zeros_like(f0[0])
+        for c in range(3):
+            e = f1[c] - f0[c]
+            dot = dot + (xs[c].astype(jnp.float32) - f0[c][None, :]) \
+                * e[None, :]
+            span = span + e * e
+        p64 = jnp.clip(
+            dot * (64.0 / jnp.where(span > 0, span, 1.0))[None, :],
+            0.0, 64.0)
+        kf = jnp.round(p64 * ((K - 1) / 64.0)).astype(jnp.int32)
+        kf = jnp.clip(kf, 0, K - 1)
+        wk = _pal_weight(kf, K)
+        wkp = _pal_weight(jnp.minimum(kf + 1, K - 1), K)
+        wkm = _pal_weight(jnp.maximum(kf - 1, 0), K)
+        upc = (kf < K - 1) & (2.0 * p64 > (wk + wkp).astype(jnp.float32))
+        dnc = (kf > 0) & (2.0 * p64 < (wk + wkm).astype(jnp.float32))
+        idx = jnp.where(upc, kf + 1, jnp.where(dnc, kf - 1, kf))
+        wk = _pal_weight(idx, K)
+        best = jnp.zeros_like(mf)
+        for c in range(3):
+            pal = finish((u0[c][None, :] * (64 - wk)
+                          + u1[c][None, :] * wk + 32) >> 6)
+            d = (xs[c] - pal).astype(jnp.float32)
+            best = best + d * d
         err = jnp.sum(jnp.where(mb, best, 0.0), axis=0)
         return idx, err
 
@@ -627,41 +651,10 @@ def _dual_eval_kernel(px_ref, q0_ref, q1_ref, cidx_ref, aidx_ref, err_ref,
                for c in range(4)]
         u0l = [unquantize(q0l[c], rgba_prec[c]) for c in range(4)]
         u1l = [unquantize(q1l[c], rgba_prec[c]) for c in range(4)]
-        # color search over RGB
-        best = None
-        cidx = None
-        for k in range(1 << cprec):
-            wk = int(wc[k])
-            dist = None
-            for c in range(3):
-                pal = (u0l[c] * (64 - wk) + u1l[c] * wk + 32) >> 6
-                d = xs[c] - pal[None, :]
-                dd = d * d
-                dist = dd if dist is None else dist + dd
-            if best is None:
-                best = dist
-                cidx = jnp.zeros_like(dist)
-            else:
-                bt = dist < best
-                best = jnp.where(bt, dist, best)
-                cidx = jnp.where(bt, k, cidx)
-        cerr = jnp.sum(best.astype(jnp.float32), axis=0)
-        # alpha-only search
-        besta = None
-        aidx = None
-        for k in range(1 << aprec):
-            wk = int(wa[k])
-            pal = (u0l[3] * (64 - wk) + u1l[3] * wk + 32) >> 6
-            d = xs[3] - pal[None, :]
-            dd = (d * d).astype(jnp.float32)
-            if besta is None:
-                besta = dd
-                aidx = jnp.zeros((dd.shape[0], dd.shape[1]), jnp.int32)
-            else:
-                bt = dd < besta
-                besta = jnp.where(bt, dd, besta)
-                aidx = jnp.where(bt, k, aidx)
-        aerr = jnp.sum(besta, axis=0)
+        cidx, cdist = _project_assign(xs, u0l, u1l, cprec, 0, 3)
+        cerr = jnp.sum(cdist, axis=0)
+        aidx, adist = _project_assign(xs, u0l, u1l, aprec, 3, 4)
+        aerr = jnp.sum(adist, axis=0)
         return q0l, q1l, cidx, aidx, cerr + aerr
 
     def refit(idx, wtab, K, lo_ch, hi_ch, e0l, e1l):

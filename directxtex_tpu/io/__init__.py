@@ -22,6 +22,10 @@ from .ppm import (
     load_from_ppm_memory, save_to_pfm_file, save_to_pfm_memory,
     save_to_ppm_file, save_to_ppm_memory,
 )
+from .exr import (
+    get_metadata_from_exr_memory, load_from_exr_file, load_from_exr_memory,
+    save_to_exr_file, save_to_exr_memory,
+)
 from .wic import (
     WIC_CODEC, WIC_FLAGS, load_from_wic_file, load_from_wic_memory,
     save_to_wic_file, save_to_wic_memory,
@@ -33,10 +37,13 @@ __all__ = [
     "get_metadata_from_dds_memory", "get_metadata_from_hdr_memory",
     "get_metadata_from_tga_memory",
     "load_from_dds_file", "load_from_dds_memory",
+    "load_from_exr_file", "load_from_exr_memory",
+    "get_metadata_from_exr_memory",
     "load_from_hdr_file", "load_from_hdr_memory",
     "load_from_tga_file", "load_from_tga_memory",
     "load_from_wic_file", "load_from_wic_memory",
     "save_to_dds_file", "save_to_dds_memory",
+    "save_to_exr_file", "save_to_exr_memory",
     "save_to_hdr_file", "save_to_hdr_memory",
     "save_to_tga_file", "save_to_tga_memory",
     "save_to_wic_file", "save_to_wic_memory",
@@ -53,6 +60,8 @@ def load_texture(path, **kwargs):
         return load_from_tga_file(path, **kwargs)
     if ext == ".hdr":
         return load_from_hdr_file(path)
+    if ext == ".exr":
+        return load_from_exr_file(path)
     if ext in (".ppm", ".pnm"):
         return load_from_ppm_file(path)
     if ext == ".pfm":
@@ -70,6 +79,8 @@ def save_texture(tex, path, **kwargs):
         return save_to_tga_file(tex, path, **kwargs)
     if ext == ".hdr":
         return save_to_hdr_file(tex, path)
+    if ext == ".exr":
+        return save_to_exr_file(tex, path)
     if ext in (".ppm", ".pnm"):
         return save_to_ppm_file(tex, path)
     if ext == ".pfm":

@@ -1,0 +1,386 @@
+"""OpenEXR (.exr) container codec, pure numpy.
+
+Mirrors the reference's OpenEXR adapter (Auxiliary/DirectXTexEXR.cpp:
+LoadFromEXRFile/SaveToEXRFile work through RgbaInputFile/RgbaOutputFile as
+half RGBA <-> R16G16B16A16_FLOAT). This implementation reads/writes the EXR
+container directly: single-part scanline images, HALF/FLOAT/UINT channels,
+NONE / RLE / ZIPS / ZIP compression (everything the reference adapter emits;
+PIZ/PXR24/B44/DWA raise). Tiled, deep, and multi-part files are rejected
+like the adapter's RgbaInputFile would.
+
+Load returns the framework-native f32 RGBA Texture with metadata format
+R16G16B16A16_FLOAT (matching Auxiliary/DirectXTexEXR.cpp:172-183); save
+writes half RGBA scanlines with ZIP compression by default.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ..formats.dxgi import FMT
+from ..texture import TexDimension, TexMetadata, Texture
+
+__all__ = [
+    "get_metadata_from_exr_memory", "load_from_exr_memory",
+    "save_to_exr_memory", "load_from_exr_file", "save_to_exr_file",
+]
+
+_MAGIC = 0x01312F76
+
+# compression ids (OpenEXR ImfCompression.h)
+_NONE, _RLE, _ZIPS, _ZIP, _PIZ, _PXR24, _B44, _B44A, _DWAA, _DWAB = range(10)
+_LINES_PER_BLOCK = {_NONE: 1, _RLE: 1, _ZIPS: 1, _ZIP: 16}
+_PIXEL_DTYPE = {0: np.dtype("<u4"), 1: np.dtype("<f2"), 2: np.dtype("<f4")}
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def bytes(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise ValueError("EXR: truncated file")
+        b = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return b
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.bytes(4))[0]
+
+    def i32(self) -> int:
+        return struct.unpack("<i", self.bytes(4))[0]
+
+    def u64(self) -> int:
+        return struct.unpack("<Q", self.bytes(8))[0]
+
+    def cstr(self, maxlen: int = 256) -> bytes:
+        end = self.data.find(b"\0", self.pos)
+        if end < 0 or end - self.pos > maxlen:
+            raise ValueError("EXR: unterminated string")
+        s = self.data[self.pos:end]
+        self.pos = end + 1
+        return s
+
+
+def _parse_channels(raw: bytes):
+    """chlist attribute -> [(name, pixel_type, x_samp, y_samp)]."""
+    r = _Reader(raw)
+    out = []
+    while True:
+        if r.pos >= len(raw) or raw[r.pos] == 0:
+            break
+        name = r.cstr().decode("latin-1")
+        ptype = r.i32()
+        r.bytes(4)  # pLinear + reserved
+        xs = r.i32()
+        ys = r.i32()
+        if ptype not in _PIXEL_DTYPE:
+            raise ValueError(f"EXR: bad pixel type {ptype}")
+        out.append((name, ptype, xs, ys))
+    return out
+
+
+def _parse_header(data: bytes):
+    r = _Reader(data)
+    if r.u32() != _MAGIC:
+        raise ValueError("EXR: bad magic")
+    version = r.u32()
+    if version & 0xFF != 2:
+        raise ValueError(f"EXR: unsupported version {version & 0xFF}")
+    if version & 0x200:
+        raise ValueError("EXR: tiled images not supported")
+    if version & 0x800:
+        raise ValueError("EXR: deep data not supported")
+    if version & 0x1000:
+        raise ValueError("EXR: multi-part files not supported")
+
+    attrs = {}
+    while True:
+        name = r.cstr()
+        if not name:
+            break
+        atype = r.cstr()
+        size = r.i32()
+        if size < 0 or size > len(data):
+            raise ValueError("EXR: bad attribute size")
+        attrs[name.decode("latin-1")] = (atype.decode("latin-1"),
+                                         r.bytes(size))
+
+    for req in ("channels", "compression", "dataWindow", "lineOrder"):
+        if req not in attrs:
+            raise ValueError(f"EXR: missing required attribute {req}")
+
+    channels = _parse_channels(attrs["channels"][1])
+    compression = attrs["compression"][1][0]
+    xmin, ymin, xmax, ymax = struct.unpack("<4i", attrs["dataWindow"][1])
+    line_order = attrs["lineOrder"][1][0]
+    if line_order > 1:
+        raise ValueError("EXR: random line order not supported")
+    width = xmax - xmin + 1
+    height = ymax - ymin + 1
+    if width <= 0 or height <= 0 or width > 1 << 24 or height > 1 << 24:
+        raise ValueError("EXR: bad data window")
+    for name, _, xs, ys in channels:
+        if xs != 1 or ys != 1:
+            raise ValueError(
+                f"EXR: subsampled channel {name!r} not supported")
+    return {
+        "channels": channels, "compression": compression,
+        "width": width, "height": height,
+        "ymin": ymin, "line_order": line_order,
+        "header_end": r.pos, "attrs": attrs,
+    }
+
+
+def _unpredict(buf: np.ndarray) -> np.ndarray:
+    """Undo the ZIP/RLE byte predictor: running delta then de-interleave
+    (OpenEXR ImfZip.cpp uncompress path)."""
+    d = buf.astype(np.int64)
+    d[1:] -= 128
+    d = np.cumsum(d) & 0xFF
+    out = np.empty_like(buf)
+    half = (len(buf) + 1) // 2
+    out[0::2] = d[:half].astype(np.uint8)
+    out[1::2] = d[half:].astype(np.uint8)
+    return out
+
+
+def _predict(buf: np.ndarray) -> np.ndarray:
+    """ZIP/RLE byte predictor: interleave-split then delta encode."""
+    half = (len(buf) + 1) // 2
+    t = np.empty_like(buf)
+    t[:half] = buf[0::2]
+    t[half:] = buf[1::2]
+    d = t.astype(np.int16)
+    d[1:] = d[1:] - d[:-1] + (128 + 256)
+    return d.astype(np.uint8)
+
+
+def _rle_decode(src: bytes, expected: int) -> np.ndarray:
+    out = np.empty(expected, np.uint8)
+    pos = 0
+    i = 0
+    n = len(src)
+    while i < n and pos < expected:
+        count = src[i]
+        i += 1
+        if count > 127:  # negative signed char: literal run
+            run = 256 - count
+            if i + run > n or pos + run > expected:
+                raise ValueError("EXR: corrupt RLE data")
+            out[pos:pos + run] = np.frombuffer(src, np.uint8, run, i)
+            i += run
+            pos += run
+        else:
+            run = count + 1
+            if i >= n or pos + run > expected:
+                raise ValueError("EXR: corrupt RLE data")
+            out[pos:pos + run] = src[i]
+            i += 1
+            pos += run
+    if pos != expected:
+        raise ValueError("EXR: RLE output size mismatch")
+    return out
+
+
+def _rle_encode(buf: np.ndarray) -> bytes:
+    out = bytearray()
+    n = len(buf)
+    i = 0
+    while i < n:
+        # find run length of identical bytes
+        j = i + 1
+        while j < n and j - i < 128 and buf[j] == buf[i]:
+            j += 1
+        if j - i >= 3:
+            out.append(j - i - 1)
+            out.append(int(buf[i]))
+            i = j
+        else:
+            # literal run until next >=3 repeat or 127 bytes
+            j = i
+            while j < n and j - i < 127:
+                if (j + 2 < n and buf[j] == buf[j + 1] == buf[j + 2]):
+                    break
+                j += 1
+            out.append(256 - (j - i))
+            out.extend(buf[i:j].tobytes())
+            i = j
+    return bytes(out)
+
+
+def _decompress_chunk(raw: bytes, compression: int,
+                      expected: int) -> np.ndarray:
+    if compression == _NONE or len(raw) >= expected:
+        # OpenEXR stores chunks raw when compression didn't shrink them
+        if len(raw) != expected and compression == _NONE:
+            raise ValueError("EXR: bad uncompressed chunk size")
+        if len(raw) == expected:
+            return np.frombuffer(raw, np.uint8)
+    if compression in (_ZIP, _ZIPS):
+        buf = np.frombuffer(zlib.decompress(raw), np.uint8)
+        if len(buf) != expected:
+            raise ValueError("EXR: zip chunk size mismatch")
+        return _unpredict(buf)
+    if compression == _RLE:
+        return _unpredict(_rle_decode(raw, expected))
+    raise ValueError(f"EXR: compression {compression} not supported "
+                     "(NONE/RLE/ZIPS/ZIP only)")
+
+
+def get_metadata_from_exr_memory(data: bytes) -> TexMetadata:
+    """GetMetadataFromEXRFile (Auxiliary/DirectXTexEXR.cpp:112-183)."""
+    h = _parse_header(bytes(data))
+    return TexMetadata(
+        width=h["width"], height=h["height"], depth=1, array_size=1,
+        mip_levels=1, format=FMT.R16G16B16A16_FLOAT,
+        dimension=TexDimension.TEXTURE2D)
+
+
+def load_from_exr_memory(data: bytes) -> Texture:
+    """LoadFromEXRFile semantics: decode to RGBA (half precision data,
+    f32 device planes). Missing channels: G/B -> 0, A -> 1; a lone 'Y'
+    channel broadcasts to RGB."""
+    data = bytes(data)
+    h = _parse_header(data)
+    width, height = h["width"], h["height"]
+    comp = h["compression"]
+    if comp not in _LINES_PER_BLOCK:
+        raise ValueError(f"EXR: compression {comp} not supported "
+                         "(NONE/RLE/ZIPS/ZIP only)")
+    lpb = _LINES_PER_BLOCK[comp]
+    nchunks = (height + lpb - 1) // lpb
+
+    r = _Reader(data)
+    r.pos = h["header_end"]
+    offsets = [r.u64() for _ in range(nchunks)]
+
+    chans = h["channels"]  # already alphabetical per spec; trust order
+    bpp_line = sum(_PIXEL_DTYPE[pt].itemsize for _, pt, _, _ in chans) * width
+    planes = {name: np.zeros((height, width), np.float32)
+              for name, _, _, _ in chans}
+
+    for off in offsets:
+        rr = _Reader(data)
+        rr.pos = off
+        y = rr.i32() - h["ymin"]
+        size = rr.i32()
+        if y < 0 or y >= height:
+            raise ValueError("EXR: chunk scanline out of range")
+        nlines = min(lpb, height - y)
+        raw = rr.bytes(size)
+        buf = _decompress_chunk(raw, comp, bpp_line * nlines)
+        pos = 0
+        for line in range(nlines):
+            for name, pt, _, _ in chans:
+                dt = _PIXEL_DTYPE[pt]
+                row = np.frombuffer(buf, dt, width, pos)
+                pos += dt.itemsize * width
+                if pt == 0:  # UINT -> float
+                    planes[name][y + line] = row.astype(np.float32)
+                else:
+                    planes[name][y + line] = row.astype(np.float32)
+
+    names = set(planes)
+    if "R" in names or "G" in names or "B" in names:
+        red = planes.get("R", np.zeros((height, width), np.float32))
+        grn = planes.get("G", np.zeros((height, width), np.float32))
+        blu = planes.get("B", np.zeros((height, width), np.float32))
+    elif "Y" in names:
+        red = grn = blu = planes["Y"]
+    else:
+        first = chans[0][0]
+        red = grn = blu = planes[first]
+    alpha = planes.get("A", np.ones((height, width), np.float32))
+    rgba = np.stack([red, grn, blu, alpha], axis=-1)
+
+    meta = TexMetadata(
+        width=width, height=height, depth=1, array_size=1, mip_levels=1,
+        format=FMT.R16G16B16A16_FLOAT, dimension=TexDimension.TEXTURE2D)
+    return Texture(meta, [rgba[None]])
+
+
+def load_from_exr_file(path) -> Texture:
+    with open(path, "rb") as f:
+        return load_from_exr_memory(f.read())
+
+
+def _attr(name: bytes, atype: bytes, value: bytes) -> bytes:
+    return name + b"\0" + atype + b"\0" + struct.pack("<i", len(value)) \
+        + value
+
+
+def save_to_exr_memory(tex: Texture, mip: int = 0, item: int = 0,
+                       compression: int = _ZIP) -> bytes:
+    """SaveToEXRFile (Auxiliary/DirectXTexEXR.cpp:320+): half RGBA
+    scanlines, ZIP compression by default."""
+    if compression not in _LINES_PER_BLOCK:
+        raise ValueError("EXR: unsupported save compression")
+    img = np.asarray(tex.levels[mip][item], np.float32)
+    height, width = img.shape[:2]
+    halves = img.astype("<f2")  # [H, W, 4]
+
+    chan_names = ["A", "B", "G", "R"]  # alphabetical, as OpenEXR writes
+    chan_src = {"A": halves[..., 3], "B": halves[..., 2],
+                "G": halves[..., 1], "R": halves[..., 0]}
+
+    chlist = b""
+    for n in chan_names:
+        chlist += n.encode() + b"\0" + struct.pack("<i", 1) \
+            + b"\0\0\0\0" + struct.pack("<ii", 1, 1)
+    chlist += b"\0"
+    box = struct.pack("<4i", 0, 0, width - 1, height - 1)
+
+    header = struct.pack("<II", _MAGIC, 2)
+    header += _attr(b"channels", b"chlist", chlist)
+    header += _attr(b"compression", b"compression",
+                    bytes([compression]))
+    header += _attr(b"dataWindow", b"box2i", box)
+    header += _attr(b"displayWindow", b"box2i", box)
+    header += _attr(b"lineOrder", b"lineOrder", b"\0")
+    header += _attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+    header += _attr(b"screenWindowCenter", b"v2f",
+                    struct.pack("<ff", 0.0, 0.0))
+    header += _attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+    header += b"\0"
+
+    lpb = _LINES_PER_BLOCK[compression]
+    nchunks = (height + lpb - 1) // lpb
+    chunks = []
+    for c in range(nchunks):
+        y = c * lpb
+        nlines = min(lpb, height - y)
+        rows = []
+        for line in range(nlines):
+            for n in chan_names:
+                rows.append(chan_src[n][y + line].tobytes())
+        raw = np.frombuffer(b"".join(rows), np.uint8)
+        if compression in (_ZIP, _ZIPS):
+            packed = zlib.compress(_predict(raw).tobytes())
+        elif compression == _RLE:
+            packed = _rle_encode(_predict(raw))
+        else:
+            packed = raw.tobytes()
+        if len(packed) >= len(raw):
+            packed = raw.tobytes()  # store raw when compression loses
+        chunks.append((y, packed))
+
+    offset_base = len(header) + 8 * nchunks
+    out = bytearray(header)
+    off = offset_base
+    for y, packed in chunks:
+        out += struct.pack("<Q", off)
+        off += 8 + len(packed)
+    for y, packed in chunks:
+        out += struct.pack("<ii", y, len(packed))
+        out += packed
+    return bytes(out)
+
+
+def save_to_exr_file(tex: Texture, path, **kwargs) -> None:
+    with open(path, "wb") as f:
+        f.write(save_to_exr_memory(tex, **kwargs))

@@ -13,7 +13,8 @@ import os
 import subprocess
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "rle_codec.cpp")
+_SRCS = [os.path.join(_HERE, "rle_codec.cpp"),
+         os.path.join(_HERE, "dither.cpp")]
 _SO = os.path.join(_HERE, "librle_codec.so")
 
 _lib = None
@@ -22,11 +23,11 @@ _tried = False
 
 def _build() -> bool:
     try:
-        src_mtime = os.path.getmtime(_SRC)
+        src_mtime = max(os.path.getmtime(s) for s in _SRCS)
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return True
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO],
+            ["g++", "-O2", "-shared", "-fPIC", *_SRCS, "-o", _SO],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -55,6 +56,10 @@ def get_lib():
         lib.hdr_encode_rle_channel.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8)]
+        lib.fs_dither.restype = None
+        lib.fs_dither.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
         _lib = lib
     except OSError:
         _lib = None
@@ -103,3 +108,20 @@ def hdr_encode_rle_channel(ch) -> bytes | None:
         ch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(ch),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out[:n].tobytes()
+
+
+def fs_dither(img, scale, clampzero: bool):
+    """Native Floyd-Steinberg dither of one [H, W, 4] f32 image in place.
+    Returns the quantized-normalized array, or None if unavailable."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.float32)
+    sc = np.ascontiguousarray(scale, np.float32)
+    lib.fs_dither(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        img.shape[0], img.shape[1],
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        1 if clampzero else 0)
+    return img

@@ -52,7 +52,7 @@ _ENCODERS = {
 
 
 def _encode_blocks(kind: str, blocks: jnp.ndarray, threshold: float,
-                   bcflags: int) -> jnp.ndarray:
+                   bcflags: int, opaque: bool = False) -> jnp.ndarray:
     if kind == "bc1":
         return bc123.encode_bc1(blocks, threshold, bcflags)
     if kind == "bc2":
@@ -72,7 +72,7 @@ def _encode_blocks(kind: str, blocks: jnp.ndarray, threshold: float,
     if kind == "bc6hs":
         return bc67.encode_bc6h(blocks, signed=True)
     if kind == "bc7":
-        return bc67.encode_bc7(blocks, bcflags)
+        return bc67.encode_bc7(blocks, bcflags, opaque=opaque)
     raise AssertionError(kind)
 
 
@@ -154,6 +154,10 @@ def compress(tex: Texture, fmt: DXGIFormat,
     bcflags = _bc_flags(flags)
     srgb = _srgb_flags(flags)
 
+    # IsAlphaAllOpaque-style host check specializes BC7 to skip mode 7
+    opaque = kind == "bc7" and all(
+        bool(jnp.all(lvl[..., 3] >= 1.0)) for lvl in tex.levels)
+
     levels = []
     for lvl in tex.levels:
         n, h, w, _ = lvl.shape
@@ -162,7 +166,8 @@ def compress(tex: Texture, fmt: DXGIFormat,
         outs = []
         for i in range(n):
             blocks, nbh, nbw = image_to_blocks(vals[i])
-            packed = _encode_blocks(kind, blocks, threshold, bcflags)
+            packed = _encode_blocks(kind, blocks, threshold, bcflags,
+                                    opaque)
             outs.append(packed.reshape(-1))
         levels.append(jnp.stack(outs))
     meta = tex.metadata.with_format(fmt)

@@ -372,9 +372,14 @@ def convert(tex: Texture, out_fmt: DXGIFormat,
     if in_fmt == out_fmt:
         return tex
 
+    from .dither import apply_dither
+
     new_levels = []
     for lvl in tex.levels:
         vals = convert_values(lvl, in_fmt, out_fmt, filter_flags)
+        # TEX_FILTER_DITHER / _DITHER_DIFFUSION quantize here; pack() then
+        # stores the pre-quantized values losslessly
+        vals = apply_dither(vals, out_fmt, filter_flags)
         n, h, w, _ = vals.shape
         flat = vals.reshape(-1, 4)
         requant = unpack(out_fmt, pack(out_fmt, flat, threshold), flat.shape[0])

@@ -31,7 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--format", default=None,
                    help="target DXGI format name (e.g. BC7_UNORM)")
     p.add_argument("-ft", "--file-type", default="dds",
-                   choices=["dds", "tga", "hdr", "png", "jpg", "bmp", "tiff"],
+                   choices=["dds", "tga", "hdr", "exr", "png", "jpg", "bmp",
+                            "tiff"],
                    help="output container")
     p.add_argument("-o", "--outdir", default=".", help="output directory")
     p.add_argument("-px", "--prefix", default="", help="output name prefix")
@@ -50,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-srgbo", action="store_true", help="sRGB output")
     p.add_argument("-wrap", action="store_true", help="wrap filtering")
     p.add_argument("-mirror", action="store_true", help="mirror filtering")
+    p.add_argument("-dither", choices=["none", "ordered", "diffusion"],
+                   default="none",
+                   help="dither when converting to a lower-bit-depth format")
     p.add_argument("-sepalpha", action="store_true",
                    help="resize alpha separately")
     p.add_argument("-keepcoverage", type=float, default=None, metavar="REF",
@@ -135,6 +139,10 @@ def _filter_flags(args):
         flags |= TF.SRGB_OUT
     if getattr(args, "x2bias", False):
         flags |= TF.FLOAT_X2BIAS
+    if getattr(args, "dither", "none") == "ordered":
+        flags |= TF.DITHER
+    elif getattr(args, "dither", "none") == "diffusion":
+        flags |= TF.DITHER_DIFFUSION
     return flags
 
 
@@ -315,7 +323,8 @@ def process_file(path: str, args, log=print) -> str:
     # save (:3768)
     base = os.path.splitext(os.path.basename(path))[0]
     ext = {"jpg": "jpg", "png": "png", "bmp": "bmp", "tiff": "tiff",
-           "dds": "dds", "tga": "tga", "hdr": "hdr"}[args.file_type]
+           "dds": "dds", "tga": "tga", "hdr": "hdr",
+           "exr": "exr"}[args.file_type]
     out_path = os.path.join(args.outdir,
                             f"{args.prefix}{base}{args.suffix}.{ext}")
     if os.path.exists(out_path) and not args.overwrite:

@@ -1,0 +1,128 @@
+"""EXR codec round-trip and robustness tests (Auxiliary/DirectXTexEXR.cpp
+parity: half RGBA in/out, scanline files)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from directxtex_tpu.formats import FMT
+from directxtex_tpu.io import exr
+from directxtex_tpu.texture import Texture
+
+
+def _tex(h=37, w=61, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.random((h, w, 4)).astype(np.float32) * 4.0
+    return Texture.from_array(img), img
+
+
+@pytest.mark.parametrize("compression",
+                         [exr._NONE, exr._RLE, exr._ZIPS, exr._ZIP])
+def test_roundtrip_compressions(compression):
+    tex, img = _tex()
+    data = exr.save_to_exr_memory(tex, compression=compression)
+    out = exr.load_from_exr_memory(data)
+    got = np.asarray(out.levels[0][0])
+    # data passes through half precision
+    np.testing.assert_array_equal(got, img.astype(np.float16)
+                                  .astype(np.float32))
+
+
+def test_metadata():
+    tex, _ = _tex(h=20, w=50)
+    data = exr.save_to_exr_memory(tex)
+    md = exr.get_metadata_from_exr_memory(data)
+    assert (md.width, md.height) == (50, 20)
+    assert md.format == FMT.R16G16B16A16_FLOAT
+    assert md.mip_levels == 1
+
+
+def test_zip_chunking_tall_image():
+    # > 16 scanlines exercises multiple ZIP chunks incl. a short last one
+    tex, img = _tex(h=45, w=8, seed=1)
+    data = exr.save_to_exr_memory(tex, compression=exr._ZIP)
+    out = exr.load_from_exr_memory(data)
+    np.testing.assert_array_equal(
+        np.asarray(out.levels[0][0]),
+        img.astype(np.float16).astype(np.float32))
+
+
+def test_file_roundtrip(tmp_path):
+    tex, img = _tex(seed=2)
+    p = tmp_path / "t.exr"
+    exr.save_to_exr_file(tex, p)
+    out = exr.load_from_exr_file(p)
+    np.testing.assert_array_equal(
+        np.asarray(out.levels[0][0]),
+        img.astype(np.float16).astype(np.float32))
+
+
+def test_rgb_only_alpha_defaults_to_one():
+    # hand-build an uncompressed EXR with only B, G, R channels
+    h, w = 5, 7
+    rng = np.random.default_rng(3)
+    img = rng.random((h, w, 3)).astype("<f2")
+    chlist = b""
+    for n in (b"B", b"G", b"R"):
+        chlist += n + b"\0" + struct.pack("<i", 1) + b"\0\0\0\0" \
+            + struct.pack("<ii", 1, 1)
+    chlist += b"\0"
+    box = struct.pack("<4i", 0, 0, w - 1, h - 1)
+    hdr = struct.pack("<II", exr._MAGIC, 2)
+    hdr += exr._attr(b"channels", b"chlist", chlist)
+    hdr += exr._attr(b"compression", b"compression", b"\0")
+    hdr += exr._attr(b"dataWindow", b"box2i", box)
+    hdr += exr._attr(b"displayWindow", b"box2i", box)
+    hdr += exr._attr(b"lineOrder", b"lineOrder", b"\0")
+    hdr += b"\0"
+    chunks = []
+    for y in range(h):
+        row = img[y, :, 2].tobytes() + img[y, :, 1].tobytes() \
+            + img[y, :, 0].tobytes()  # B, G, R channel order
+        chunks.append(struct.pack("<ii", y, len(row)) + row)
+    out = bytearray(hdr)
+    off = len(hdr) + 8 * h
+    for c in chunks:
+        out += struct.pack("<Q", off)
+        off += len(c)
+    for c in chunks:
+        out += c
+    tex = exr.load_from_exr_memory(bytes(out))
+    got = np.asarray(tex.levels[0][0])
+    np.testing.assert_array_equal(got[..., :3], img.astype(np.float32))
+    np.testing.assert_array_equal(got[..., 3], 1.0)
+
+
+def test_bad_magic():
+    with pytest.raises(ValueError, match="magic"):
+        exr.load_from_exr_memory(b"\x00" * 64)
+
+
+def test_tiled_rejected():
+    tex, _ = _tex()
+    data = bytearray(exr.save_to_exr_memory(tex))
+    # set the tiled bit in the version field
+    ver = struct.unpack_from("<I", data, 4)[0]
+    struct.pack_into("<I", data, 4, ver | 0x200)
+    with pytest.raises(ValueError, match="tiled"):
+        exr.load_from_exr_memory(bytes(data))
+
+
+def test_truncated():
+    tex, _ = _tex()
+    data = exr.save_to_exr_memory(tex)
+    with pytest.raises(ValueError):
+        exr.load_from_exr_memory(data[:len(data) // 2])
+
+
+def test_unsupported_compression_rejected():
+    tex, _ = _tex()
+    data = bytearray(exr.save_to_exr_memory(tex, compression=exr._NONE))
+    # find the compression attribute value and patch it to PIZ
+    i = bytes(data).find(b"compression\0compression\0")
+    assert i > 0
+    off = i + len(b"compression\0compression\0") + 4
+    data[off] = exr._PIZ
+    with pytest.raises(ValueError, match="not supported"):
+        exr.load_from_exr_memory(bytes(data))

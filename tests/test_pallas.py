@@ -66,3 +66,15 @@ def test_dual_eval_matches_reference(mode_id, im):
     np.testing.assert_array_equal(np.asarray(aip), np.asarray(air))
     np.testing.assert_allclose(np.asarray(errp), np.asarray(errr),
                                rtol=1e-5, atol=1e-2)
+
+
+@pytest.mark.parametrize("K", [4, 8, 16])
+def test_pal_weight_matches_tables(K):
+    from directxtex_tpu.bc.bc67_tables import WEIGHTS2, WEIGHTS3, WEIGHTS4
+    from directxtex_tpu.bc import pallas_kernels, bc67
+    tab = {4: WEIGHTS2, 8: WEIGHTS3, 16: WEIGHTS4}[K]
+    ks = jnp.arange(K)
+    np.testing.assert_array_equal(np.asarray(pallas_kernels._pal_weight(ks, K)),
+                                  np.asarray(tab))
+    np.testing.assert_array_equal(np.asarray(bc67._pal_weight(ks, K)),
+                                  np.asarray(tab))
