@@ -406,10 +406,8 @@ def _ls_refit_t(px_f, idx, mask, prec: int, e0, e1, ch_start=0, ch_end=4):
 
     px_f [16, 4, NB]; idx [16, NB]; mask [16, NB]; e0/e1 [4, NB] float.
     Refits channels [ch_start, ch_end); others pass through."""
-    w = _WEIGHTS[prec]
-    x = jnp.zeros(idx.shape, jnp.float32)
-    for k in range(1, 1 << prec):
-        x = x + (idx == k).astype(jnp.float32) * (float(w[k]) / 64.0)
+    # w[idx]/64 in closed form (exact: 1/64 is a power of two)
+    x = _pal_weight(idx, 1 << prec).astype(jnp.float32) * jnp.float32(1 / 64)
     m = mask.astype(jnp.float32)
     a = (1.0 - x) * m
     b = x * m
@@ -592,23 +590,7 @@ def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id):
     e_pairs, p_pairs = [], []
     idx_full = jnp.zeros((px_i.shape[0], px_i.shape[2]), jnp.int32)
 
-    use_pallas = False
-    try:
-        from .pallas_kernels import _BC7_MODE_STATICS, _use_pallas, \
-            subset_eval_pallas
-        use_pallas = _use_pallas() and mode_id in _BC7_MODE_STATICS
-    except Exception:
-        pass
-
     for sub, mask in enumerate(mask_list):
-        if use_pallas:
-            # fused VMEM kernel: same math as the jnp body below in one pass
-            q0, q1, p0, p1, idx, err = subset_eval_pallas(px_i, mask, mode_id)
-            total_err = total_err + err
-            e_pairs.append((q0, q1))
-            p_pairs.append((p0, p1))
-            idx_full = jnp.where(mask, idx, idx_full)
-            continue
         e0f, e1f = _minmax_axis_endpoints_t(px_f, mask,
                                             with_alpha=m.rgba_prec[3] > 0)
 
@@ -738,7 +720,7 @@ def _top_k_shapes(ests, k: int):
     return picks
 
 
-def _try_partition_mode(px_i, px_f, mode_id, ests=None):
+def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None):
     """Modes 0/1/2/3/7: estimate all shapes, fully refine the best
     BC7_SHAPE_CANDIDATES per block. Returns (err [NB], words [NB, 4])."""
     m = _BC7_MODES[mode_id]
@@ -746,9 +728,29 @@ def _try_partition_mode(px_i, px_f, mode_id, ests=None):
     parts_tab = jnp.asarray(PARTITIONS[m.partitions])   # [64, 16]
     fix_tab = jnp.asarray(FIXUPS[m.partitions])         # [64, 3]
 
+    use_pallas = False
+    try:
+        from .pallas_kernels import (_use_pallas, partition_mode_pallas,
+                                     partition_shapes_pallas)
+        use_pallas = _use_pallas()
+    except Exception:
+        pass
+    if use_pallas:
+        # whole-mode mega-kernels: shape ranking (estimates + top-k) and
+        # candidate evaluation + emit, each one VMEM pass (same math as
+        # the jnp path below)
+        if s_blks is None:
+            s_blks = partition_shapes_pallas(
+                px_i, m.partitions, 1 << m.partition_bits, 4,
+                BC7_SHAPE_CANDIDATES)
+        return partition_mode_pallas(px_i, s_blks.astype(jnp.int32),
+                                     mode_id, 1 << m.partition_bits)
+
     if ests is None:
         ests = _shape_estimates_table(px_f, m.partitions,
                                       4 if m.rgba_prec[3] else 3)
+    # mode 0 has a 4-bit partition field: only shapes 0..15 are encodable
+    ests = ests[:1 << m.partition_bits]
 
     best_err = jnp.full((nb,), jnp.inf, jnp.float32)
     best_words = jnp.zeros((nb, 4), jnp.uint32)
@@ -843,23 +845,8 @@ def _try_single_mode(px_i, px_f, mode_id):
                 words = _emit_bc7(mode_id, 0, rot, im, q0s, q1s, p0s, p1s,
                                   idx, None, nb)
             else:
-                use_pallas = False
-                try:
-                    from .pallas_kernels import _use_pallas, dual_eval_pallas
-                    use_pallas = _use_pallas()
-                except Exception:
-                    pass
-                if use_pallas:
-                    # fused VMEM kernel: same math as _dual_eval_ref (axis
-                    # fit, quantize, dual palette search, LS refit,
-                    # keep-best), one HBM round-trip instead of many
-                    q0, q1, cidx, aidx, err = dual_eval_pallas(
-                        pr_i, mode_id, im)
-                    p0 = jnp.zeros(pr_i.shape[2], jnp.int32)
-                    p1 = p0
-                else:
-                    q0, q1, p0, p1, cidx, aidx, err = _dual_eval_ref(
-                        pr_i, pr_f, mode_id, im)
+                q0, q1, p0, p1, cidx, aidx, err = _dual_eval_ref(
+                    pr_i, pr_f, mode_id, im)
 
                 # anchor fixes: color and alpha endpoint components swap
                 # INDEPENDENTLY (AssignIndices, BC6HBC7.cpp:3196-3216)
@@ -914,18 +901,45 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
         modes = ([0, 2] if use3 else []) + [1, 3, 5, 6] \
             + ([] if opaque else [7]) + [4]
 
+    use_pallas = False
+    try:
+        from .pallas_kernels import _use_pallas, single_modes_pallas
+        use_pallas = _use_pallas()
+    except Exception:
+        pass
+
     est_cache = {}
+    shape_cache = {}
+    single_cache = None
     for mode_id in modes:
         if mode_id in (0, 1, 2, 3, 7):
             m = _BC7_MODES[mode_id]
-            if m.partitions not in est_cache:
-                est_cache[m.partitions] = _shape_estimates_table(
-                    px_f, m.partitions, 4)
-            err, words = _try_partition_mode(px_i, px_f, mode_id,
-                                             ests=est_cache[m.partitions])
+            if use_pallas:
+                # shape ranking shared by modes with the same partition
+                # class and partition-field width (1/3/7; 0 and 2 differ)
+                key = (m.partitions, m.partition_bits)
+                if key not in shape_cache:
+                    from .pallas_kernels import partition_shapes_pallas
+                    shape_cache[key] = partition_shapes_pallas(
+                        px_i, m.partitions, 1 << m.partition_bits, 4,
+                        BC7_SHAPE_CANDIDATES)
+                err, words = _try_partition_mode(
+                    px_i, px_f, mode_id, s_blks=shape_cache[key])
+            else:
+                if m.partitions not in est_cache:
+                    est_cache[m.partitions] = _shape_estimates_table(
+                        px_f, m.partitions, 4)
+                err, words = _try_partition_mode(
+                    px_i, px_f, mode_id, ests=est_cache[m.partitions])
             if mode_id == 7:
                 # no value for opaque blocks (reference skip, :2818)
                 err = jnp.where(has_alpha, err, jnp.inf)
+        elif use_pallas:
+            # modes 4/5/6 fused into one VMEM pass; folded here in the
+            # same mode order as the jnp path
+            if single_cache is None:
+                single_cache = single_modes_pallas(px_i)
+            err, words = single_cache[mode_id]
         else:
             err, words = _try_single_mode(px_i, px_f, mode_id)
         better = err < best_err

@@ -741,3 +741,687 @@ def dual_eval_pallas(px_i: jnp.ndarray, mode_id: int, im: int,
     )(px_cm)
     return (q0[:, :nb], q1[:, :nb], cidx[:, :nb], aidx[:, :nb],
             err8[0, :nb])
+
+
+# ---------------------------------------------------------------------------
+# Whole-mode mega-kernels
+# ---------------------------------------------------------------------------
+# One kernel call per BC7 mode family: every shape/rotation/index-mode
+# candidate is evaluated in VMEM and the winning candidate's 128-bit block
+# is emitted inside the kernel. HBM sees only the pixel planes in and
+# (err, words) out — the per-candidate endpoint/index planes that the
+# per-subset kernels round-tripped never leave the chip. This is the
+# reference's own DirectCompute structure (one thread group owns a block
+# through all passes, BC7Encode.hlsl) pushed one level further.
+
+# mode_id -> (partitions, partition_bits, p_bits, rot_bits, im_bits,
+#             index_prec, index_prec2, rgba_prec, rgba_prec_p)  (ms_aInfo)
+_BC7_FULL_STATICS = {
+    0: (2, 4, 6, 0, 0, 3, 0, (4, 4, 4, 0), (5, 5, 5, 0)),
+    1: (1, 6, 2, 0, 0, 3, 0, (6, 6, 6, 0), (7, 7, 7, 0)),
+    2: (2, 6, 0, 0, 0, 2, 0, (5, 5, 5, 0), (5, 5, 5, 0)),
+    3: (1, 6, 4, 0, 0, 2, 0, (7, 7, 7, 0), (8, 8, 8, 0)),
+    4: (0, 0, 0, 2, 1, 2, 3, (5, 5, 5, 6), (5, 5, 5, 6)),
+    5: (0, 0, 0, 2, 0, 2, 2, (7, 7, 7, 8), (7, 7, 7, 8)),
+    6: (0, 0, 2, 0, 0, 4, 0, (7, 7, 7, 7), (8, 8, 8, 8)),
+    7: (1, 6, 4, 0, 0, 2, 0, (5, 5, 5, 5), (6, 6, 6, 6)),
+}
+
+
+def _k_quant_u8(c, prec):
+    if prec >= 8:
+        return c
+    return jnp.minimum(c + (1 << (7 - prec)), 255) >> (8 - prec)
+
+
+def _k_unquant(c, prec):
+    if prec >= 8:
+        return c
+    c = (c << (8 - prec)) & 0xFF
+    return c | (c >> prec)
+
+
+def _k_axis(xf, mf, with_alpha: bool):
+    """Masked min/max box + best-diagonal axis pick (OptimizeRGBA init,
+    same math as bc67._minmax_axis_endpoints_t). xf: 4x [16, T] f32;
+    mf: [16, T] f32 mask or None (all ones). Returns e0, e1 lists [T]."""
+    if mf is None:
+        mi = [jnp.min(f, axis=0) for f in xf]
+        ma = [jnp.max(f, axis=0) for f in xf]
+    else:
+        mb = mf > 0.5
+        big = jnp.float32(1e9)
+        mi = [jnp.min(jnp.where(mb, f, big), axis=0) for f in xf]
+        ma = [jnp.max(jnp.where(mb, f, -big), axis=0) for f in xf]
+    mid = [(a + b) * 0.5 for a, b in zip(mi, ma)]
+    ab = [b - a for a, b in zip(mi, ma)]
+    nch = 4 if with_alpha else 3
+    fab = sum(ab[c] * ab[c] for c in range(nch))
+    fab = jnp.where(fab > 0, fab, 1.0)
+    pt = [(xf[c] - mid[c][None, :]) * (ab[c] / fab)[None, :] for c in range(4)]
+    if mf is not None:
+        pt = [p * mf for p in pt]
+    best_score = jnp.full_like(fab, -1.0)
+    best_sg = jnp.ones_like(fab)
+    best_sb = jnp.ones_like(fab)
+    best_sa = jnp.ones_like(fab)
+    signs = [(sg, sb, sa) for sg in (1.0, -1.0) for sb in (1.0, -1.0)
+             for sa in ((1.0, -1.0) if with_alpha else (1.0,))]
+    for sg, sb, sa in signs:
+        f = pt[0] + sg * pt[1] + sb * pt[2]
+        if with_alpha:
+            f = f + sa * pt[3]
+        score = jnp.sum(f * f, axis=0)
+        better = score > best_score
+        best_score = jnp.where(better, score, best_score)
+        best_sg = jnp.where(better, sg, best_sg)
+        best_sb = jnp.where(better, sb, best_sb)
+        best_sa = jnp.where(better, sa, best_sa)
+
+    def flip(lo, hi, sgn):
+        return jnp.where(sgn < 0, hi, lo), jnp.where(sgn < 0, lo, hi)
+
+    g0, g1 = flip(mi[1], ma[1], best_sg)
+    b0, b1 = flip(mi[2], ma[2], best_sb)
+    if with_alpha:
+        a0, a1 = flip(mi[3], ma[3], best_sa)
+    else:
+        a0, a1 = mi[3], ma[3]
+    return [mi[0], g0, b0, a0], [ma[0], g1, b1, a1]
+
+
+def _k_quant_endpoints(e0l, e1l, rgba_prec, rgba_prec_p, shared_p: bool):
+    """Quantize float endpoints with p-bit majority vote
+    (bc67._quantize_endpoints_t). Returns q0l, q1l, p0, p1, u0l, u1l."""
+    ei0 = [jnp.clip(jnp.round(v), 0, 255).astype(jnp.int32) for v in e0l]
+    ei1 = [jnp.clip(jnp.round(v), 0, 255).astype(jnp.int32) for v in e1l]
+    q0l, q1l = [], []
+    vote0 = jnp.zeros_like(ei0[0])
+    vote1 = jnp.zeros_like(ei1[0])
+    nvote = 0
+    for ch in range(4):
+        prec, prec_p = rgba_prec[ch], rgba_prec_p[ch]
+        if prec == 0:
+            q0l.append(jnp.zeros_like(vote0))
+            q1l.append(jnp.zeros_like(vote1))
+            continue
+        if prec != prec_p:
+            f0 = _k_quant_u8(ei0[ch], prec_p)
+            f1 = _k_quant_u8(ei1[ch], prec_p)
+            vote0 = vote0 + (f0 & 1)
+            vote1 = vote1 + (f1 & 1)
+            nvote += 1
+            q0l.append(f0 >> 1)
+            q1l.append(f1 >> 1)
+        else:
+            q0l.append(_k_quant_u8(ei0[ch], prec))
+            q1l.append(_k_quant_u8(ei1[ch], prec))
+    if nvote:
+        p0 = (vote0 > (nvote >> 1)).astype(jnp.int32)
+        p1 = (vote1 > (nvote >> 1)).astype(jnp.int32)
+    else:
+        p0 = jnp.zeros_like(ei0[0])
+        p1 = p0
+    p1u = p0 if shared_p else p1
+    u0l, u1l = [], []
+    for ch in range(4):
+        prec, prec_p = rgba_prec[ch], rgba_prec_p[ch]
+        if prec == 0:
+            u0l.append(jnp.full_like(p0, 255))
+            u1l.append(jnp.full_like(p0, 255))
+            continue
+        if prec != prec_p:
+            u0l.append(_k_unquant((q0l[ch] << 1) | p0, prec_p))
+            u1l.append(_k_unquant((q1l[ch] << 1) | p1u, prec_p))
+        else:
+            u0l.append(_k_unquant(q0l[ch], prec))
+            u1l.append(_k_unquant(q1l[ch], prec))
+    return q0l, q1l, p0, p1, u0l, u1l
+
+
+def _k_refit(xf, idx, mf, prec: int, e0l, e1l, ch_start=0, ch_end=4):
+    """Least-squares endpoint refit (bc67._ls_refit_t)."""
+    # w[idx]/64 in closed form (exact: 1/64 is a power of two)
+    x = _pal_weight(idx, 1 << prec).astype(jnp.float32) * jnp.float32(1 / 64)
+    if mf is None:
+        av = 1.0 - x
+        bv = x
+    else:
+        av = (1.0 - x) * mf
+        bv = x * mf
+    A = jnp.sum(av * av, axis=0)
+    B = jnp.sum(av * bv, axis=0)
+    C = jnp.sum(bv * bv, axis=0)
+    det = A * C - B * B
+    ok = jnp.abs(det) > 1e-6
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    e0n = list(e0l)
+    e1n = list(e1l)
+    for c in range(ch_start, ch_end):
+        r0 = jnp.sum(av * xf[c], axis=0)
+        r1 = jnp.sum(bv * xf[c], axis=0)
+        n0 = jnp.clip((C * r0 - B * r1) * inv, 0.0, 255.0)
+        n1 = jnp.clip((A * r1 - B * r0) * inv, 0.0, 255.0)
+        e0n[c] = jnp.where(ok, n0, e0l[c])
+        e1n[c] = jnp.where(ok, n1, e1l[c])
+    return e0n, e1n
+
+
+def _k_anchor_index(idx, anchor):
+    """idx value at the (data-dependent) anchor pixel: one-hot row select."""
+    a_idx = jnp.zeros_like(idx[0])
+    for i in range(16):
+        a_idx = jnp.where(anchor == i, idx[i], a_idx)
+    return a_idx
+
+
+class _KWords:
+    """Accumulates a 128-bit block as 4 u32 lanes with static-offset and
+    per-pixel dynamic-offset fields (bc67._scatter_bits semantics)."""
+
+    def __init__(self, t):
+        z = jnp.zeros_like(t, dtype=jnp.uint32)
+        self.w = [z, z, z, z]
+
+    def put(self, value, offset: int, nbits: int):
+        v = value.astype(jnp.uint32)
+        wi, sh = offset // 32, offset % 32
+        self.w[wi] = self.w[wi] | (v << sh)
+        if sh and sh + nbits > 32:
+            self.w[wi + 1] = self.w[wi + 1] | (v >> (32 - sh))
+
+    def put_dyn(self, value, offset, lo_word: int):
+        """value/offset [T]; offset >= 32*lo_word (static lower bound)."""
+        v = value.astype(jnp.uint32)
+        wi = offset >> 5
+        sh = (offset & 31).astype(jnp.uint32)
+        for wd in range(lo_word, 4):
+            lo = jnp.where(wi == wd, v << sh, jnp.uint32(0))
+            hi = jnp.where((wi == wd - 1) & (sh != 0),
+                           v >> ((32 - sh) & 31), jnp.uint32(0))
+            self.w[wd] = self.w[wd] | lo | hi
+
+    def stack(self):
+        return jnp.stack(self.w)
+
+
+def _k_emit(mode_id: int, t, s_blk, rot, im, q0s, q1s, p0s, p1s,
+            idx1, idx2, a2, a3):
+    """In-kernel EmitBlock (bc67._emit_bc7): returns [4, T] u32.
+
+    s_blk/rot/im: [T] data or python int 0. a2/a3: anchor pixel positions
+    [T] for subsets 1/2 (None when absent); index offsets derive from them
+    (anchor pixels store prec-1 bits; their index msb is 0 after the swap,
+    so writing prec bits is equivalent)."""
+    (parts, part_bits, p_bits, rot_bits, im_bits, iprec, iprec2,
+     rgba_prec, _) = _BC7_FULL_STATICS[mode_id]
+    n_sub = parts + 1
+    kw = _KWords(t)
+    kw.put(jnp.full_like(t, 1 << mode_id, dtype=jnp.uint32), 0, mode_id + 1)
+    bit = mode_id + 1
+    if part_bits:
+        kw.put(s_blk, bit, part_bits)
+        bit += part_bits
+    if rot_bits:
+        v = rot if not isinstance(rot, int) else jnp.full_like(
+            t, rot, dtype=jnp.int32)
+        kw.put(v, bit, rot_bits)
+        bit += rot_bits
+    if im_bits:
+        v = im if not isinstance(im, int) else jnp.full_like(
+            t, im, dtype=jnp.int32)
+        kw.put(v, bit, im_bits)
+        bit += im_bits
+    for ch in range(4):
+        prec = rgba_prec[ch]
+        if prec == 0:
+            continue
+        for sub in range(n_sub):
+            kw.put(q0s[sub][ch], bit, prec)
+            bit += prec
+            kw.put(q1s[sub][ch], bit, prec)
+            bit += prec
+    if p_bits:
+        if p_bits == n_sub:  # shared p-bit per subset (mode 1)
+            for sub in range(n_sub):
+                kw.put(p0s[sub], bit, 1)
+                bit += 1
+        else:
+            for sub in range(n_sub):
+                kw.put(p0s[sub], bit, 1)
+                bit += 1
+                kw.put(p1s[sub], bit, 1)
+                bit += 1
+    # index section 1: anchor-compressed offsets
+    lo_word = bit // 32
+    n_anch = 1 + (a2 is not None) + (a3 is not None)
+    for i in range(16):
+        off = bit + iprec * i - (1 if i else 0)
+        if i == 0:
+            kw.put(idx1[0], off, iprec)
+            continue
+        offd = jnp.full_like(t, off, dtype=jnp.int32)
+        if a2 is not None:
+            offd = offd - (a2 < i).astype(jnp.int32)
+        if a3 is not None:
+            offd = offd - (a3 < i).astype(jnp.int32)
+        kw.put_dyn(idx1[i], offd, lo_word)
+    bit += iprec * 16 - n_anch
+    if iprec2:
+        for i in range(16):
+            off = bit + iprec2 * i - (1 if i else 0)
+            kw.put(idx2[i], off, iprec2)
+    return kw.stack()
+
+
+def _k_eval_subset(xs, xf, mf, mode_id: int):
+    """One subset: axis fit -> quantize -> projection assign -> LS refit ->
+    second pass -> keep better (bc67._eval_subset_candidate body).
+    Returns q0l, q1l, p0, p1, idx, err."""
+    rgba_prec, rgba_prec_p, iprec, shared_p, with_alpha = \
+        _BC7_MODE_STATICS[mode_id]
+
+    def qpal(e0l, e1l):
+        q0l, q1l, p0, p1, u0l, u1l = _k_quant_endpoints(
+            e0l, e1l, rgba_prec, rgba_prec_p, shared_p)
+        idx, dist = _project_assign(xs, u0l, u1l, iprec, 0, 4)
+        err = jnp.sum(dist * mf, axis=0) if mf is not None \
+            else jnp.sum(dist, axis=0)
+        return q0l, q1l, p0, p1, idx, err
+
+    e0, e1 = _k_axis(xf, mf, with_alpha)
+    q0a, q1a, p0a, p1a, idx_a, err_a = qpal(e0, e1)
+    e0r, e1r = _k_refit(xf, idx_a, mf, iprec, e0, e1)
+    q0b, q1b, p0b, p1b, idx_b, err_b = qpal(e0r, e1r)
+    better = err_b < err_a
+    bet16 = better[None, :]
+    q0 = [jnp.where(better, q0b[c], q0a[c]) for c in range(4)]
+    q1 = [jnp.where(better, q1b[c], q1a[c]) for c in range(4)]
+    p0 = jnp.where(better, p0b, p0a)
+    p1 = jnp.where(better, p1b, p1a)
+    idx = jnp.where(bet16, idx_b, idx_a)
+    err = jnp.where(better, err_b, err_a)
+    return q0, q1, p0, p1, idx, err
+
+
+def _packed_tables(partitions: int, n_shapes: int):
+    """Static per-shape tables packed into python ints: partition ids at
+    2 bits/pixel, fixup anchors at 4 bits each (PARTITIONS/FIXUPS)."""
+    from .bc67_tables import FIXUPS, PARTITIONS
+    parts = PARTITIONS[partitions]
+    pp = tuple(int(sum(int(parts[s, i]) << (2 * i) for i in range(16)))
+               for s in range(n_shapes))
+    pa = tuple(int(FIXUPS[partitions, s, 1])
+               | (int(FIXUPS[partitions, s, 2]) << 4)
+               for s in range(n_shapes))
+    return pp, pa
+
+
+def _partition_mode_kernel(px_ref, sb_ref, err_ref, w_ref,
+                           *, mode_id: int, n_cand: int, n_shapes: int):
+    """Modes 0/1/2/3/7: evaluate n_cand shape candidates, keep the best,
+    emit its block. Partition masks and anchors derive in-kernel from the
+    shape id via packed constant tables."""
+    parts = _BC7_FULL_STATICS[mode_id][0]
+    iprec = _BC7_FULL_STATICS[mode_id][5]
+    n_sub = parts + 1
+    K = 1 << iprec
+    msb, maxi = 1 << (iprec - 1), K - 1
+    pp_tab, pa_tab = _packed_tables(parts, n_shapes)
+
+    xs = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
+    xf = [x.astype(jnp.float32) for x in xs]
+
+    best = None
+    for cand in range(n_cand):
+        s_blk = sb_ref[cand, :]
+        # packed tables: 2 bits/px partition ids (pixel 15 uses bit 31 in
+        # 3-subset tables, so unsigned) and 4-bit anchors
+        pp = jnp.zeros_like(s_blk, dtype=jnp.uint32)
+        pa = jnp.zeros_like(s_blk)
+        for s in range(n_shapes):
+            hit = s_blk == s
+            pp = jnp.where(hit, jnp.uint32(pp_tab[s]), pp)
+            pa = jnp.where(hit, pa_tab[s], pa)
+        pm = jnp.stack([((pp >> (2 * i)) & 3).astype(jnp.int32)
+                        for i in range(16)])
+        total_err = jnp.zeros_like(xf[0][0])
+        idx_full = jnp.zeros_like(xs[0])
+        q0s, q1s, p0s, p1s = [], [], [], []
+        for p in range(n_sub):
+            mb = pm == p
+            mf = mb.astype(jnp.float32)
+            q0, q1, p0, p1, idx, err = _k_eval_subset(xs, xf, mf, mode_id)
+            total_err = total_err + err
+            idx_full = jnp.where(mb, idx, idx_full)
+            q0s.append(q0)
+            q1s.append(q1)
+            p0s.append(p0)
+            p1s.append(p1)
+        # anchor swaps (AssignIndices, BC6HBC7.cpp:3181-3194)
+        anch = [None, pa & 0xF, (pa >> 4) & 0xF][:n_sub + 1]
+        for p in range(n_sub):
+            if p == 0:
+                a_idx = idx_full[0]
+            else:
+                a_idx = _k_anchor_index(idx_full, anch[p])
+            swap = (a_idx & msb) != 0
+            sw16 = swap[None, :]
+            q0s[p], q1s[p] = (
+                [jnp.where(swap, q1s[p][c], q0s[p][c]) for c in range(4)],
+                [jnp.where(swap, q0s[p][c], q1s[p][c]) for c in range(4)])
+            p0s[p], p1s[p] = (jnp.where(swap, p1s[p], p0s[p]),
+                              jnp.where(swap, p0s[p], p1s[p]))
+            idx_full = jnp.where(sw16 & (pm == p), maxi - idx_full, idx_full)
+        state = (total_err, sb_ref[cand, :], q0s, q1s, p0s, p1s, idx_full,
+                 anch[1], anch[2] if n_sub > 2 else None)
+        if best is None:
+            best = state
+            continue
+        bt = state[0] < best[0]
+        bt16 = bt[None, :]
+        best = (
+            jnp.where(bt, state[0], best[0]),
+            jnp.where(bt, state[1], best[1]),
+            [[jnp.where(bt, state[2][s][c], best[2][s][c])
+              for c in range(4)] for s in range(n_sub)],
+            [[jnp.where(bt, state[3][s][c], best[3][s][c])
+              for c in range(4)] for s in range(n_sub)],
+            [jnp.where(bt, state[4][s], best[4][s]) for s in range(n_sub)],
+            [jnp.where(bt, state[5][s], best[5][s]) for s in range(n_sub)],
+            jnp.where(bt16, state[6], best[6]),
+            jnp.where(bt, state[7], best[7]),
+            jnp.where(bt, state[8], best[8]) if n_sub > 2 else None,
+        )
+
+    err, s_blk, q0s, q1s, p0s, p1s, idx_full, a2, a3 = best
+    words = _k_emit(mode_id, err, s_blk.astype(jnp.uint32), 0, 0,
+                    q0s, q1s, p0s, p1s, idx_full, None, a2, a3)
+    err_ref[...] = jnp.broadcast_to(err[None, :], err_ref.shape)
+    w_ref[...] = words
+
+
+@functools.partial(jax.jit, static_argnames=("mode_id", "n_shapes",
+                                              "interpret"))
+def partition_mode_pallas(px_i: jnp.ndarray, s_blks: jnp.ndarray,
+                          mode_id: int, n_shapes: int = 64,
+                          interpret: bool = False):
+    """Full partition-mode evaluation. px_i [16, 4, NB] i32;
+    s_blks [C, NB] shape candidates (partition masks and anchors derive
+    in-kernel). Returns (err [NB] f32, words [NB, 4] u32)."""
+    from jax.experimental import pallas as pl
+
+    n_cand = s_blks.shape[0]
+    nb = px_i.shape[2]
+    nb_pad = -(-nb // _TILE) * _TILE
+    pad = nb_pad - nb
+
+    px_cm = jnp.transpose(px_i, (1, 0, 2)).reshape(64, nb)
+    sb = s_blks.astype(jnp.int32)
+    if pad:
+        px_cm = jnp.pad(px_cm, ((0, 0), (0, pad)))
+        sb = jnp.pad(sb, ((0, 0), (0, pad)))
+
+    grid = (nb_pad // _TILE,)
+    kern = functools.partial(_partition_mode_kernel, mode_id=mode_id,
+                             n_cand=n_cand, n_shapes=n_shapes)
+    err8, words = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((64, _TILE), lambda i: (0, i)),
+            pl.BlockSpec((n_cand, _TILE), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, _TILE), lambda i: (0, i)),
+            pl.BlockSpec((4, _TILE), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
+            jax.ShapeDtypeStruct((4, nb_pad), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(px_cm, sb)
+    return err8[0, :nb], words[:, :nb].T
+
+
+def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
+                         e6_ref, w6_ref):
+    """Modes 4/5/6 in one pass: all rotation x index-mode combos, keep-best
+    per mode, emit each mode's winner (bc67._try_single_mode)."""
+    xs0 = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
+
+    # ---- mode 6: one subset, joint RGBA indices ----
+    xf0 = [x.astype(jnp.float32) for x in xs0]
+    q0, q1, p0, p1, idx, err6 = _k_eval_subset(xs0, xf0, None, 6)
+    swap = (idx[0] & 0x8) != 0
+    q0f = [jnp.where(swap, q1[c], q0[c]) for c in range(4)]
+    q1f = [jnp.where(swap, q0[c], q1[c]) for c in range(4)]
+    p0f = jnp.where(swap, p1, p0)
+    p1f = jnp.where(swap, p0, p1)
+    idx = jnp.where(swap[None, :], 15 - idx, idx)
+    w6 = _k_emit(6, err6, 0, 0, 0, [q0f], [q1f], [p0f], [p1f],
+                 idx, None, None, None)
+    e6_ref[...] = jnp.broadcast_to(err6[None, :], e6_ref.shape)
+    w6_ref[...] = w6
+
+    # ---- modes 4 and 5: dual indices over rotations ----
+    for mode_id, out_e, out_w in ((4, e4_ref, w4_ref), (5, e5_ref, w5_ref)):
+        (_, _, _, rot_bits, im_bits, prec1, prec2, rgba_prec,
+         rgba_prec_p) = _BC7_FULL_STATICS[mode_id]
+        best = None
+        for rot in range(1 << rot_bits):
+            if rot == 0:
+                xs = xs0
+            else:
+                perm = list(range(4))
+                perm[rot - 1], perm[3] = 3, rot - 1
+                xs = [xs0[perm[c]] for c in range(4)]
+            xf = [x.astype(jnp.float32) for x in xs]
+            for im in range(1 << im_bits):
+                cprec = prec2 if im else prec1
+                aprec = prec1 if im else prec2
+
+                def qpal(e0l, e1l):
+                    q0l, q1l, _, _, u0l, u1l = _k_quant_endpoints(
+                        e0l, e1l, rgba_prec, rgba_prec_p, False)
+                    cidx, cdist = _project_assign(xs, u0l, u1l, cprec, 0, 3)
+                    aidx, adist = _project_assign(xs, u0l, u1l, aprec, 3, 4)
+                    return (q0l, q1l, cidx, aidx,
+                            jnp.sum(cdist, axis=0) + jnp.sum(adist, axis=0))
+
+                e0, e1 = _k_axis(xf, None, False)
+                e0[3] = jnp.min(xf[3], axis=0)
+                e1[3] = jnp.max(xf[3], axis=0)
+                q0, q1, cidx, aidx, err = qpal(e0, e1)
+                e0c, e1c = _k_refit(xf, cidx, None, cprec, e0, e1, 0, 3)
+                e0c, e1c = _k_refit(xf, aidx, None, aprec, e0c, e1c, 3, 4)
+                q0b, q1b, cidx_b, aidx_b, err_b = qpal(e0c, e1c)
+                bt = err_b < err
+                bt16 = bt[None, :]
+                q0 = [jnp.where(bt, q0b[c], q0[c]) for c in range(4)]
+                q1 = [jnp.where(bt, q1b[c], q1[c]) for c in range(4)]
+                cidx = jnp.where(bt16, cidx_b, cidx)
+                aidx = jnp.where(bt16, aidx_b, aidx)
+                err = jnp.minimum(err_b, err)
+
+                # independent anchor fixes (BC6HBC7.cpp:3196-3216)
+                w1 = cidx if im == 0 else aidx
+                w2 = aidx if im == 0 else cidx
+                msb1, maxi1 = 1 << (prec1 - 1), (1 << prec1) - 1
+                msb2, maxi2 = 1 << (prec2 - 1), (1 << prec2) - 1
+                swap1 = (w1[0] & msb1) != 0
+                w1 = jnp.where(swap1[None, :], maxi1 - w1, w1)
+                swap2 = (w2[0] & msb2) != 0
+                w2 = jnp.where(swap2[None, :], maxi2 - w2, w2)
+                swap_rgb = swap1 if im == 0 else swap2
+                swap_a = swap2 if im == 0 else swap1
+                sw = [swap_rgb, swap_rgb, swap_rgb, swap_a]
+                q0f = [jnp.where(sw[c], q1[c], q0[c]) for c in range(4)]
+                q1f = [jnp.where(sw[c], q0[c], q1[c]) for c in range(4)]
+
+                t = err
+                state = (err,
+                         jnp.full_like(w1[0], rot),
+                         jnp.full_like(w1[0], im),
+                         q0f, q1f, w1, w2)
+                if best is None:
+                    best = state
+                    continue
+                bt = state[0] < best[0]
+                bt16 = bt[None, :]
+                best = (
+                    jnp.where(bt, state[0], best[0]),
+                    jnp.where(bt, state[1], best[1]),
+                    jnp.where(bt, state[2], best[2]),
+                    [jnp.where(bt, state[3][c], best[3][c])
+                     for c in range(4)],
+                    [jnp.where(bt, state[4][c], best[4][c])
+                     for c in range(4)],
+                    jnp.where(bt16, state[5], best[5]),
+                    jnp.where(bt16, state[6], best[6]),
+                )
+        err, rot_d, im_d, q0s, q1s, w1, w2 = best
+        zero = jnp.zeros_like(err, dtype=jnp.int32)
+        words = _k_emit(mode_id, err, 0, rot_d, im_d, [q0s], [q1s],
+                        [zero], [zero], w1, w2, None, None)
+        out_e[...] = jnp.broadcast_to(err[None, :], out_e.shape)
+        out_w[...] = words
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def single_modes_pallas(px_i: jnp.ndarray, interpret: bool = False):
+    """Modes 4, 5, 6 fused. px_i [16, 4, NB] i32. Returns
+    {mode: (err [NB], words [NB, 4] u32)}."""
+    from jax.experimental import pallas as pl
+
+    nb = px_i.shape[2]
+    nb_pad = -(-nb // _TILE) * _TILE
+    pad = nb_pad - nb
+    px_cm = jnp.transpose(px_i, (1, 0, 2)).reshape(64, nb)
+    if pad:
+        px_cm = jnp.pad(px_cm, ((0, 0), (0, pad)))
+
+    grid = (nb_pad // _TILE,)
+    outs = pl.pallas_call(
+        _single_modes_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((64, _TILE), lambda i: (0, i))],
+        out_specs=[pl.BlockSpec((8, _TILE), lambda i: (0, i)),
+                   pl.BlockSpec((4, _TILE), lambda i: (0, i))] * 3,
+        out_shape=[jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((4, nb_pad), jnp.uint32)] * 3,
+        interpret=interpret,
+    )(px_cm)
+    e4, w4, e5, w5, e6, w6 = outs
+    return {4: (e4[0, :nb], w4[:, :nb].T),
+            5: (e5[0, :nb], w5[:, :nb].T),
+            6: (e6[0, :nb], w6[:, :nb].T)}
+
+
+def _shape_topk_kernel(px_ref, m_ref, sb_ref, *, partitions: int,
+                       n_shapes: int, nch: int, n_cand: int):
+    """Shape estimates + top-k in VMEM (bc67._shape_estimates_table +
+    _top_k_shapes): per-block covariance axis, per-(shape, subset) masked
+    moment sums via one MXU dot against the static 0/1 partition matrix,
+    variance-proxy scoring, then n_cand sequential argmins."""
+    n_sub = partitions + 1
+    xs = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
+    xf = [x.astype(jnp.float32) for x in xs]
+    t_lanes = xf[0].shape[1]
+
+    mu = [jnp.mean(f, axis=0) for f in xf]
+    xc = [f - m[None, :] for f, m in zip(xf, mu)]
+    var = [jnp.sum(c * c, axis=0) for c in xc]
+    # reference channel = argmax variance among the first nch
+    ref = jnp.zeros_like(var[0], dtype=jnp.int32)
+    best_v = var[0]
+    for c in range(1, nch):
+        b = var[c] > best_v
+        best_v = jnp.where(b, var[c], best_v)
+        ref = jnp.where(b, c, ref)
+    t_ref = jnp.zeros_like(xc[0])
+    for c in range(nch):
+        t_ref = jnp.where(ref[None, :] == c, xc[c], t_ref)
+    a = [jnp.sum(c * t_ref, axis=0) for c in xc]
+    t = sum(xc[c] * a[c][None, :] for c in range(4))
+    a = [jnp.sum(xc[c] * t, axis=0) for c in range(4)]
+    an = jnp.maximum(jnp.sqrt(sum(v * v for v in a)), 1e-6)
+    a = [v / an for v in a]
+    t = sum(xc[c] * a[c][None, :] for c in range(4))
+    len2 = sum(v * v for v in a)
+    inv_len2 = 1.0 / jnp.maximum(len2, 1e-6)
+
+    q = sum(c * c for c in xc)
+    planes = [q, t * t, t] + xc                      # 7 x [16, T]
+    rhs = jnp.concatenate(planes, axis=1)            # [16, 7*T]
+
+    mmat = m_ref[...]                                # [n_sub*S, 16]
+    n_inv = 1.0 / jnp.maximum(jnp.sum(mmat, axis=1, keepdims=True), 1.0)
+    sp = jax.lax.dot_general(
+        mmat, rhs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [n_sub*S, 7*T]
+
+    est = jnp.zeros((n_shapes, t_lanes), jnp.float32)
+    for p in range(n_sub):
+        spp = sp[p * n_shapes:(p + 1) * n_shapes]
+        ninv = n_inv[p * n_shapes:(p + 1) * n_shapes]
+        ch2 = sum(spp[:, (3 + c) * t_lanes:(4 + c) * t_lanes] ** 2
+                  for c in range(4))
+        tot = spp[:, 0:t_lanes] - ch2 * ninv
+        va = (spp[:, t_lanes:2 * t_lanes]
+              - spp[:, 2 * t_lanes:3 * t_lanes] ** 2 * ninv) \
+            * inv_len2[None, :]
+        est = est + tot - va
+
+    big = jnp.float32(jnp.inf)
+    for cand in range(n_cand):
+        best_e = est[0]
+        s_blk = jnp.zeros_like(ref)
+        for s in range(1, n_shapes):
+            b = est[s] < best_e
+            best_e = jnp.where(b, est[s], best_e)
+            s_blk = jnp.where(b, s, s_blk)
+        sb_ref[cand, :] = s_blk
+        if cand + 1 < n_cand:
+            rows = [jnp.where(s == s_blk, big, est[s])
+                    for s in range(n_shapes)]
+            est = jnp.stack(rows)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "partitions", "n_shapes", "nch", "n_cand", "interpret"))
+def partition_shapes_pallas(px_i: jnp.ndarray, partitions: int,
+                            n_shapes: int, nch: int, n_cand: int,
+                            interpret: bool = False):
+    """Top n_cand shape candidates per block. px_i [16, 4, NB] i32.
+    Returns s_blks [n_cand, NB] i32."""
+    from jax.experimental import pallas as pl
+
+    from .bc67_tables import PARTITIONS
+
+    nb = px_i.shape[2]
+    nb_pad = -(-nb // _TILE) * _TILE
+    pad = nb_pad - nb
+    px_cm = jnp.transpose(px_i, (1, 0, 2)).reshape(64, nb)
+    if pad:
+        px_cm = jnp.pad(px_cm, ((0, 0), (0, pad)))
+
+    parts = PARTITIONS[partitions][:n_shapes]
+    n_sub = partitions + 1
+    m_host = np.concatenate(
+        [(parts == p).astype(np.float32) for p in range(n_sub)], axis=0)
+
+    kern = functools.partial(
+        _shape_topk_kernel, partitions=partitions, n_shapes=n_shapes,
+        nch=nch, n_cand=n_cand)
+    sb = pl.pallas_call(
+        kern,
+        grid=(nb_pad // _TILE,),
+        in_specs=[pl.BlockSpec((64, _TILE), lambda i: (0, i)),
+                  pl.BlockSpec((n_sub * n_shapes, 16), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((n_cand, _TILE), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((n_cand, nb_pad), jnp.int32),
+        interpret=interpret,
+    )(px_cm, jnp.asarray(m_host))
+    return sb[:, :nb]
