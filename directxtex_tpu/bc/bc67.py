@@ -1237,21 +1237,7 @@ def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed):
     total_err = jnp.zeros(nb, jnp.float32)
     q_pairs = []
 
-    use_pallas = False
-    try:
-        from .pallas_kernels import _use_pallas, bc6h_eval_pallas
-        use_pallas = _use_pallas()
-    except Exception:
-        pass
-
     for sub, mask in enumerate(mask_list):
-        if use_pallas:
-            # fused VMEM kernel: same math as the jnp body below in one pass
-            q0, q1, idx, err = bc6h_eval_pallas(px_int, mask, row, signed)
-            total_err = total_err + err
-            q_pairs.append((q0, q1))
-            idx_full = jnp.where(mask, idx, idx_full)
-            continue
         big = jnp.float32(1e9)
         m3 = mask[:, None, :]
         mi = jnp.min(jnp.where(m3, px_f, big), axis=0)    # [3, NB]
@@ -1267,13 +1253,11 @@ def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed):
                                        signed)
 
         # least-squares refinement in int space (2 rounds)
-        wtab = _WEIGHTS[iprec]
         e0f, e1f = mi, ma
         q0b, q1b, idx_b, err_b = q0, q1, idx, err
         for _ in range(2):
-            x = jnp.zeros(idx_b.shape, jnp.float32)
-            for k in range(1, 1 << iprec):
-                x = x + (idx_b == k).astype(jnp.float32) * (float(wtab[k]) / 64.0)
+            x = _pal_weight(idx_b, 1 << iprec).astype(jnp.float32) \
+                * jnp.float32(1 / 64)
             mm = mask.astype(jnp.float32)
             a = (1.0 - x) * mm
             b = x * mm
@@ -1372,6 +1356,33 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool) -> jnp.ndarray:
 
     best_err = jnp.full((nb,), jnp.inf, jnp.float32)
     best_words = jnp.zeros((nb, 4), jnp.uint32)
+
+    use_pallas = False
+    try:
+        from .pallas_kernels import (_use_pallas, bc6h_1region_pallas,
+                                     bc6h_2region_pallas)
+        use_pallas = _use_pallas()
+    except Exception:
+        pass
+
+    if use_pallas:
+        # mega-kernels: rows 10-13 folded in one pass; one kernel per
+        # 2-region row over the shared shape candidates; folded here in
+        # the same row order as the jnp path
+        px4i = jnp.concatenate(
+            [px_int, jnp.zeros((16, 1, nb), jnp.int32)], axis=1)
+        from .pallas_kernels import partition_shapes_pallas
+        s_blks = partition_shapes_pallas(px4i, 1, 32, 3,
+                                         BC7_SHAPE_CANDIDATES)
+        best_err, words = bc6h_1region_pallas(px_int, signed)
+        best_words = words
+        for row in range(10):
+            err, words = bc6h_2region_pallas(px_int, s_blks, row, signed)
+            better = err < best_err
+            best_words = jnp.where(better[:, None], words, best_words)
+            best_err = jnp.minimum(err, best_err)
+        return lax.bitcast_convert_type(best_words, jnp.uint8).reshape(
+            nb, 16)
 
     ones = jnp.ones((16, nb), bool)
 
