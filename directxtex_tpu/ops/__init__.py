@@ -3,13 +3,14 @@
 from .colorspace import (
     apply_linear_to_srgb, apply_srgb_to_linear, linear_to_srgb, srgb_to_linear,
 )
-from .convert import (CONVF, convert, convert_to_single_plane,
+from .convert import (CONVF, convert, convert_ex, convert_to_single_plane,
                       convert_values, get_convert_flags)
 from .flags import (
     CMSE_FLAGS, CNMAP_FLAGS, TEX_COMPRESS_FLAGS, TEX_FILTER_FLAGS,
     TEX_FR_FLAGS, TEX_PMALPHA_FLAGS, TEX_THRESHOLD_DEFAULT,
 )
-from .compress import compress, decompress, default_decompress_format
+from .compress import (compress, compress_ex, decompress,
+                       default_decompress_format)
 from .fliprotate import flip_rotate
 from .mipmaps import (
     calculate_alpha_coverage, generate_mipmaps, generate_mipmaps_3d,
@@ -27,8 +28,8 @@ __all__ = [
     "TEX_FILTER_FLAGS", "TEX_FR_FLAGS", "TEX_PMALPHA_FLAGS",
     "TEX_THRESHOLD_DEFAULT",
     "apply_linear_to_srgb", "apply_srgb_to_linear",
-    "calculate_alpha_coverage", "compress", "compute_mse",
-    "compute_normal_map", "compute_psnr", "convert",
+    "calculate_alpha_coverage", "compress", "compress_ex", "compute_mse",
+    "compute_normal_map", "compute_psnr", "convert", "convert_ex",
     "convert_to_single_plane", "convert_values", "copy_rectangle",
     "demultiply_values", "evaluate_image", "flip_rotate",
     "decompress", "default_decompress_format", "generate_mipmaps",

@@ -24,7 +24,8 @@ from .convert import convert_values
 from .flags import TEX_COMPRESS_FLAGS as TC
 from .flags import TEX_FILTER_FLAGS as TF
 
-__all__ = ["compress", "decompress", "default_decompress_format"]
+__all__ = ["compress", "compress_ex", "decompress",
+           "default_decompress_format"]
 
 
 def _bc_flags(compress_flags: TC) -> int:
@@ -208,3 +209,49 @@ def decompress(ctex: CompressedTexture,
         levels.append(jnp.stack(outs))
     new_meta = meta.with_format(fmt)
     return Texture(new_meta, levels)
+
+
+def compress_ex(tex: Texture, fmt: DXGIFormat,
+                flags: TC = TC.DEFAULT, threshold: float = 0.5,
+                status_callback=None) -> CompressedTexture:
+    """CompressEx (DirectXTexCompress.cpp:664, CompressOptions +
+    statusCallBack, DirectXTex.h:922-962): like compress(), reporting
+    (done, total) between per-item device batches. A callback returning
+    False aborts with TexAbortError (E_ABORT semantics)."""
+    from ..utils.errors import TexAbortError
+
+    if status_callback is None:
+        return compress(tex, fmt, flags, threshold)
+
+    total = sum(int(lvl.shape[0]) for lvl in tex.levels)
+    done = 0
+    if status_callback(0, total) is False:
+        raise TexAbortError("compress aborted by status callback")
+
+    flags = TC(flags)
+    if fmt not in _ENCODERS:
+        raise ValueError(f"compress: target must be a BC format, got {fmt!r}")
+    src_fmt = tex.metadata.format
+    if traits.is_compressed(src_fmt):
+        raise ValueError("compress: source is already compressed")
+    kind, bpb = _ENCODERS[fmt]
+    bcflags = _bc_flags(flags)
+    srgb = _srgb_flags(flags)
+    opaque = kind == "bc7" and all(
+        bool(jnp.all(lvl[..., 3] >= 1.0)) for lvl in tex.levels)
+
+    levels = []
+    for lvl in tex.levels:
+        vals = convert_values(lvl, src_fmt, fmt, srgb)
+        outs = []
+        for i in range(lvl.shape[0]):
+            blocks, _, _ = image_to_blocks(vals[i])
+            outs.append(_encode_blocks(kind, blocks, threshold, bcflags,
+                                       opaque).reshape(-1))
+            done += 1
+            if status_callback(done, total) is False:
+                raise TexAbortError("compress aborted by status callback")
+        levels.append(jnp.stack(outs))
+    meta = tex.metadata.with_format(fmt)
+    meta = dataclasses.replace(meta, mip_levels=len(levels))
+    return CompressedTexture(meta, levels)

@@ -21,7 +21,8 @@ from ..texture import Texture
 from .colorspace import GRAYSCALE, apply_linear_to_srgb, apply_srgb_to_linear
 from .flags import TEX_FILTER_FLAGS as TF
 
-__all__ = ["CONVF", "get_convert_flags", "convert_values", "convert"]
+__all__ = ["CONVF", "get_convert_flags", "convert_values", "convert",
+           "convert_ex"]
 
 
 class CONVF(enum.IntFlag):
@@ -414,3 +415,23 @@ def convert_to_single_plane(tex_or_bytes, metadata=None) -> Texture:
     data = np.frombuffer(bytes(tex_or_bytes), np.uint8)
     arr = unpack_planar_image(meta.format, data, meta.width, meta.height)
     return Texture(meta.with_format(target), [arr[None]])
+
+
+def convert_ex(tex: Texture, out_fmt: DXGIFormat,
+               filter_flags: TF = TF.DEFAULT, threshold: float = 0.5,
+               status_callback=None) -> Texture:
+    """ConvertEx (DirectXTexConvert.cpp:5106, ConvertOptions +
+    statusCallBack): per-mip progress reporting with cooperative abort
+    (E_ABORT -> TexAbortError)."""
+    from ..utils.errors import TexAbortError
+
+    if status_callback is None:
+        return convert(tex, out_fmt, filter_flags, threshold)
+    total = len(tex.levels)
+    if status_callback(0, total) is False:
+        raise TexAbortError("convert aborted by status callback")
+    out = convert(tex, out_fmt, filter_flags, threshold)
+    for i in range(total):
+        if status_callback(i + 1, total) is False:
+            raise TexAbortError("convert aborted by status callback")
+    return out

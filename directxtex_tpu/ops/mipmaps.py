@@ -103,8 +103,8 @@ def generate_mipmaps_3d(tex: Texture, filter_flags: TF = TF.DEFAULT,
     n_levels = traits.calculate_mip_levels_3d(meta.width, meta.height,
                                               meta.depth, levels)
     mode = int(filter_flags) & TEX_FILTER_MODE_MASK
-    if mode not in (0, int(TF.BOX), int(TF.POINT), int(TF.LINEAR)):
-        mode = int(TF.BOX)
+    wrap = bool(filter_flags & TF.WRAP)
+    mirror = bool(filter_flags & TF.MIRROR)
 
     srgb = traits.is_srgb(meta.format) or bool(filter_flags & TF.SRGB_IN)
     base = tex.levels[0]  # [D, H, W, 4]
@@ -115,7 +115,21 @@ def generate_mipmaps_3d(tex: Texture, filter_flags: TF = TF.DEFAULT,
         if mode == int(TF.POINT):
             lin = lin[:: 2 if d > 1 else 1, :: 2 if h > 1 else 1,
                       :: 2 if w > 1 else 1]
-        else:
+        elif mode in (int(TF.LINEAR), int(TF.CUBIC), int(TF.TRIANGLE)):
+            # Generate3DMips{Linear,Cubic,Triangle}Filter
+            # (DirectXTexMipmaps.cpp:1608-2827): separable per-axis filter
+            # matrices (filters.h weights) contracted on the MXU
+            from .resize import filter_weights
+            for axis, size in ((0, d), (1, h), (2, w)):
+                nsize = max(1, size // 2)
+                if nsize == size:
+                    continue
+                W = jnp.asarray(filter_weights(size, nsize, mode, wrap,
+                                               mirror))
+                lin = jnp.moveaxis(
+                    jnp.tensordot(W, jnp.moveaxis(lin, axis, 0),
+                                  axes=([1], [0])), 0, axis)
+        else:  # box / fant default
             if d > 1:
                 lin = lin.reshape(max(1, d // 2), 2, h, w, c).mean(axis=1)
             nd = lin.shape[0]

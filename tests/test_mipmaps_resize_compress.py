@@ -214,3 +214,23 @@ def test_compress_odd_sizes():
     assert ctex.levels[0].shape == (1, 2 * 1 * 16)
     back = decompress(ctex)
     assert back.to_numpy().shape == (5, 3, 4)
+
+
+def test_generate_mipmaps_3d_filtered():
+    import numpy as np
+    from directxtex_tpu.ops.mipmaps import generate_mipmaps_3d
+    from directxtex_tpu.ops.flags import TEX_FILTER_FLAGS as TF
+    from directxtex_tpu.texture import TexDimension, Texture
+
+    rng = np.random.default_rng(0)
+    vol = rng.random((8, 16, 16, 4)).astype(np.float32)
+    tex = Texture.from_array(vol, dimension=TexDimension.TEXTURE3D)
+    for mode in (TF.LINEAR, TF.CUBIC, TF.TRIANGLE, TF.BOX, TF.POINT):
+        out = generate_mipmaps_3d(tex, mode)
+        assert out.levels[1].shape == (4, 8, 8, 4), mode
+        assert out.levels[-1].shape == (1, 1, 1, 4), mode
+        v = np.asarray(out.levels[1])
+        assert np.isfinite(v).all()
+        if mode != TF.POINT:
+            # mean-preserving reductions
+            assert abs(float(v.mean()) - float(vol.mean())) < 0.05, mode

@@ -258,3 +258,24 @@ def test_convert_to_single_plane():
     assert tex.metadata.format == FMT.YUY2
     expected = ((298 * (180 - 16) + 128) >> 8) / 255
     np.testing.assert_allclose(tex.to_numpy()[..., 0], expected, atol=1e-6)
+
+
+def test_compress_ex_status_callback():
+    import numpy as np
+    import pytest
+    from directxtex_tpu.formats import FMT
+    from directxtex_tpu.ops.compress import compress, compress_ex
+    from directxtex_tpu.texture import Texture
+    from directxtex_tpu.utils.errors import TexAbortError
+
+    img = np.random.default_rng(0).random((8, 8, 4)).astype(np.float32)
+    tex = Texture.from_array(img)
+    calls = []
+    ct = compress_ex(tex, FMT.BC1_UNORM,
+                     status_callback=lambda d, t: calls.append((d, t)) or True)
+    assert calls == [(0, 1), (1, 1)]
+    ref = compress(tex, FMT.BC1_UNORM)
+    np.testing.assert_array_equal(np.asarray(ct.levels[0]),
+                                  np.asarray(ref.levels[0]))
+    with pytest.raises(TexAbortError):
+        compress_ex(tex, FMT.BC1_UNORM, status_callback=lambda d, t: False)
