@@ -558,34 +558,48 @@ def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
     w6_ref[...] = w6
 
     # ---- modes 4 and 5: dual indices over rotations ----
+    # rotation-dependent data (channel permutation, axis fit, alpha
+    # min/max) is identical for both modes: compute once
+    rot_data = []
+    for rot in range(4):
+        if rot == 0:
+            xs = xs0
+        else:
+            perm = list(range(4))
+            perm[rot - 1], perm[3] = 3, rot - 1
+            xs = [xs0[perm[c]] for c in range(4)]
+        xf = [x.astype(jnp.float32) for x in xs]
+        e0, e1 = _k_axis(xf, None, False)
+        e0[3] = jnp.min(xf[3], axis=0)
+        e1[3] = jnp.max(xf[3], axis=0)
+        rot_data.append((xs, xf, e0, e1))
+
     for mode_id, out_e, out_w in ((4, e4_ref, w4_ref), (5, e5_ref, w5_ref)):
         (_, _, _, rot_bits, im_bits, prec1, prec2, rgba_prec,
          rgba_prec_p) = _BC7_FULL_STATICS[mode_id]
         best = None
         for rot in range(1 << rot_bits):
-            if rot == 0:
-                xs = xs0
-            else:
-                perm = list(range(4))
-                perm[rot - 1], perm[3] = 3, rot - 1
-                xs = [xs0[perm[c]] for c in range(4)]
-            xf = [x.astype(jnp.float32) for x in xs]
+            xs, xf, e0, e1 = rot_data[rot]
+            # first-pass endpoint quantization depends only on the rotation
+            q0r, q1r, _, _, u0r, u1r = _k_quant_endpoints(
+                e0, e1, rgba_prec, rgba_prec_p, False)
             for im in range(1 << im_bits):
                 cprec = prec2 if im else prec1
                 aprec = prec1 if im else prec2
 
-                def qpal(e0l, e1l):
-                    q0l, q1l, _, _, u0l, u1l = _k_quant_endpoints(
-                        e0l, e1l, rgba_prec, rgba_prec_p, False)
+                def qpal(e0l, e1l, pre=None):
+                    if pre is None:
+                        q0l, q1l, _, _, u0l, u1l = _k_quant_endpoints(
+                            e0l, e1l, rgba_prec, rgba_prec_p, False)
+                    else:
+                        q0l, q1l, u0l, u1l = pre
                     cidx, cdist = _project_assign(xs, u0l, u1l, cprec, 0, 3)
                     aidx, adist = _project_assign(xs, u0l, u1l, aprec, 3, 4)
                     return (q0l, q1l, cidx, aidx,
                             jnp.sum(cdist, axis=0) + jnp.sum(adist, axis=0))
 
-                e0, e1 = _k_axis(xf, None, False)
-                e0[3] = jnp.min(xf[3], axis=0)
-                e1[3] = jnp.max(xf[3], axis=0)
-                q0, q1, cidx, aidx, err = qpal(e0, e1)
+                q0, q1, cidx, aidx, err = qpal(e0, e1,
+                                               pre=(q0r, q1r, u0r, u1r))
                 e0c, e1c = _k_refit(xf, cidx, None, cprec, e0, e1, 0, 3)
                 e0c, e1c = _k_refit(xf, aidx, None, aprec, e0c, e1c, 3, 4)
                 q0b, q1b, cidx_b, aidx_b, err_b = qpal(e0c, e1c)
