@@ -67,18 +67,8 @@ def config1():
     img = np.clip(np.stack([gx, gy, gx * gy, np.ones_like(gx)], -1)
                   + rng.normal(0, .02, (size, size, 4)), 0, 1).astype(np.float32)
 
-    def step(im):
-        outs = []
-        lin = im
-        while True:
-            blocks, _, _ = image_to_blocks(lin)
-            outs.append(bc123.encode_bc1(blocks, 0.5, 0))
-            h, w = lin.shape[:2]
-            if h <= 4 and w <= 4:
-                break
-            lin = lin.reshape(max(1, h // 2), 2, max(1, w // 2), 2, 4).mean((1, 3))
-        return tuple(outs)
-
+    from directxtex_tpu.models.pipelines import mipped_compress_pipeline
+    step = mipped_compress_pipeline("bc1", srgb=False)
     dt = _timeit(step, jnp.asarray(img))
     texels = size * size * 4 // 3  # full chain
     from directxtex_tpu.bc import bc123 as _b

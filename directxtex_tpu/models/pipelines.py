@@ -53,21 +53,30 @@ def mipped_compress_pipeline(kind: str = "bc1", levels: int = 0,
 
     def run(img: jnp.ndarray):
         work = apply_srgb_to_linear(img) if srgb else img
-        outs = []
         h, w = img.shape[:2]
         lvl = work
         n_levels = levels or max(h, w).bit_length()
+        all_blocks = []
+        counts = []
         for _ in range(n_levels):
             store = apply_linear_to_srgb(lvl) if srgb else lvl
             blocks, _, _ = image_to_blocks(store)
-            outs.append(_encode(kind, blocks, flags))
+            all_blocks.append(blocks)
+            counts.append(blocks.shape[0])
             nh, nw = max(1, lvl.shape[0] // 2), max(1, lvl.shape[1] // 2)
             if lvl.shape[0] > 1:
                 lvl = lvl.reshape(nh, 2, lvl.shape[1], 4).mean(axis=1)
             if lvl.shape[1] > 1:
                 lvl = lvl.reshape(nh, nw, 2, 4).mean(axis=2)
-            if lvl.shape[:2] == (1, 1) and len(outs) == n_levels:
+            if lvl.shape[:2] == (1, 1) and len(all_blocks) == n_levels:
                 break
+        # every level's blocks ride one encode dispatch
+        packed = _encode(kind, jnp.concatenate(all_blocks, axis=0), flags)
+        outs = []
+        off = 0
+        for c in counts:
+            outs.append(packed[off:off + c])
+            off += c
         return tuple(outs)
 
     return run

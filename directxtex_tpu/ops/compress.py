@@ -159,17 +159,31 @@ def compress(tex: Texture, fmt: DXGIFormat,
     opaque = kind == "bc7" and all(
         bool(jnp.all(lvl[..., 3] >= 1.0)) for lvl in tex.levels)
 
-    levels = []
+    # blocks from every (level, item) concatenate into ONE encode dispatch
+    # (the reference's OpenMP flat-block-index idea, DirectXTexCompress.cpp
+    # :209-373, applied across subresources): small mip tails ride along
+    # with the base level instead of paying per-dispatch overhead
+    all_blocks = []
+    counts = []  # (n_items, blocks_per_item)
     for lvl in tex.levels:
         n, h, w, _ = lvl.shape
         vals = convert_values(lvl, src_fmt, fmt, srgb)
-        # per-item blocking (items are independent images)
-        outs = []
+        per_item = None
         for i in range(n):
             blocks, nbh, nbw = image_to_blocks(vals[i])
-            packed = _encode_blocks(kind, blocks, threshold, bcflags,
-                                    opaque)
-            outs.append(packed.reshape(-1))
+            per_item = blocks.shape[0]
+            all_blocks.append(blocks)
+        counts.append((n, per_item))
+    packed = _encode_blocks(kind, jnp.concatenate(all_blocks, axis=0),
+                            threshold, bcflags, opaque)
+
+    levels = []
+    off = 0
+    for n, per_item in counts:
+        outs = []
+        for i in range(n):
+            outs.append(packed[off:off + per_item].reshape(-1))
+            off += per_item
         levels.append(jnp.stack(outs))
     meta = tex.metadata.with_format(fmt)
     meta = dataclasses.replace(meta, mip_levels=len(levels))
@@ -194,18 +208,25 @@ def decompress(ctex: CompressedTexture,
     bpb = traits.bytes_per_block(bcfmt)
 
     meta = ctex.metadata
-    levels = []
+    # one decode dispatch across every (level, item), mirroring compress()
+    raws = []
+    shapes = []
     for mip in range(ctex.mip_levels):
         w, h, d = meta.mip_dims(mip)
         lvl = jnp.asarray(ctex.levels[mip])
-        n = lvl.shape[0]
+        for i in range(lvl.shape[0]):
+            raws.append(lvl[i].reshape(-1, bpb))
+        shapes.append((lvl.shape[0], h, w, raws[-1].shape[0]))
+    texels = _decode_blocks(kind, jnp.concatenate(raws, axis=0))
+
+    levels = []
+    off = 0
+    for n, h, w, per_item in shapes:
         outs = []
         for i in range(n):
-            raw = lvl[i].reshape(-1, bpb)
-            texels = _decode_blocks(kind, raw)  # [NB, 16, 4]
-            img = blocks_to_image(texels, h, w)
-            img = convert_values(img, bcfmt, fmt, TF.DEFAULT)
-            outs.append(img)
+            img = blocks_to_image(texels[off:off + per_item], h, w)
+            outs.append(convert_values(img, bcfmt, fmt, TF.DEFAULT))
+            off += per_item
         levels.append(jnp.stack(outs))
     new_meta = meta.with_format(fmt)
     return Texture(new_meta, levels)
