@@ -98,7 +98,8 @@ def hdr_cubemap_pipeline():
             (gu, one, gv), (gu, -one, -gv),
             (gu, -gv, one), (-gu, -gv, -one),
         ]
-        outs = []
+        flat = equirect.reshape(-1, 4)
+        all_blocks = []
         for dx, dy, dz in dirs:
             norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
             x, y, z = dx / norm, dy / norm, dz / norm
@@ -108,10 +109,15 @@ def hdr_cubemap_pipeline():
             fv = (0.5 - lat / jnp.pi) * equirect.shape[0]
             x0 = jnp.clip(fu.astype(jnp.int32), 0, equirect.shape[1] - 1)
             y0 = jnp.clip(fv.astype(jnp.int32), 0, equirect.shape[0] - 1)
-            sampled = equirect[y0, x0]
+            sampled = jnp.take(flat, y0 * equirect.shape[1] + x0,
+                               axis=0)      # row gather beats 2-D indexing
             blocks, _, _ = image_to_blocks(sampled)
-            outs.append(bc67.encode_bc6h(blocks, signed=False))
-        return tuple(outs)
+            all_blocks.append(blocks)
+        # all 6 faces in one encode dispatch
+        packed = bc67.encode_bc6h(jnp.concatenate(all_blocks, axis=0),
+                                  signed=False)
+        per = all_blocks[0].shape[0]
+        return tuple(packed[i * per:(i + 1) * per] for i in range(6))
 
     return run
 
