@@ -1376,8 +1376,18 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool) -> jnp.ndarray:
                                          BC7_SHAPE_CANDIDATES)
         best_err, words = bc6h_1region_pallas(px_int, signed)
         best_words = words
+        # consecutive rows sharing (precW, iprec) run one kernel: their
+        # subset evaluation is identical, only delta-fit + emit differ
+        groups = []
         for row in range(10):
-            err, words = bc6h_2region_pallas(px_int, s_blks, row, signed)
+            key = (BC6H_MODE_INFO[row][3], BC6H_MODE_INFO[row][4])
+            if groups and groups[-1][0] == key:
+                groups[-1][1].append(row)
+            else:
+                groups.append((key, [row]))
+        for _, rows in groups:
+            err, words = bc6h_2region_pallas(px_int, s_blks, tuple(rows),
+                                             signed)
             better = err < best_err
             best_words = jnp.where(better[:, None], words, best_words)
             best_err = jnp.minimum(err, best_err)

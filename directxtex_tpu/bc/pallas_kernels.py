@@ -964,12 +964,11 @@ def _bc6h_header_runs(row: int):
     return runs, header_bits
 
 
-def _k_bc6h_candidate(xs3, xf3, row: int, signed: bool, pm, a2):
-    """One (row, shape) candidate: subsets, anchor swaps, delta transform +
-    fit check (bc67._bc6h_eval_candidate). pm/a2 None for 1-region rows.
-    Returns (err, emit_pairs, idx_full)."""
-    (_, partitions, transformed, iprec, precW, precX, precY, precZ) = \
-        BC6H_MODE_INFO[row]
+def _k_bc6h_eval(xs3, xf3, row: int, signed: bool, pm, a2):
+    """Subset evaluation + anchor swaps for one shape candidate; shared by
+    every row with the same endpoint precision (precW) and index precision.
+    pm/a2 None for 1-region rows. Returns (total_err, q_pairs, idx_full)."""
+    (_, partitions, _, iprec, _, _, _, _) = BC6H_MODE_INFO[row]
     msb, maxi = 1 << (iprec - 1), (1 << iprec) - 1
     t = xf3[0][0]
 
@@ -996,9 +995,15 @@ def _k_bc6h_candidate(xs3, xf3, row: int, signed: bool, pm, a2):
                       [jnp.where(swap, q0[c], q1[c]) for c in range(3)]))
         keep = swap[None, :] if pm is None else (swap[None, :] & (pm == p))
         idx_full = jnp.where(keep, maxi - idx_full, idx_full)
-    q_pairs = fixed
+    return total_err, fixed, idx_full
 
-    # delta transform + fit check (TransformForward + EndPointsFit :1948)
+
+def _k_bc6h_transform_fit(q_pairs, total_err, row: int, signed: bool):
+    """Per-row delta transform + endpoint-fit check on an already-evaluated
+    candidate (TransformForward + EndPointsFit :1948).
+    Returns (err, emit_pairs)."""
+    (_, partitions, transformed, iprec, precW, precX, precY, precZ) = \
+        BC6H_MODE_INFO[row]
     base = q_pairs[0][0]
     fit = None
     deltas = [(q_pairs[0][1], precX)]
@@ -1038,8 +1043,16 @@ def _k_bc6h_candidate(xs3, xf3, row: int, signed: bool, pm, a2):
     if partitions:
         emit_pairs.append((fmask(stored[1], precY),
                            fmask(stored[2], precZ)))
-    total_err = jnp.where(fit, total_err, jnp.inf)
-    return total_err, emit_pairs, idx_full
+    return jnp.where(fit, total_err, jnp.inf), emit_pairs
+
+
+def _k_bc6h_candidate(xs3, xf3, row: int, signed: bool, pm, a2):
+    """One (row, shape) candidate end to end (eval + transform/fit).
+    Returns (err, emit_pairs, idx_full)."""
+    total_err, q_pairs, idx_full = _k_bc6h_eval(xs3, xf3, row, signed,
+                                                pm, a2)
+    err, emit_pairs = _k_bc6h_transform_fit(q_pairs, total_err, row, signed)
+    return err, emit_pairs, idx_full
 
 
 def _k_bc6h_emit(row: int, t, s_blk, emit_pairs, idx_full, a2):
@@ -1106,15 +1119,18 @@ def _bc6h_1region_kernel(px_ref, err_ref, w_ref, *, signed: bool):
     w_ref[...] = best_w
 
 
-def _bc6h_2region_kernel(px_ref, sb_ref, err_ref, w_ref, *, row: int,
+def _bc6h_2region_kernel(px_ref, sb_ref, err_ref, w_ref, *, rows: tuple,
                          signed: bool, n_cand: int):
-    """One 2-region row: n_cand shape candidates, masks/anchors from the
-    packed 32-shape tables, keep best, emit."""
+    """2-region rows sharing endpoint/index precision: the expensive
+    subset evaluation runs once per shape candidate, then each row applies
+    its own delta transform + fit check and emit; rows fold in order
+    (modes 3/4/5 and 7/8/9 differ only in which channel gets the wider
+    delta field, ms_aInfo BC6HBC7.cpp:1051-1067)."""
     pp_tab, pa_tab = _packed_tables(1, 32)
     xs3 = [px_ref[c * 16:(c + 1) * 16, :] for c in range(3)]
     xf3 = [x.astype(jnp.float32) for x in xs3]
 
-    best = None
+    shared = []
     for cand in range(n_cand):
         s_blk = sb_ref[cand, :]
         pp = jnp.zeros_like(s_blk, dtype=jnp.uint32)
@@ -1126,27 +1142,41 @@ def _bc6h_2region_kernel(px_ref, sb_ref, err_ref, w_ref, *, row: int,
         pm = jnp.stack([((pp >> (2 * i)) & 1).astype(jnp.int32)
                         for i in range(16)])
         a2 = pa & 0xF
-        err, pairs, idx = _k_bc6h_candidate(xs3, xf3, row, signed, pm, a2)
-        state = (err, s_blk, pairs, idx, a2)
-        if best is None:
-            best = state
-            continue
-        bt = state[0] < best[0]
-        bt16 = bt[None, :]
-        best = (
-            jnp.where(bt, state[0], best[0]),
-            jnp.where(bt, state[1], best[1]),
-            [([jnp.where(bt, state[2][p][0][c], best[2][p][0][c])
-               for c in range(3)],
-              [jnp.where(bt, state[2][p][1][c], best[2][p][1][c])
-               for c in range(3)]) for p in range(2)],
-            jnp.where(bt16, state[3], best[3]),
-            jnp.where(bt, state[4], best[4]),
-        )
-    err, s_blk, pairs, idx, a2 = best
-    words = _k_bc6h_emit(row, err, s_blk, pairs, idx, a2)
-    err_ref[...] = jnp.broadcast_to(err[None, :], err_ref.shape)
-    w_ref[...] = words
+        terr, q_pairs, idx = _k_bc6h_eval(xs3, xf3, rows[0], signed, pm, a2)
+        shared.append((s_blk, a2, terr, q_pairs, idx))
+
+    best_e, best_w = None, None
+    for row in rows:
+        best = None
+        for cand in range(n_cand):
+            s_blk, a2, terr, q_pairs, idx = shared[cand]
+            err, pairs = _k_bc6h_transform_fit(q_pairs, terr, row, signed)
+            state = (err, s_blk, pairs, idx, a2)
+            if best is None:
+                best = state
+                continue
+            bt = state[0] < best[0]
+            bt16 = bt[None, :]
+            best = (
+                jnp.where(bt, state[0], best[0]),
+                jnp.where(bt, state[1], best[1]),
+                [([jnp.where(bt, state[2][p][0][c], best[2][p][0][c])
+                   for c in range(3)],
+                  [jnp.where(bt, state[2][p][1][c], best[2][p][1][c])
+                   for c in range(3)]) for p in range(2)],
+                jnp.where(bt16, state[3], best[3]),
+                jnp.where(bt, state[4], best[4]),
+            )
+        err, s_blk, pairs, idx, a2 = best
+        words = _k_bc6h_emit(row, err, s_blk, pairs, idx, a2)
+        if best_e is None:
+            best_e, best_w = err, words
+        else:
+            bt = err < best_e
+            best_e = jnp.where(bt, err, best_e)
+            best_w = jnp.where(bt[None, :], words, best_w)
+    err_ref[...] = jnp.broadcast_to(best_e[None, :], err_ref.shape)
+    w_ref[...] = best_w
 
 
 def _bc6h_px_prep(px_int):
@@ -1180,11 +1210,12 @@ def bc6h_1region_pallas(px_int: jnp.ndarray, signed: bool,
     return err8[0, :nb], words[:, :nb].T
 
 
-@functools.partial(jax.jit, static_argnames=("row", "signed", "interpret"))
-def bc6h_2region_pallas(px_int: jnp.ndarray, s_blks: jnp.ndarray, row: int,
-                        signed: bool, interpret: bool = False):
-    """One BC6H 2-region row over s_blks candidates. px_int [16, 3, NB];
-    s_blks [C, NB] i32. Returns (err [NB], words [NB, 4] u32)."""
+@functools.partial(jax.jit, static_argnames=("rows", "signed", "interpret"))
+def bc6h_2region_pallas(px_int: jnp.ndarray, s_blks: jnp.ndarray,
+                        rows: tuple, signed: bool, interpret: bool = False):
+    """BC6H 2-region rows sharing (precW, iprec) over s_blks candidates.
+    px_int [16, 3, NB]; s_blks [C, NB] i32.
+    Returns (err [NB], words [NB, 4] u32), folded over `rows` in order."""
     from jax.experimental import pallas as pl
 
     px_cm, nb, nb_pad = _bc6h_px_prep(px_int)
@@ -1193,7 +1224,7 @@ def bc6h_2region_pallas(px_int: jnp.ndarray, s_blks: jnp.ndarray, row: int,
         sb = jnp.pad(sb, ((0, 0), (0, nb_pad - nb)))
     n_cand = s_blks.shape[0]
     err8, words = pl.pallas_call(
-        functools.partial(_bc6h_2region_kernel, row=row, signed=signed,
+        functools.partial(_bc6h_2region_kernel, rows=rows, signed=signed,
                           n_cand=n_cand),
         grid=(nb_pad // _TILE,),
         in_specs=[pl.BlockSpec((48, _TILE), lambda i: (0, i)),

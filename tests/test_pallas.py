@@ -157,9 +157,27 @@ def test_bc6h_megakernels_match_jnp(signed):
             bt = err < be
             bw = jnp.where(bt[:, None], words, bw)
             be = jnp.minimum(err, be)
-        err_p, words_p = bc6h_2region_pallas(px_int, s_blks, row, signed,
+        err_p, words_p = bc6h_2region_pallas(px_int, s_blks, (row,), signed,
                                              interpret=True)
         _assert_equivalent_bc6h(err_p, be, words_p, bw)
+
+    # grouped rows (3/4/5 share precision): fold matches per-row jnp folds
+    be = jnp.full((nb,), jnp.inf, jnp.float32)
+    bw = jnp.zeros((nb, 4), jnp.uint32)
+    for row in (2, 3, 4):
+        for s_blk in picks:
+            pmask = parts_tab[s_blk].T
+            mask_list = [pmask == 0, pmask == 1]
+            anchors = [0, fix_tab[s_blk, 1].astype(jnp.int32)]
+            err, pairs, idx = _bc6h_eval_candidate(px_int, px_f, mask_list,
+                                                   anchors, row, signed)
+            words = _bc6h_emit(row, s_blk.astype(jnp.uint32), pairs, idx, nb)
+            bt = err < be
+            bw = jnp.where(bt[:, None], words, bw)
+            be = jnp.minimum(err, be)
+    err_p, words_p = bc6h_2region_pallas(px_int, s_blks, (2, 3, 4), signed,
+                                         interpret=True)
+    _assert_equivalent_bc6h(err_p, be, words_p, bw)
 
 
 def _assert_equivalent_bc6h(err_p, err_r, words_p, words_r):
