@@ -50,6 +50,14 @@ def _pal_weight(k, K: int):
     return ((128 * k + (K - 1)) * m) >> 16
 
 
+def _k_sel_px(masks, vals):
+    """Per-pixel [16, T] select of per-subset [T] rows (masks disjoint)."""
+    out = jnp.broadcast_to(vals[0][None, :], masks[0].shape)
+    for p in range(1, len(vals)):
+        out = jnp.where(masks[p], vals[p][None, :], out)
+    return out
+
+
 def _project_assign(xs, u0l, u1l, prec: int, lo: int, hi: int):
     """Projection index assignment (same math as bc67._assign_indices_t):
     snap each pixel's 0..64 axis projection to the nearest interpolation
@@ -78,6 +86,34 @@ def _project_assign(xs, u0l, u1l, prec: int, lo: int, hi: int):
     dist = jnp.zeros_like(p64)
     for d, ee in zip(d0, e):
         r = (d - ((wk * ee[None, :] + 32) >> 6)).astype(jnp.float32)
+        dist = dist + r * r
+    return idx, dist
+
+
+def _project_assign_px(xs, u0px, u1px, e_px, span_px, prec: int,
+                       lo: int = 0, hi: int = 4):
+    """_project_assign with per-pixel endpoint planes: u0px/u1px/e_px are
+    per-channel [16, T] (or [1, T]-broadcast) int32, span_px [16, T] f32.
+    One pass serves every subset of a shape candidate simultaneously —
+    identical math to running _project_assign per subset and masking."""
+    K = 1 << prec
+    d0 = [xs[c] - u0px[c] for c in range(lo, hi)]
+    dot = sum((d * e for d, e in zip(d0, (e_px[c] for c in range(lo, hi)))),
+              start=jnp.zeros_like(d0[0])).astype(jnp.float32)
+    p64 = jnp.clip(dot * (64.0 / jnp.where(span_px > 0, span_px, 1.0)),
+                   0.0, 64.0)
+    kf = jnp.round(p64 * ((K - 1) / 64.0)).astype(jnp.int32)
+    kf = jnp.clip(kf, 0, K - 1)
+    wk = _pal_weight(kf, K)
+    wkp = _pal_weight(jnp.minimum(kf + 1, K - 1), K)
+    wkm = _pal_weight(jnp.maximum(kf - 1, 0), K)
+    up = (kf < K - 1) & (2.0 * p64 > (wk + wkp).astype(jnp.float32))
+    dn = (kf > 0) & (2.0 * p64 < (wk + wkm).astype(jnp.float32))
+    idx = jnp.where(up, kf + 1, jnp.where(dn, kf - 1, kf))
+    wk = _pal_weight(idx, K)
+    dist = jnp.zeros_like(p64)
+    for c, d in zip(range(lo, hi), d0):
+        r = (d - ((wk * e_px[c] + 32) >> 6)).astype(jnp.float32)
         dist = dist + r * r
     return idx, dist
 
@@ -180,6 +216,80 @@ def _k_axis(xf, mf, with_alpha: bool):
     else:
         a0, a1 = mi[3], ma[3]
     return [mi[0], g0, b0, a0], [ma[0], g1, b1, a1]
+
+
+def _k_axis_multi(xf, masks, with_alpha: bool):
+    """_k_axis for every subset of one shape candidate in a single fused
+    pass: the per-pixel centered/scaled planes and the per-sign diagonal
+    planes are computed once, with per-subset masked score reductions.
+    masks: list of [16, T] bool (or [None] for a single full subset).
+    Returns (e0_s, e1_s): per-subset lists of 4 [T] endpoint channels."""
+    n_sub = len(masks)
+    single = masks[0] is None
+    big = jnp.float32(1e9)
+    mi_s, ma_s = [], []
+    for mb in masks:
+        if mb is None:
+            mi_s.append([jnp.min(f, axis=0) for f in xf])
+            ma_s.append([jnp.max(f, axis=0) for f in xf])
+        else:
+            mi_s.append([jnp.min(jnp.where(mb, f, big), axis=0) for f in xf])
+            ma_s.append([jnp.max(jnp.where(mb, f, -big), axis=0) for f in xf])
+
+    nch = 4 if with_alpha else 3
+    scale_s = []
+    for p in range(n_sub):
+        ab = [ma_s[p][c] - mi_s[p][c] for c in range(4)]
+        fab = sum(ab[c] * ab[c] for c in range(nch))
+        fab = jnp.where(fab > 0, fab, 1.0)
+        scale_s.append([ab[c] / fab for c in range(4)])
+
+    if single:
+        mid_px = [((mi_s[0][c] + ma_s[0][c]) * 0.5)[None, :]
+                  for c in range(4)]
+        scl_px = [scale_s[0][c][None, :] for c in range(4)]
+    else:
+        mid_px = [_k_sel_px(masks, [(mi_s[p][c] + ma_s[p][c]) * 0.5
+                                    for p in range(n_sub)]) for c in range(4)]
+        scl_px = [_k_sel_px(masks, [scale_s[p][c] for p in range(n_sub)])
+                  for c in range(4)]
+    pt = [(xf[c] - mid_px[c]) * scl_px[c] for c in range(4)]
+
+    zero = jnp.zeros_like(mi_s[0][0])
+    best_score = [jnp.full_like(zero, -1.0) for _ in range(n_sub)]
+    best_sg = [jnp.ones_like(zero) for _ in range(n_sub)]
+    best_sb = [jnp.ones_like(zero) for _ in range(n_sub)]
+    best_sa = [jnp.ones_like(zero) for _ in range(n_sub)]
+    signs = [(sg, sb, sa) for sg in (1.0, -1.0) for sb in (1.0, -1.0)
+             for sa in ((1.0, -1.0) if with_alpha else (1.0,))]
+    for sg, sb, sa in signs:
+        f = pt[0] + sg * pt[1] + sb * pt[2]
+        if with_alpha:
+            f = f + sa * pt[3]
+        f2 = f * f
+        for p in range(n_sub):
+            score = jnp.sum(f2 if masks[p] is None
+                            else jnp.where(masks[p], f2, 0.0), axis=0)
+            better = score > best_score[p]
+            best_score[p] = jnp.where(better, score, best_score[p])
+            best_sg[p] = jnp.where(better, sg, best_sg[p])
+            best_sb[p] = jnp.where(better, sb, best_sb[p])
+            best_sa[p] = jnp.where(better, sa, best_sa[p])
+
+    def flip(lo, hi, sgn):
+        return jnp.where(sgn < 0, hi, lo), jnp.where(sgn < 0, lo, hi)
+
+    e0_s, e1_s = [], []
+    for p in range(n_sub):
+        g0, g1 = flip(mi_s[p][1], ma_s[p][1], best_sg[p])
+        b0, b1 = flip(mi_s[p][2], ma_s[p][2], best_sb[p])
+        if with_alpha:
+            a0, a1 = flip(mi_s[p][3], ma_s[p][3], best_sa[p])
+        else:
+            a0, a1 = mi_s[p][3], ma_s[p][3]
+        e0_s.append([mi_s[p][0], g0, b0, a0])
+        e1_s.append([ma_s[p][0], g1, b1, a1])
+    return e0_s, e1_s
 
 
 def _k_quant_endpoints(e0l, e1l, rgba_prec, rgba_prec_p, shared_p: bool):
@@ -366,34 +476,93 @@ def _k_emit(mode_id: int, t, s_blk, rot, im, q0s, q1s, p0s, p1s,
     return kw.stack()
 
 
-def _k_eval_subset(xs, xf, mf, mode_id: int):
-    """One subset: axis fit -> quantize -> projection assign -> LS refit ->
-    second pass -> keep better (bc67._eval_subset_candidate body).
-    Returns q0l, q1l, p0, p1, idx, err."""
+def _k_eval_subsets(xs, xf, masks, mode_id: int):
+    """Every subset of one shape candidate in a single fused pass:
+    axis fit -> quantize -> projection assign -> LS refit -> second pass ->
+    keep better, with the per-pixel plane work (projection, palette
+    distance, refit moment planes) computed once and shared by all subsets
+    via per-pixel endpoint selection + masked reductions. Math identical
+    to running _k_eval_subset per subset (bc67._eval_subset_candidate).
+
+    masks: list of [16, T] bool partition masks, or [None] (single subset).
+    Returns (q0s, q1s, p0s, p1s, idx_full, errs): per-subset endpoint
+    lists, combined per-pixel indices, per-subset errors."""
     rgba_prec, rgba_prec_p, iprec, shared_p, with_alpha = \
         _BC7_MODE_STATICS[mode_id]
+    n_sub = len(masks)
+    single = masks[0] is None
 
-    def qpal(e0l, e1l):
-        q0l, q1l, p0, p1, u0l, u1l = _k_quant_endpoints(
-            e0l, e1l, rgba_prec, rgba_prec_p, shared_p)
-        idx, dist = _project_assign(xs, u0l, u1l, iprec, 0, 4)
-        err = jnp.sum(dist * mf, axis=0) if mf is not None \
-            else jnp.sum(dist, axis=0)
-        return q0l, q1l, p0, p1, idx, err
+    def msum(plane, p):
+        return jnp.sum(plane if masks[p] is None
+                       else jnp.where(masks[p], plane, 0.0), axis=0)
 
-    e0, e1 = _k_axis(xf, mf, with_alpha)
-    q0a, q1a, p0a, p1a, idx_a, err_a = qpal(e0, e1)
-    e0r, e1r = _k_refit(xf, idx_a, mf, iprec, e0, e1)
-    q0b, q1b, p0b, p1b, idx_b, err_b = qpal(e0r, e1r)
-    better = err_b < err_a
-    bet16 = better[None, :]
-    q0 = [jnp.where(better, q0b[c], q0a[c]) for c in range(4)]
-    q1 = [jnp.where(better, q1b[c], q1a[c]) for c in range(4)]
-    p0 = jnp.where(better, p0b, p0a)
-    p1 = jnp.where(better, p1b, p1a)
-    idx = jnp.where(bet16, idx_b, idx_a)
-    err = jnp.where(better, err_b, err_a)
-    return q0, q1, p0, p1, idx, err
+    def sel(vals):
+        if single:
+            return vals[0][None, :]
+        return _k_sel_px(masks, vals)
+
+    def qpal(e0_s, e1_s):
+        qs = [_k_quant_endpoints(e0_s[p], e1_s[p], rgba_prec, rgba_prec_p,
+                                 shared_p) for p in range(n_sub)]
+        u0px = [sel([qs[p][4][c] for p in range(n_sub)]) for c in range(4)]
+        u1px = [sel([qs[p][5][c] for p in range(n_sub)]) for c in range(4)]
+        # axis direction and span are per-subset scalars, selected per-pixel
+        e_s = [[qs[p][5][c] - qs[p][4][c] for c in range(4)]
+               for p in range(n_sub)]
+        span_s = [sum(e_s[p][c] * e_s[p][c] for c in range(4)).astype(
+            jnp.float32) for p in range(n_sub)]
+        e_px = [sel([e_s[p][c] for p in range(n_sub)]) for c in range(4)]
+        span_px = sel(span_s)
+        idx, dist = _project_assign_px(xs, u0px, u1px, e_px, span_px, iprec)
+        errs = [msum(dist, p) for p in range(n_sub)]
+        return qs, idx, errs
+
+    e0_s, e1_s = _k_axis_multi(xf, masks, with_alpha)
+    qsA, idxA, errsA = qpal(e0_s, e1_s)
+
+    # fused least-squares refit: weight planes shared, moments masked
+    x = _pal_weight(idxA, 1 << iprec).astype(jnp.float32) * jnp.float32(1 / 64)
+    av = 1.0 - x
+    bv = x
+    aa, ab_, bb = av * av, av * bv, bv * bv
+    avx = [av * xf[c] for c in range(4)]
+    bvx = [bv * xf[c] for c in range(4)]
+    e0r_s, e1r_s = [], []
+    for p in range(n_sub):
+        A = msum(aa, p)
+        B = msum(ab_, p)
+        C = msum(bb, p)
+        det = A * C - B * B
+        ok = jnp.abs(det) > 1e-6
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        e0n, e1n = [], []
+        for c in range(4):
+            r0 = msum(avx[c], p)
+            r1 = msum(bvx[c], p)
+            n0 = jnp.clip((C * r0 - B * r1) * inv, 0.0, 255.0)
+            n1 = jnp.clip((A * r1 - B * r0) * inv, 0.0, 255.0)
+            e0n.append(jnp.where(ok, n0, e0_s[p][c]))
+            e1n.append(jnp.where(ok, n1, e1_s[p][c]))
+        e0r_s.append(e0n)
+        e1r_s.append(e1n)
+
+    qsB, idxB, errsB = qpal(e0r_s, e1r_s)
+
+    better = [errsB[p] < errsA[p] for p in range(n_sub)]
+    # int select: mosaic can't broadcast/select i1 vectors
+    idx_full = jnp.where(sel([b.astype(jnp.int32) for b in better]) != 0,
+                         idxB, idxA)
+    q0s, q1s, p0s, p1s, errs = [], [], [], [], []
+    for p in range(n_sub):
+        bt = better[p]
+        q0s.append([jnp.where(bt, qsB[p][0][c], qsA[p][0][c])
+                    for c in range(4)])
+        q1s.append([jnp.where(bt, qsB[p][1][c], qsA[p][1][c])
+                    for c in range(4)])
+        p0s.append(jnp.where(bt, qsB[p][2], qsA[p][2]))
+        p1s.append(jnp.where(bt, qsB[p][3], qsA[p][3]))
+        errs.append(jnp.where(bt, errsB[p], errsA[p]))
+    return q0s, q1s, p0s, p1s, idx_full, errs
 
 
 def _packed_tables(partitions: int, n_shapes: int):
@@ -437,36 +606,12 @@ def _partition_mode_kernel(px_ref, sb_ref, err_ref, w_ref,
             pa = jnp.where(hit, pa_tab[s], pa)
         pm = jnp.stack([((pp >> (2 * i)) & 3).astype(jnp.int32)
                         for i in range(16)])
-        total_err = jnp.zeros_like(xf[0][0])
-        idx_full = jnp.zeros_like(xs[0])
-        q0s, q1s, p0s, p1s = [], [], [], []
-        for p in range(n_sub):
-            mb = pm == p
-            mf = mb.astype(jnp.float32)
-            q0, q1, p0, p1, idx, err = _k_eval_subset(xs, xf, mf, mode_id)
-            total_err = total_err + err
-            idx_full = jnp.where(mb, idx, idx_full)
-            q0s.append(q0)
-            q1s.append(q1)
-            p0s.append(p0)
-            p1s.append(p1)
-        # anchor swaps (AssignIndices, BC6HBC7.cpp:3181-3194)
-        anch = [None, pa & 0xF, (pa >> 4) & 0xF][:n_sub + 1]
-        for p in range(n_sub):
-            if p == 0:
-                a_idx = idx_full[0]
-            else:
-                a_idx = _k_anchor_index(idx_full, anch[p])
-            swap = (a_idx & msb) != 0
-            sw16 = swap[None, :]
-            q0s[p], q1s[p] = (
-                [jnp.where(swap, q1s[p][c], q0s[p][c]) for c in range(4)],
-                [jnp.where(swap, q0s[p][c], q1s[p][c]) for c in range(4)])
-            p0s[p], p1s[p] = (jnp.where(swap, p1s[p], p0s[p]),
-                              jnp.where(swap, p0s[p], p1s[p]))
-            idx_full = jnp.where(sw16 & (pm == p), maxi - idx_full, idx_full)
+        q0s, q1s, p0s, p1s, idx_full, errs = _k_eval_subsets(
+            xs, xf, [pm == p for p in range(n_sub)], mode_id)
+        total_err = sum(errs)
+        # anchor swaps happen once, on the fold winner, below
         state = (total_err, sb_ref[cand, :], q0s, q1s, p0s, p1s, idx_full,
-                 anch[1], anch[2] if n_sub > 2 else None)
+                 pp, pa)
         if best is None:
             best = state
             continue
@@ -483,10 +628,28 @@ def _partition_mode_kernel(px_ref, sb_ref, err_ref, w_ref,
             [jnp.where(bt, state[5][s], best[5][s]) for s in range(n_sub)],
             jnp.where(bt16, state[6], best[6]),
             jnp.where(bt, state[7], best[7]),
-            jnp.where(bt, state[8], best[8]) if n_sub > 2 else None,
+            jnp.where(bt, state[8], best[8]),
         )
 
-    err, s_blk, q0s, q1s, p0s, p1s, idx_full, a2, a3 = best
+    err, s_blk, q0s, q1s, p0s, p1s, idx_full, pp, pa = best
+    # anchor swaps on the winner only (AssignIndices, BC6HBC7.cpp:3181-3194)
+    pm = jnp.stack([((pp >> (2 * i)) & 3).astype(jnp.int32)
+                    for i in range(16)])
+    anch = [None, pa & 0xF, (pa >> 4) & 0xF][:n_sub + 1]
+    for p in range(n_sub):
+        if p == 0:
+            a_idx = idx_full[0]
+        else:
+            a_idx = _k_anchor_index(idx_full, anch[p])
+        swap = (a_idx & msb) != 0
+        sw16 = swap[None, :]
+        q0s[p], q1s[p] = (
+            [jnp.where(swap, q1s[p][c], q0s[p][c]) for c in range(4)],
+            [jnp.where(swap, q0s[p][c], q1s[p][c]) for c in range(4)])
+        p0s[p], p1s[p] = (jnp.where(swap, p1s[p], p0s[p]),
+                          jnp.where(swap, p0s[p], p1s[p]))
+        idx_full = jnp.where(sw16 & (pm == p), maxi - idx_full, idx_full)
+    a2, a3 = anch[1], anch[2] if n_sub > 2 else None
     words = _k_emit(mode_id, err, s_blk.astype(jnp.uint32), 0, 0,
                     q0s, q1s, p0s, p1s, idx_full, None, a2, a3)
     err_ref[...] = jnp.broadcast_to(err[None, :], err_ref.shape)
@@ -545,7 +708,8 @@ def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
 
     # ---- mode 6: one subset, joint RGBA indices ----
     xf0 = [x.astype(jnp.float32) for x in xs0]
-    q0, q1, p0, p1, idx, err6 = _k_eval_subset(xs0, xf0, None, 6)
+    q0s6, q1s6, p0s6, p1s6, idx, errs6 = _k_eval_subsets(xs0, xf0, [None], 6)
+    q0, q1, p0, p1, err6 = q0s6[0], q1s6[0], p0s6[0], p1s6[0], errs6[0]
     swap = (idx[0] & 0x8) != 0
     q0f = [jnp.where(swap, q1[c], q0[c]) for c in range(4)]
     q1f = [jnp.where(swap, q0[c], q1[c]) for c in range(4)]
@@ -611,26 +775,11 @@ def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
                 aidx = jnp.where(bt16, aidx_b, aidx)
                 err = jnp.minimum(err_b, err)
 
-                # independent anchor fixes (BC6HBC7.cpp:3196-3216)
-                w1 = cidx if im == 0 else aidx
-                w2 = aidx if im == 0 else cidx
-                msb1, maxi1 = 1 << (prec1 - 1), (1 << prec1) - 1
-                msb2, maxi2 = 1 << (prec2 - 1), (1 << prec2) - 1
-                swap1 = (w1[0] & msb1) != 0
-                w1 = jnp.where(swap1[None, :], maxi1 - w1, w1)
-                swap2 = (w2[0] & msb2) != 0
-                w2 = jnp.where(swap2[None, :], maxi2 - w2, w2)
-                swap_rgb = swap1 if im == 0 else swap2
-                swap_a = swap2 if im == 0 else swap1
-                sw = [swap_rgb, swap_rgb, swap_rgb, swap_a]
-                q0f = [jnp.where(sw[c], q1[c], q0[c]) for c in range(4)]
-                q1f = [jnp.where(sw[c], q0[c], q1[c]) for c in range(4)]
-
-                t = err
+                # anchor fixes happen once, on the fold winner, below
                 state = (err,
-                         jnp.full_like(w1[0], rot),
-                         jnp.full_like(w1[0], im),
-                         q0f, q1f, w1, w2)
+                         jnp.full_like(err, rot),
+                         jnp.full_like(err, im),
+                         q0, q1, cidx, aidx)
                 if best is None:
                     best = state
                     continue
@@ -647,9 +796,28 @@ def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
                     jnp.where(bt16, state[5], best[5]),
                     jnp.where(bt16, state[6], best[6]),
                 )
-        err, rot_d, im_d, q0s, q1s, w1, w2 = best
+        err, rot_d, im_d, q0, q1, cidx, aidx = best
+        # independent anchor fixes on the winner (BC6HBC7.cpp:3196-3216).
+        # int broadcasts + full-shape compares: mosaic can't broadcast i1
+        rot_i = rot_d.astype(jnp.int32)
+        im_i = im_d.astype(jnp.int32)
+        im_is0 = im_i == 0
+        im16 = jnp.broadcast_to(im_i[None, :], cidx.shape) == 0
+        w1 = jnp.where(im16, cidx, aidx)
+        w2 = jnp.where(im16, aidx, cidx)
+        msb1, maxi1 = 1 << (prec1 - 1), (1 << prec1) - 1
+        msb2, maxi2 = 1 << (prec2 - 1), (1 << prec2) - 1
+        swap1 = (w1[0] & msb1) != 0
+        w1 = jnp.where(swap1[None, :], maxi1 - w1, w1)
+        swap2 = (w2[0] & msb2) != 0
+        w2 = jnp.where(swap2[None, :], maxi2 - w2, w2)
+        swap_rgb = (im_is0 & swap1) | (~im_is0 & swap2)
+        swap_a = (im_is0 & swap2) | (~im_is0 & swap1)
+        sw = [swap_rgb, swap_rgb, swap_rgb, swap_a]
+        q0s = [jnp.where(sw[c], q1[c], q0[c]) for c in range(4)]
+        q1s = [jnp.where(sw[c], q0[c], q1[c]) for c in range(4)]
         zero = jnp.zeros_like(err, dtype=jnp.int32)
-        words = _k_emit(mode_id, err, 0, rot_d, im_d, [q0s], [q1s],
+        words = _k_emit(mode_id, err, 0, rot_i, im_i, [q0s], [q1s],
                         [zero], [zero], w1, w2, None, None)
         out_e[...] = jnp.broadcast_to(err[None, :], out_e.shape)
         out_w[...] = words
@@ -844,23 +1012,37 @@ def _k_bc6h_finish(c, signed: bool):
     return (c * 31) >> 6
 
 
-def _k_bc6h_palette_err(xs3, mb, q0l, q1l, precW, iprec: int, signed: bool):
-    """Projection index assignment + exact integer error against the
-    finished palette (bc67._bc6h_palette_err_t). xs3: 3x [16, T] i32;
-    q0l/q1l: 3x [T]. Returns (idx [16, T], err [T])."""
+def _k_bc6h_palette_err_px(xs3, masks, q0_s, q1_s, precW, iprec: int,
+                           signed: bool):
+    """_k_bc6h_palette_err for every subset in one fused pass: projection
+    and palette distance planes computed once with per-pixel endpoint
+    selection, per-subset masked error reductions. Returns (idx, errs)."""
     K = 1 << iprec
-    u0 = [_k_bc6h_unquant(q0l[c], precW[c], signed) for c in range(3)]
-    u1 = [_k_bc6h_unquant(q1l[c], precW[c], signed) for c in range(3)]
-    f0 = [_k_bc6h_finish(u0[c], signed).astype(jnp.float32) for c in range(3)]
-    f1 = [_k_bc6h_finish(u1[c], signed).astype(jnp.float32) for c in range(3)]
-    dot = jnp.zeros_like(xs3[0], dtype=jnp.float32)
-    span = jnp.zeros_like(f0[0])
-    for c in range(3):
-        e = f1[c] - f0[c]
-        dot = dot + (xs3[c].astype(jnp.float32) - f0[c][None, :]) \
-            * e[None, :]
-        span = span + e * e
-    p64 = jnp.clip(dot * (64.0 / jnp.where(span > 0, span, 1.0))[None, :],
+    n_sub = len(masks)
+    single = masks[0] is None
+
+    def sel(vals):
+        if single:
+            return vals[0][None, :]
+        return _k_sel_px(masks, vals)
+
+    u0_s = [[_k_bc6h_unquant(q0_s[p][c], precW[c], signed) for c in range(3)]
+            for p in range(n_sub)]
+    u1_s = [[_k_bc6h_unquant(q1_s[p][c], precW[c], signed) for c in range(3)]
+            for p in range(n_sub)]
+    f0_s = [[_k_bc6h_finish(u0_s[p][c], signed).astype(jnp.float32)
+             for c in range(3)] for p in range(n_sub)]
+    e_s = [[_k_bc6h_finish(u1_s[p][c], signed).astype(jnp.float32)
+            - f0_s[p][c] for c in range(3)] for p in range(n_sub)]
+    span_s = [sum(e_s[p][c] * e_s[p][c] for c in range(3))
+              for p in range(n_sub)]
+    f0_px = [sel([f0_s[p][c] for p in range(n_sub)]) for c in range(3)]
+    e_px = [sel([e_s[p][c] for p in range(n_sub)]) for c in range(3)]
+    span_px = sel(span_s)
+
+    dot = sum((xs3[c].astype(jnp.float32) - f0_px[c]) * e_px[c]
+              for c in range(3))
+    p64 = jnp.clip(dot * (64.0 / jnp.where(span_px > 0, span_px, 1.0)),
                    0.0, 64.0)
     kf = jnp.round(p64 * ((K - 1) / 64.0)).astype(jnp.int32)
     kf = jnp.clip(kf, 0, K - 1)
@@ -871,74 +1053,108 @@ def _k_bc6h_palette_err(xs3, mb, q0l, q1l, precW, iprec: int, signed: bool):
     dn = (kf > 0) & (2.0 * p64 < (wk + wkm).astype(jnp.float32))
     idx = jnp.where(up, kf + 1, jnp.where(dn, kf - 1, kf))
     wk = _pal_weight(idx, K)
+    u0_px = [sel([u0_s[p][c] for p in range(n_sub)]) for c in range(3)]
+    u1_px = [sel([u1_s[p][c] for p in range(n_sub)]) for c in range(3)]
     best = jnp.zeros_like(dot)
     for c in range(3):
-        pal = _k_bc6h_finish((u0[c][None, :] * (64 - wk)
-                              + u1[c][None, :] * wk + 32) >> 6, signed)
+        pal = _k_bc6h_finish((u0_px[c] * (64 - wk) + u1_px[c] * wk + 32)
+                             >> 6, signed)
         d = (xs3[c] - pal).astype(jnp.float32)
         best = best + d * d
-    if mb is None:
-        err = jnp.sum(best, axis=0)
-    else:
-        err = jnp.sum(jnp.where(mb, best, 0.0), axis=0)
-    return idx, err
+    errs = [jnp.sum(best if masks[p] is None
+                    else jnp.where(masks[p], best, 0.0), axis=0)
+            for p in range(n_sub)]
+    return idx, errs
 
 
-def _k_bc6h_subset(xs3, xf3, mb, row: int, signed: bool):
-    """One BC6H subset: min/max endpoints, quantize, projection assign,
-    two least-squares refit rounds, keep better
-    (bc67._bc6h_eval_candidate subset body). Returns (q0l, q1l, idx, err)."""
+def _k_bc6h_subsets(xs3, xf3, masks, row: int, signed: bool):
+    """Every BC6H subset of one shape candidate in a single fused pass:
+    min/max endpoints, quantize, projection assign, two least-squares refit
+    rounds, keep better — per-pixel plane work shared across subsets
+    (math identical to the per-subset bc67._bc6h_eval_candidate body).
+    Returns (q0_s, q1_s, idx_full, errs)."""
     _, _, _, iprec, precW, _, _, _ = BC6H_MODE_INFO[row]
-    if mb is None:
-        mi = [jnp.min(f, axis=0) for f in xf3]
-        ma = [jnp.max(f, axis=0) for f in xf3]
-    else:
-        big = jnp.float32(1e9)
-        mi = [jnp.min(jnp.where(mb, f, big), axis=0) for f in xf3]
-        ma = [jnp.max(jnp.where(mb, f, -big), axis=0) for f in xf3]
+    n_sub = len(masks)
+    single = masks[0] is None
 
-    def quant(e):
-        return [_k_bc6h_quant(jnp.round(e[c]).astype(jnp.int32), precW[c],
-                              signed) for c in range(3)]
+    def msum(plane, p):
+        return jnp.sum(plane if masks[p] is None
+                       else jnp.where(masks[p], plane, 0.0), axis=0)
 
-    q0, q1 = quant(mi), quant(ma)
-    idx, err = _k_bc6h_palette_err(xs3, mb, q0, q1, precW, iprec, signed)
+    def sel(vals):
+        if single:
+            return vals[0][None, :]
+        return _k_sel_px(masks, vals)
+
+    mi_s, ma_s = [], []
+    big = jnp.float32(1e9)
+    for mb in masks:
+        if mb is None:
+            mi_s.append([jnp.min(f, axis=0) for f in xf3])
+            ma_s.append([jnp.max(f, axis=0) for f in xf3])
+        else:
+            mi_s.append([jnp.min(jnp.where(mb, f, big), axis=0)
+                         for f in xf3])
+            ma_s.append([jnp.max(jnp.where(mb, f, -big), axis=0)
+                         for f in xf3])
+
+    def quant(e_s):
+        return [[_k_bc6h_quant(jnp.round(e_s[p][c]).astype(jnp.int32),
+                               precW[c], signed) for c in range(3)]
+                for p in range(n_sub)]
+
+    q0_s, q1_s = quant(mi_s), quant(ma_s)
+    idx, errs = _k_bc6h_palette_err_px(xs3, masks, q0_s, q1_s, precW,
+                                       iprec, signed)
 
     lim = float(_BC6H_F16MAX)
     lo = -lim if signed else 0.0
-    e0f, e1f = mi, ma
-    q0b, q1b, idx_b, err_b = q0, q1, idx, err
-    mf = None if mb is None else mb.astype(jnp.float32)
+    e0f_s, e1f_s = mi_s, ma_s
+    q0b_s, q1b_s, idx_b, errs_b = q0_s, q1_s, idx, errs
     for _ in range(2):
         x = _pal_weight(idx_b, 1 << iprec).astype(jnp.float32) \
             * jnp.float32(1 / 64)
-        av = (1.0 - x) if mf is None else (1.0 - x) * mf
-        bv = x if mf is None else x * mf
-        A = jnp.sum(av * av, axis=0)
-        B = jnp.sum(av * bv, axis=0)
-        C = jnp.sum(bv * bv, axis=0)
-        det = A * C - B * B
-        ok = jnp.abs(det) > 1e-6
-        inv = 1.0 / jnp.where(ok, det, 1.0)
-        r0l, r1l = [], []
-        for c in range(3):
-            r0 = jnp.sum(av * xf3[c], axis=0)
-            r1 = jnp.sum(bv * xf3[c], axis=0)
-            n0 = jnp.clip((C * r0 - B * r1) * inv, lo, lim)
-            n1 = jnp.clip((A * r1 - B * r0) * inv, lo, lim)
-            r0l.append(jnp.where(ok, n0, e0f[c]))
-            r1l.append(jnp.where(ok, n1, e1f[c]))
-        e0f, e1f = r0l, r1l
-        q0b, q1b = quant(e0f), quant(e1f)
-        idx_b, err_b = _k_bc6h_palette_err(xs3, mb, q0b, q1b, precW, iprec,
-                                           signed)
-    better = err_b < err
-    bet16 = better[None, :]
-    q0 = [jnp.where(better, q0b[c], q0[c]) for c in range(3)]
-    q1 = [jnp.where(better, q1b[c], q1[c]) for c in range(3)]
-    idx = jnp.where(bet16, idx_b, idx)
-    err = jnp.minimum(err_b, err)
-    return q0, q1, idx, err
+        av = 1.0 - x
+        bv = x
+        aa, ab_, bb = av * av, av * bv, bv * bv
+        avx = [av * xf3[c] for c in range(3)]
+        bvx = [bv * xf3[c] for c in range(3)]
+        e0n_s, e1n_s = [], []
+        for p in range(n_sub):
+            A = msum(aa, p)
+            B = msum(ab_, p)
+            C = msum(bb, p)
+            det = A * C - B * B
+            ok = jnp.abs(det) > 1e-6
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            r0l, r1l = [], []
+            for c in range(3):
+                r0 = msum(avx[c], p)
+                r1 = msum(bvx[c], p)
+                n0 = jnp.clip((C * r0 - B * r1) * inv, lo, lim)
+                n1 = jnp.clip((A * r1 - B * r0) * inv, lo, lim)
+                r0l.append(jnp.where(ok, n0, e0f_s[p][c]))
+                r1l.append(jnp.where(ok, n1, e1f_s[p][c]))
+            e0n_s.append(r0l)
+            e1n_s.append(r1l)
+        e0f_s, e1f_s = e0n_s, e1n_s
+        q0b_s, q1b_s = quant(e0f_s), quant(e1f_s)
+        idx_b, errs_b = _k_bc6h_palette_err_px(xs3, masks, q0b_s, q1b_s,
+                                               precW, iprec, signed)
+
+    better = [errs_b[p] < errs[p] for p in range(n_sub)]
+    # int select: mosaic can't broadcast/select i1 vectors
+    idx_full = jnp.where(sel([b.astype(jnp.int32) for b in better]) != 0,
+                         idx_b, idx)
+    q0f_s, q1f_s, errs_f = [], [], []
+    for p in range(n_sub):
+        bt = better[p]
+        q0f_s.append([jnp.where(bt, q0b_s[p][c], q0_s[p][c])
+                      for c in range(3)])
+        q1f_s.append([jnp.where(bt, q1b_s[p][c], q1_s[p][c])
+                      for c in range(3)])
+        errs_f.append(jnp.minimum(errs_b[p], errs[p]))
+    return q0f_s, q1f_s, idx_full, errs_f
 
 
 def _bc6h_header_runs(row: int):
@@ -970,18 +1186,13 @@ def _k_bc6h_eval(xs3, xf3, row: int, signed: bool, pm, a2):
     pm/a2 None for 1-region rows. Returns (total_err, q_pairs, idx_full)."""
     (_, partitions, _, iprec, _, _, _, _) = BC6H_MODE_INFO[row]
     msb, maxi = 1 << (iprec - 1), (1 << iprec) - 1
-    t = xf3[0][0]
-
-    q_pairs = []
-    total_err = jnp.zeros_like(t)
-    idx_full = jnp.zeros_like(xs3[0])
     n_sub = partitions + 1
-    for p in range(n_sub):
-        mb = None if pm is None else pm == p
-        q0, q1, idx, err = _k_bc6h_subset(xs3, xf3, mb, row, signed)
-        total_err = total_err + err
-        idx_full = idx if mb is None else jnp.where(mb, idx, idx_full)
-        q_pairs.append((q0, q1))
+
+    masks = [None] if pm is None else [pm == p for p in range(n_sub)]
+    q0_s, q1_s, idx_full, errs = _k_bc6h_subsets(xs3, xf3, masks, row,
+                                                 signed)
+    total_err = sum(errs)
+    q_pairs = list(zip(q0_s, q1_s))
 
     fixed = []
     for p in range(n_sub):
