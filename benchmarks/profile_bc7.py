@@ -98,3 +98,24 @@ if __name__ == "__main__":
         return jnp.sum(out, dtype=jnp.uint32).astype(jnp.float32)
 
     report("encode_bc7 total", chain_time(s_total, px_i, n=10))
+
+
+def profile_single_dispatch():
+    import jax
+    import jax.numpy as jnp
+    from directxtex_tpu.bc.pallas_kernels import bc7_encode_pallas
+
+    NB = (2048 // 4) ** 2
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, (16, 4, NB), dtype=np.int64).astype(np.int32)
+    px_i = jnp.asarray(px)
+    texels = NB * 16 / 1e6
+
+    for name, modes in (("1dispatch opaque", (1, 3, 5, 6, 4)),
+                        ("1dispatch alpha", (1, 3, 5, 6, 7, 4))):
+        def s(p, m=modes):
+            err, w = bc7_encode_pallas(p, m)
+            return jnp.sum(w).astype(jnp.float32)
+        t = chain_time(s, px_i)
+        print(f"{name:18s} {t*1e3:8.2f} ms  {texels/t:8.1f} Mtex/s",
+              flush=True)

@@ -27,16 +27,20 @@ def _timeit(fn, *args, n=8):
     import jax
     import jax.numpy as jnp
 
+    # args are captured, not passed per call: the axon tunnel marshals jit
+    # arguments on every dispatch (~7ms for a 67MB array), which would
+    # measure the harness rather than the chip. Captured jax.Arrays stay
+    # device-resident implicit parameters.
     @jax.jit
-    def chained(s, *a):
-        out = fn(*a)
+    def chained(s):
+        out = fn(*args)
         acc = jnp.float32(0)
         for leaf in jax.tree_util.tree_leaves(out):
             acc += jnp.sum(leaf.astype(jnp.float32)) * 1e-30
         return s + acc
 
     s = jnp.float32(0.0)
-    float(chained(s, *args))
+    float(chained(s))
     trivial = jax.jit(lambda v: v + 1.0)
     float(trivial(s))
     t0 = time.perf_counter()
@@ -44,7 +48,7 @@ def _timeit(fn, *args, n=8):
     rtt = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(n):
-        s = chained(s, *args)
+        s = chained(s)
     float(s)
     return max(time.perf_counter() - t0 - rtt, 1e-9) / n
 

@@ -903,10 +903,19 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
 
     use_pallas = False
     try:
-        from .pallas_kernels import _use_pallas, single_modes_pallas
+        from .pallas_kernels import (_use_pallas, bc7_encode_pallas,
+                                     single_modes_pallas)
         use_pallas = _use_pallas()
     except Exception:
         pass
+
+    if use_pallas and all(m in (1, 3, 4, 5, 6, 7) for m in modes):
+        # the whole encode (shape ranking, every mode, cross-mode fold,
+        # mode-7 opaque masking) as ONE pallas dispatch
+        _, best_words = bc7_encode_pallas(px_i, tuple(modes),
+                                          BC7_SHAPE_CANDIDATES)
+        return lax.bitcast_convert_type(best_words,
+                                        jnp.uint8).reshape(nb, 16)
 
     est_cache = {}
     shape_cache = {}

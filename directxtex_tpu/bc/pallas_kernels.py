@@ -476,7 +476,7 @@ def _k_emit(mode_id: int, t, s_blk, rot, im, q0s, q1s, p0s, p1s,
     return kw.stack()
 
 
-def _k_eval_subsets(xs, xf, masks, mode_id: int):
+def _k_eval_subsets(xs, xf, masks, mode_id: int, axes=None):
     """Every subset of one shape candidate in a single fused pass:
     axis fit -> quantize -> projection assign -> LS refit -> second pass ->
     keep better, with the per-pixel plane work (projection, palette
@@ -517,7 +517,11 @@ def _k_eval_subsets(xs, xf, masks, mode_id: int):
         errs = [msum(dist, p) for p in range(n_sub)]
         return qs, idx, errs
 
-    e0_s, e1_s = _k_axis_multi(xf, masks, with_alpha)
+    # axes: optional precomputed _k_axis_multi result — the axis fit
+    # depends only on (masks, with_alpha), so modes sharing both (e.g.
+    # BC7 modes 1 and 3) can reuse one fit
+    e0_s, e1_s = _k_axis_multi(xf, masks, with_alpha) if axes is None \
+        else axes
     qsA, idxA, errsA = qpal(e0_s, e1_s)
 
     # fused least-squares refit: weight planes shared, moments masked
@@ -578,26 +582,14 @@ def _packed_tables(partitions: int, n_shapes: int):
     return pp, pa
 
 
-def _partition_mode_kernel(px_ref, sb_ref, err_ref, w_ref,
-                           *, mode_id: int, n_cand: int, n_shapes: int):
-    """Modes 0/1/2/3/7: evaluate n_cand shape candidates, keep the best,
-    emit its block. Partition masks and anchors derive in-kernel from the
-    shape id via packed constant tables."""
-    parts = _BC7_FULL_STATICS[mode_id][0]
-    iprec = _BC7_FULL_STATICS[mode_id][5]
-    n_sub = parts + 1
-    K = 1 << iprec
-    msb, maxi = 1 << (iprec - 1), K - 1
+def _k_decode_cands(sb_rows, parts: int, n_shapes: int):
+    """Decode shape-candidate rows into (s_blk, pp, pa, masks) tuples.
+    Packed tables: 2 bits/px partition ids (pixel 15 uses bit 31 in
+    3-subset tables, so unsigned) and 4-bit anchors."""
     pp_tab, pa_tab = _packed_tables(parts, n_shapes)
-
-    xs = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
-    xf = [x.astype(jnp.float32) for x in xs]
-
-    best = None
-    for cand in range(n_cand):
-        s_blk = sb_ref[cand, :]
-        # packed tables: 2 bits/px partition ids (pixel 15 uses bit 31 in
-        # 3-subset tables, so unsigned) and 4-bit anchors
+    n_sub = parts + 1
+    cands = []
+    for s_blk in sb_rows:
         pp = jnp.zeros_like(s_blk, dtype=jnp.uint32)
         pa = jnp.zeros_like(s_blk)
         for s in range(n_shapes):
@@ -606,12 +598,28 @@ def _partition_mode_kernel(px_ref, sb_ref, err_ref, w_ref,
             pa = jnp.where(hit, pa_tab[s], pa)
         pm = jnp.stack([((pp >> (2 * i)) & 3).astype(jnp.int32)
                         for i in range(16)])
+        cands.append((s_blk, pp, pa, [pm == p for p in range(n_sub)]))
+    return cands
+
+
+def _k_partition_fold(xs, xf, cands, mode_id: int, axes_list=None):
+    """One partition mode over decoded shape candidates: evaluate each,
+    keep the best, anchor-swap and emit the winner. axes_list optionally
+    supplies a precomputed axis fit per candidate (shared between modes
+    with the same with_alpha). Returns (err, words)."""
+    parts = _BC7_FULL_STATICS[mode_id][0]
+    iprec = _BC7_FULL_STATICS[mode_id][5]
+    n_sub = parts + 1
+    msb, maxi = 1 << (iprec - 1), (1 << iprec) - 1
+
+    best = None
+    for ci, (s_blk, pp, pa, masks) in enumerate(cands):
         q0s, q1s, p0s, p1s, idx_full, errs = _k_eval_subsets(
-            xs, xf, [pm == p for p in range(n_sub)], mode_id)
+            xs, xf, masks, mode_id,
+            axes=None if axes_list is None else axes_list[ci])
         total_err = sum(errs)
         # anchor swaps happen once, on the fold winner, below
-        state = (total_err, sb_ref[cand, :], q0s, q1s, p0s, p1s, idx_full,
-                 pp, pa)
+        state = (total_err, s_blk, q0s, q1s, p0s, p1s, idx_full, pp, pa)
         if best is None:
             best = state
             continue
@@ -652,6 +660,20 @@ def _partition_mode_kernel(px_ref, sb_ref, err_ref, w_ref,
     a2, a3 = anch[1], anch[2] if n_sub > 2 else None
     words = _k_emit(mode_id, err, s_blk.astype(jnp.uint32), 0, 0,
                     q0s, q1s, p0s, p1s, idx_full, None, a2, a3)
+    return err, words
+
+
+def _partition_mode_kernel(px_ref, sb_ref, err_ref, w_ref,
+                           *, mode_id: int, n_cand: int, n_shapes: int):
+    """Modes 0/1/2/3/7: evaluate n_cand shape candidates, keep the best,
+    emit its block. Partition masks and anchors derive in-kernel from the
+    shape id via packed constant tables."""
+    parts = _BC7_FULL_STATICS[mode_id][0]
+    xs = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
+    xf = [x.astype(jnp.float32) for x in xs]
+    cands = _k_decode_cands([sb_ref[cand, :] for cand in range(n_cand)],
+                            parts, n_shapes)
+    err, words = _k_partition_fold(xs, xf, cands, mode_id)
     err_ref[...] = jnp.broadcast_to(err[None, :], err_ref.shape)
     w_ref[...] = words
 
@@ -700,14 +722,8 @@ def partition_mode_pallas(px_i: jnp.ndarray, s_blks: jnp.ndarray,
     return err8[0, :nb], words[:, :nb].T
 
 
-def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
-                         e6_ref, w6_ref):
-    """Modes 4/5/6 in one pass: all rotation x index-mode combos, keep-best
-    per mode, emit each mode's winner (bc67._try_single_mode)."""
-    xs0 = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
-
-    # ---- mode 6: one subset, joint RGBA indices ----
-    xf0 = [x.astype(jnp.float32) for x in xs0]
+def _k_mode6(xs0, xf0):
+    """Mode 6: one subset, joint RGBA indices. Returns (err, words)."""
     q0s6, q1s6, p0s6, p1s6, idx, errs6 = _k_eval_subsets(xs0, xf0, [None], 6)
     q0, q1, p0, p1, err6 = q0s6[0], q1s6[0], p0s6[0], p1s6[0], errs6[0]
     swap = (idx[0] & 0x8) != 0
@@ -718,12 +734,12 @@ def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
     idx = jnp.where(swap[None, :], 15 - idx, idx)
     w6 = _k_emit(6, err6, 0, 0, 0, [q0f], [q1f], [p0f], [p1f],
                  idx, None, None, None)
-    e6_ref[...] = jnp.broadcast_to(err6[None, :], e6_ref.shape)
-    w6_ref[...] = w6
+    return err6, w6
 
-    # ---- modes 4 and 5: dual indices over rotations ----
-    # rotation-dependent data (channel permutation, axis fit, alpha
-    # min/max) is identical for both modes: compute once
+
+def _k_rot_data(xs0):
+    """Rotation-dependent data for modes 4/5 (channel permutation, axis
+    fit, alpha min/max) — identical for both modes, computed once."""
     rot_data = []
     for rot in range(4):
         if rot == 0:
@@ -737,88 +753,110 @@ def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
         e0[3] = jnp.min(xf[3], axis=0)
         e1[3] = jnp.max(xf[3], axis=0)
         rot_data.append((xs, xf, e0, e1))
+    return rot_data
 
+
+def _k_mode45(rot_data, mode_id: int):
+    """Mode 4 or 5: dual indices over rotation x index-mode combos,
+    keep-best, anchor fixes on the winner (bc67._try_single_mode).
+    Returns (err, words)."""
+    (_, _, _, rot_bits, im_bits, prec1, prec2, rgba_prec,
+     rgba_prec_p) = _BC7_FULL_STATICS[mode_id]
+    best = None
+    for rot in range(1 << rot_bits):
+        xs, xf, e0, e1 = rot_data[rot]
+        # first-pass endpoint quantization depends only on the rotation
+        q0r, q1r, _, _, u0r, u1r = _k_quant_endpoints(
+            e0, e1, rgba_prec, rgba_prec_p, False)
+        for im in range(1 << im_bits):
+            cprec = prec2 if im else prec1
+            aprec = prec1 if im else prec2
+
+            def qpal(e0l, e1l, pre=None):
+                if pre is None:
+                    q0l, q1l, _, _, u0l, u1l = _k_quant_endpoints(
+                        e0l, e1l, rgba_prec, rgba_prec_p, False)
+                else:
+                    q0l, q1l, u0l, u1l = pre
+                cidx, cdist = _project_assign(xs, u0l, u1l, cprec, 0, 3)
+                aidx, adist = _project_assign(xs, u0l, u1l, aprec, 3, 4)
+                return (q0l, q1l, cidx, aidx,
+                        jnp.sum(cdist, axis=0) + jnp.sum(adist, axis=0))
+
+            q0, q1, cidx, aidx, err = qpal(e0, e1,
+                                           pre=(q0r, q1r, u0r, u1r))
+            e0c, e1c = _k_refit(xf, cidx, None, cprec, e0, e1, 0, 3)
+            e0c, e1c = _k_refit(xf, aidx, None, aprec, e0c, e1c, 3, 4)
+            q0b, q1b, cidx_b, aidx_b, err_b = qpal(e0c, e1c)
+            bt = err_b < err
+            bt16 = bt[None, :]
+            q0 = [jnp.where(bt, q0b[c], q0[c]) for c in range(4)]
+            q1 = [jnp.where(bt, q1b[c], q1[c]) for c in range(4)]
+            cidx = jnp.where(bt16, cidx_b, cidx)
+            aidx = jnp.where(bt16, aidx_b, aidx)
+            err = jnp.minimum(err_b, err)
+
+            # anchor fixes happen once, on the fold winner, below
+            state = (err,
+                     jnp.full_like(err, rot),
+                     jnp.full_like(err, im),
+                     q0, q1, cidx, aidx)
+            if best is None:
+                best = state
+                continue
+            bt = state[0] < best[0]
+            bt16 = bt[None, :]
+            best = (
+                jnp.where(bt, state[0], best[0]),
+                jnp.where(bt, state[1], best[1]),
+                jnp.where(bt, state[2], best[2]),
+                [jnp.where(bt, state[3][c], best[3][c])
+                 for c in range(4)],
+                [jnp.where(bt, state[4][c], best[4][c])
+                 for c in range(4)],
+                jnp.where(bt16, state[5], best[5]),
+                jnp.where(bt16, state[6], best[6]),
+            )
+    err, rot_d, im_d, q0, q1, cidx, aidx = best
+    # independent anchor fixes on the winner (BC6HBC7.cpp:3196-3216).
+    # int broadcasts + full-shape compares: mosaic can't broadcast i1
+    rot_i = rot_d.astype(jnp.int32)
+    im_i = im_d.astype(jnp.int32)
+    im_is0 = im_i == 0
+    im16 = jnp.broadcast_to(im_i[None, :], cidx.shape) == 0
+    w1 = jnp.where(im16, cidx, aidx)
+    w2 = jnp.where(im16, aidx, cidx)
+    msb1, maxi1 = 1 << (prec1 - 1), (1 << prec1) - 1
+    msb2, maxi2 = 1 << (prec2 - 1), (1 << prec2) - 1
+    swap1 = (w1[0] & msb1) != 0
+    w1 = jnp.where(swap1[None, :], maxi1 - w1, w1)
+    swap2 = (w2[0] & msb2) != 0
+    w2 = jnp.where(swap2[None, :], maxi2 - w2, w2)
+    swap_rgb = (im_is0 & swap1) | (~im_is0 & swap2)
+    swap_a = (im_is0 & swap2) | (~im_is0 & swap1)
+    sw = [swap_rgb, swap_rgb, swap_rgb, swap_a]
+    q0s = [jnp.where(sw[c], q1[c], q0[c]) for c in range(4)]
+    q1s = [jnp.where(sw[c], q0[c], q1[c]) for c in range(4)]
+    zero = jnp.zeros_like(err, dtype=jnp.int32)
+    words = _k_emit(mode_id, err, 0, rot_i, im_i, [q0s], [q1s],
+                    [zero], [zero], w1, w2, None, None)
+    return err, words
+
+
+def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
+                         e6_ref, w6_ref):
+    """Modes 4/5/6 in one pass: all rotation x index-mode combos, keep-best
+    per mode, emit each mode's winner (bc67._try_single_mode)."""
+    xs0 = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
+    xf0 = [x.astype(jnp.float32) for x in xs0]
+
+    err6, w6 = _k_mode6(xs0, xf0)
+    e6_ref[...] = jnp.broadcast_to(err6[None, :], e6_ref.shape)
+    w6_ref[...] = w6
+
+    rot_data = _k_rot_data(xs0)
     for mode_id, out_e, out_w in ((4, e4_ref, w4_ref), (5, e5_ref, w5_ref)):
-        (_, _, _, rot_bits, im_bits, prec1, prec2, rgba_prec,
-         rgba_prec_p) = _BC7_FULL_STATICS[mode_id]
-        best = None
-        for rot in range(1 << rot_bits):
-            xs, xf, e0, e1 = rot_data[rot]
-            # first-pass endpoint quantization depends only on the rotation
-            q0r, q1r, _, _, u0r, u1r = _k_quant_endpoints(
-                e0, e1, rgba_prec, rgba_prec_p, False)
-            for im in range(1 << im_bits):
-                cprec = prec2 if im else prec1
-                aprec = prec1 if im else prec2
-
-                def qpal(e0l, e1l, pre=None):
-                    if pre is None:
-                        q0l, q1l, _, _, u0l, u1l = _k_quant_endpoints(
-                            e0l, e1l, rgba_prec, rgba_prec_p, False)
-                    else:
-                        q0l, q1l, u0l, u1l = pre
-                    cidx, cdist = _project_assign(xs, u0l, u1l, cprec, 0, 3)
-                    aidx, adist = _project_assign(xs, u0l, u1l, aprec, 3, 4)
-                    return (q0l, q1l, cidx, aidx,
-                            jnp.sum(cdist, axis=0) + jnp.sum(adist, axis=0))
-
-                q0, q1, cidx, aidx, err = qpal(e0, e1,
-                                               pre=(q0r, q1r, u0r, u1r))
-                e0c, e1c = _k_refit(xf, cidx, None, cprec, e0, e1, 0, 3)
-                e0c, e1c = _k_refit(xf, aidx, None, aprec, e0c, e1c, 3, 4)
-                q0b, q1b, cidx_b, aidx_b, err_b = qpal(e0c, e1c)
-                bt = err_b < err
-                bt16 = bt[None, :]
-                q0 = [jnp.where(bt, q0b[c], q0[c]) for c in range(4)]
-                q1 = [jnp.where(bt, q1b[c], q1[c]) for c in range(4)]
-                cidx = jnp.where(bt16, cidx_b, cidx)
-                aidx = jnp.where(bt16, aidx_b, aidx)
-                err = jnp.minimum(err_b, err)
-
-                # anchor fixes happen once, on the fold winner, below
-                state = (err,
-                         jnp.full_like(err, rot),
-                         jnp.full_like(err, im),
-                         q0, q1, cidx, aidx)
-                if best is None:
-                    best = state
-                    continue
-                bt = state[0] < best[0]
-                bt16 = bt[None, :]
-                best = (
-                    jnp.where(bt, state[0], best[0]),
-                    jnp.where(bt, state[1], best[1]),
-                    jnp.where(bt, state[2], best[2]),
-                    [jnp.where(bt, state[3][c], best[3][c])
-                     for c in range(4)],
-                    [jnp.where(bt, state[4][c], best[4][c])
-                     for c in range(4)],
-                    jnp.where(bt16, state[5], best[5]),
-                    jnp.where(bt16, state[6], best[6]),
-                )
-        err, rot_d, im_d, q0, q1, cidx, aidx = best
-        # independent anchor fixes on the winner (BC6HBC7.cpp:3196-3216).
-        # int broadcasts + full-shape compares: mosaic can't broadcast i1
-        rot_i = rot_d.astype(jnp.int32)
-        im_i = im_d.astype(jnp.int32)
-        im_is0 = im_i == 0
-        im16 = jnp.broadcast_to(im_i[None, :], cidx.shape) == 0
-        w1 = jnp.where(im16, cidx, aidx)
-        w2 = jnp.where(im16, aidx, cidx)
-        msb1, maxi1 = 1 << (prec1 - 1), (1 << prec1) - 1
-        msb2, maxi2 = 1 << (prec2 - 1), (1 << prec2) - 1
-        swap1 = (w1[0] & msb1) != 0
-        w1 = jnp.where(swap1[None, :], maxi1 - w1, w1)
-        swap2 = (w2[0] & msb2) != 0
-        w2 = jnp.where(swap2[None, :], maxi2 - w2, w2)
-        swap_rgb = (im_is0 & swap1) | (~im_is0 & swap2)
-        swap_a = (im_is0 & swap2) | (~im_is0 & swap1)
-        sw = [swap_rgb, swap_rgb, swap_rgb, swap_a]
-        q0s = [jnp.where(sw[c], q1[c], q0[c]) for c in range(4)]
-        q1s = [jnp.where(sw[c], q0[c], q1[c]) for c in range(4)]
-        zero = jnp.zeros_like(err, dtype=jnp.int32)
-        words = _k_emit(mode_id, err, 0, rot_i, im_i, [q0s], [q1s],
-                        [zero], [zero], w1, w2, None, None)
+        err, words = _k_mode45(rot_data, mode_id)
         out_e[...] = jnp.broadcast_to(err[None, :], out_e.shape)
         out_w[...] = words
 
@@ -853,15 +891,14 @@ def single_modes_pallas(px_i: jnp.ndarray, interpret: bool = False):
             6: (e6[0, :nb], w6[:, :nb].T)}
 
 
-def _shape_topk_kernel(px_ref, m_ref, sb_ref, *, partitions: int,
-                       n_shapes: int, nch: int, n_cand: int):
+def _k_shape_topk(xf, mmat, partitions: int, n_shapes: int, nch: int,
+                  n_cand: int):
     """Shape estimates + top-k in VMEM (bc67._shape_estimates_table +
     _top_k_shapes): per-block covariance axis, per-(shape, subset) masked
-    moment sums via one MXU dot against the static 0/1 partition matrix,
-    variance-proxy scoring, then n_cand sequential argmins."""
+    moment sums via one MXU dot against the static 0/1 partition matrix
+    mmat [n_sub*S, 16], variance-proxy scoring, then n_cand sequential
+    argmins. Returns a list of n_cand s_blk rows [T] i32."""
     n_sub = partitions + 1
-    xs = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
-    xf = [x.astype(jnp.float32) for x in xs]
     t_lanes = xf[0].shape[1]
 
     mu = [jnp.mean(f, axis=0) for f in xf]
@@ -890,7 +927,6 @@ def _shape_topk_kernel(px_ref, m_ref, sb_ref, *, partitions: int,
     planes = [q, t * t, t] + xc                      # 7 x [16, T]
     rhs = jnp.concatenate(planes, axis=1)            # [16, 7*T]
 
-    mmat = m_ref[...]                                # [n_sub*S, 16]
     n_inv = 1.0 / jnp.maximum(jnp.sum(mmat, axis=1, keepdims=True), 1.0)
     sp = jax.lax.dot_general(
         mmat, rhs, (((1,), (0,)), ((), ())),
@@ -909,6 +945,7 @@ def _shape_topk_kernel(px_ref, m_ref, sb_ref, *, partitions: int,
         est = est + tot - va
 
     big = jnp.float32(jnp.inf)
+    out = []
     for cand in range(n_cand):
         best_e = est[0]
         s_blk = jnp.zeros_like(ref)
@@ -916,11 +953,22 @@ def _shape_topk_kernel(px_ref, m_ref, sb_ref, *, partitions: int,
             b = est[s] < best_e
             best_e = jnp.where(b, est[s], best_e)
             s_blk = jnp.where(b, s, s_blk)
-        sb_ref[cand, :] = s_blk
+        out.append(s_blk)
         if cand + 1 < n_cand:
             rows = [jnp.where(s == s_blk, big, est[s])
                     for s in range(n_shapes)]
             est = jnp.stack(rows)
+    return out
+
+
+def _shape_topk_kernel(px_ref, m_ref, sb_ref, *, partitions: int,
+                       n_shapes: int, nch: int, n_cand: int):
+    xf = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
+          for c in range(4)]
+    sb_rows = _k_shape_topk(xf, m_ref[...], partitions, n_shapes, nch,
+                            n_cand)
+    for cand, s_blk in enumerate(sb_rows):
+        sb_ref[cand, :] = s_blk
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -959,6 +1007,97 @@ def partition_shapes_pallas(px_i: jnp.ndarray, partitions: int,
         interpret=interpret,
     )(px_cm, jnp.asarray(m_host))
     return sb[:, :nb]
+
+
+def _bc7_all_kernel(px_ref, m_ref, err_ref, w_ref, *, modes: tuple,
+                    n_cand: int):
+    """The whole BC7 encode in one dispatch: shape ranking, every mode's
+    candidate evaluation, anchor swaps, emit, and the cross-mode fold all
+    happen in VMEM — HBM sees the pixel planes in and one (err, words)
+    pair out. Shape decode and the no-alpha axis fits are shared across
+    the partition modes (modes 1 and 3 share with_alpha=False fits).
+    `modes` is the fold order (encode_bc7's mode list)."""
+    xs = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
+    xf = [x.astype(jnp.float32) for x in xs]
+    results = {}
+
+    part_modes = [m for m in modes if m in (1, 3, 7)]
+    if part_modes:
+        sb_rows = _k_shape_topk(xf, m_ref[...], 1, 64, 4, n_cand)
+        cands = _k_decode_cands(sb_rows, 1, 64)
+        ax_na = None
+        if any(m in (1, 3) for m in part_modes):
+            ax_na = [_k_axis_multi(xf, masks, False)
+                     for (_, _, _, masks) in cands]
+        ax_a = None
+        if 7 in part_modes:
+            ax_a = [_k_axis_multi(xf, masks, True)
+                    for (_, _, _, masks) in cands]
+        for m in part_modes:
+            results[m] = _k_partition_fold(xs, xf, cands, m,
+                                           ax_a if m == 7 else ax_na)
+        if 7 in results:
+            # no value for opaque blocks (reference skip, BC6HBC7.cpp:2818)
+            opaque_blk = jnp.min(xs[3], axis=0) == 255
+            e7, w7 = results[7]
+            results[7] = (jnp.where(opaque_blk, jnp.inf, e7), w7)
+
+    if 6 in modes:
+        results[6] = _k_mode6(xs, xf)
+    if 4 in modes or 5 in modes:
+        rot_data = _k_rot_data(xs)
+        for m in (4, 5):
+            if m in modes:
+                results[m] = _k_mode45(rot_data, m)
+
+    best_e, best_w = None, None
+    for m in modes:
+        e, w = results[m]
+        if best_e is None:
+            best_e, best_w = e, w
+        else:
+            bt = e < best_e
+            best_e = jnp.where(bt, e, best_e)
+            best_w = jnp.where(bt[None, :], w, best_w)
+    err_ref[...] = jnp.broadcast_to(best_e[None, :], err_ref.shape)
+    w_ref[...] = best_w
+
+
+@functools.partial(jax.jit, static_argnames=("modes", "n_cand",
+                                              "interpret"))
+def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
+                      interpret: bool = False):
+    """Full BC7 encode as ONE pallas dispatch over modes ⊆ {1,3,4,5,6,7}
+    folded in `modes` order (mode-7 errors are inf-masked for opaque
+    blocks in-kernel). px_i [16, 4, NB] i32.
+    Returns (err [NB] f32, words [NB, 4] u32)."""
+    from jax.experimental import pallas as pl
+
+    from .bc67_tables import PARTITIONS
+
+    nb = px_i.shape[2]
+    nb_pad = -(-nb // _TILE) * _TILE
+    pad = nb_pad - nb
+    px_cm = jnp.transpose(px_i, (1, 0, 2)).reshape(64, nb)
+    if pad:
+        px_cm = jnp.pad(px_cm, ((0, 0), (0, pad)))
+
+    parts = PARTITIONS[1]
+    m_host = np.concatenate(
+        [(parts == p).astype(np.float32) for p in range(2)], axis=0)
+
+    err8, words = pl.pallas_call(
+        functools.partial(_bc7_all_kernel, modes=modes, n_cand=n_cand),
+        grid=(nb_pad // _TILE,),
+        in_specs=[pl.BlockSpec((64, _TILE), lambda i: (0, i)),
+                  pl.BlockSpec((128, 16), lambda i: (0, 0))],
+        out_specs=[pl.BlockSpec((8, _TILE), lambda i: (0, i)),
+                   pl.BlockSpec((4, _TILE), lambda i: (0, i))],
+        out_shape=[jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((4, nb_pad), jnp.uint32)],
+        interpret=interpret,
+    )(px_cm, jnp.asarray(m_host))
+    return err8[0, :nb], words[:, :nb].T
 
 
 # ---------------------------------------------------------------------------
