@@ -1375,31 +1375,11 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool) -> jnp.ndarray:
         pass
 
     if use_pallas:
-        # mega-kernels: rows 10-13 folded in one pass; one kernel per
-        # 2-region row over the shared shape candidates; folded here in
-        # the same row order as the jnp path
-        px4i = jnp.concatenate(
-            [px_int, jnp.zeros((16, 1, nb), jnp.int32)], axis=1)
-        from .pallas_kernels import partition_shapes_pallas
-        s_blks = partition_shapes_pallas(px4i, 1, 32, 3,
-                                         BC7_SHAPE_CANDIDATES)
-        best_err, words = bc6h_1region_pallas(px_int, signed)
-        best_words = words
-        # consecutive rows sharing (precW, iprec) run one kernel: their
-        # subset evaluation is identical, only delta-fit + emit differ
-        groups = []
-        for row in range(10):
-            key = (BC6H_MODE_INFO[row][3], BC6H_MODE_INFO[row][4])
-            if groups and groups[-1][0] == key:
-                groups[-1][1].append(row)
-            else:
-                groups.append((key, [row]))
-        for _, rows in groups:
-            err, words = bc6h_2region_pallas(px_int, s_blks, tuple(rows),
-                                             signed)
-            better = err < best_err
-            best_words = jnp.where(better[:, None], words, best_words)
-            best_err = jnp.minimum(err, best_err)
+        # the whole encode (shape ranking, 1-region rows, every 2-region
+        # precision group, the row fold) as ONE pallas dispatch
+        from .pallas_kernels import bc6h_encode_pallas
+        _, best_words = bc6h_encode_pallas(px_int, signed,
+                                           BC7_SHAPE_CANDIDATES)
         return lax.bitcast_convert_type(best_words, jnp.uint8).reshape(
             nb, 16)
 

@@ -1064,9 +1064,9 @@ def _bc7_all_kernel(px_ref, m_ref, err_ref, w_ref, *, modes: tuple,
 
 
 @functools.partial(jax.jit, static_argnames=("modes", "n_cand",
-                                              "interpret"))
+                                              "interpret", "tile"))
 def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
-                      interpret: bool = False):
+                      interpret: bool = False, tile: int = _TILE):
     """Full BC7 encode as ONE pallas dispatch over modes ⊆ {1,3,4,5,6,7}
     folded in `modes` order (mode-7 errors are inf-masked for opaque
     blocks in-kernel). px_i [16, 4, NB] i32.
@@ -1076,7 +1076,7 @@ def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
     from .bc67_tables import PARTITIONS
 
     nb = px_i.shape[2]
-    nb_pad = -(-nb // _TILE) * _TILE
+    nb_pad = -(-nb // tile) * tile
     pad = nb_pad - nb
     px_cm = jnp.transpose(px_i, (1, 0, 2)).reshape(64, nb)
     if pad:
@@ -1088,11 +1088,11 @@ def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
 
     err8, words = pl.pallas_call(
         functools.partial(_bc7_all_kernel, modes=modes, n_cand=n_cand),
-        grid=(nb_pad // _TILE,),
-        in_specs=[pl.BlockSpec((64, _TILE), lambda i: (0, i)),
+        grid=(nb_pad // tile,),
+        in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i)),
                   pl.BlockSpec((128, 16), lambda i: (0, 0))],
-        out_specs=[pl.BlockSpec((8, _TILE), lambda i: (0, i)),
-                   pl.BlockSpec((4, _TILE), lambda i: (0, i))],
+        out_specs=[pl.BlockSpec((8, tile), lambda i: (0, i)),
+                   pl.BlockSpec((4, tile), lambda i: (0, i))],
         out_shape=[jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
                    jax.ShapeDtypeStruct((4, nb_pad), jnp.uint32)],
         interpret=interpret,
@@ -1449,10 +1449,9 @@ def _k_bc6h_emit(row: int, t, s_blk, emit_pairs, idx_full, a2):
 _BC6H_F16MAX = 0x7BFF
 
 
-def _bc6h_1region_kernel(px_ref, err_ref, w_ref, *, signed: bool):
-    """Rows 10-13 (single region), folded in row order."""
-    xs3 = [px_ref[c * 16:(c + 1) * 16, :] for c in range(3)]
-    xf3 = [x.astype(jnp.float32) for x in xs3]
+def _k_bc6h_1region(xs3, xf3, signed: bool):
+    """Rows 10-13 (single region), folded in row order.
+    Returns (err, words)."""
     zero = jnp.zeros_like(xs3[0][0])
     best_e, best_w = None, None
     for row in range(10, 14):
@@ -1465,24 +1464,22 @@ def _bc6h_1region_kernel(px_ref, err_ref, w_ref, *, signed: bool):
             bt = err < best_e
             best_e = jnp.where(bt, err, best_e)
             best_w = jnp.where(bt[None, :], words, best_w)
+    return best_e, best_w
+
+
+def _bc6h_1region_kernel(px_ref, err_ref, w_ref, *, signed: bool):
+    xs3 = [px_ref[c * 16:(c + 1) * 16, :] for c in range(3)]
+    xf3 = [x.astype(jnp.float32) for x in xs3]
+    best_e, best_w = _k_bc6h_1region(xs3, xf3, signed)
     err_ref[...] = jnp.broadcast_to(best_e[None, :], err_ref.shape)
     w_ref[...] = best_w
 
 
-def _bc6h_2region_kernel(px_ref, sb_ref, err_ref, w_ref, *, rows: tuple,
-                         signed: bool, n_cand: int):
-    """2-region rows sharing endpoint/index precision: the expensive
-    subset evaluation runs once per shape candidate, then each row applies
-    its own delta transform + fit check and emit; rows fold in order
-    (modes 3/4/5 and 7/8/9 differ only in which channel gets the wider
-    delta field, ms_aInfo BC6HBC7.cpp:1051-1067)."""
+def _k_bc6h_decode_cands(sb_rows):
+    """Decode BC6H shape-candidate rows into (s_blk, pm, a2)."""
     pp_tab, pa_tab = _packed_tables(1, 32)
-    xs3 = [px_ref[c * 16:(c + 1) * 16, :] for c in range(3)]
-    xf3 = [x.astype(jnp.float32) for x in xs3]
-
-    shared = []
-    for cand in range(n_cand):
-        s_blk = sb_ref[cand, :]
+    cands = []
+    for s_blk in sb_rows:
         pp = jnp.zeros_like(s_blk, dtype=jnp.uint32)
         pa = jnp.zeros_like(s_blk)
         for s in range(32):
@@ -1491,9 +1488,21 @@ def _bc6h_2region_kernel(px_ref, sb_ref, err_ref, w_ref, *, rows: tuple,
             pa = jnp.where(hit, pa_tab[s], pa)
         pm = jnp.stack([((pp >> (2 * i)) & 1).astype(jnp.int32)
                         for i in range(16)])
-        a2 = pa & 0xF
+        cands.append((s_blk, pm, pa & 0xF))
+    return cands
+
+
+def _k_bc6h_group(xs3, xf3, cands, rows: tuple, signed: bool):
+    """2-region rows sharing endpoint/index precision: the expensive
+    subset evaluation runs once per shape candidate, then each row applies
+    its own delta transform + fit check and emit; rows fold in order
+    (modes 3/4/5 and 7/8/9 differ only in which channel gets the wider
+    delta field, ms_aInfo BC6HBC7.cpp:1051-1067). Returns (err, words)."""
+    shared = []
+    for s_blk, pm, a2 in cands:
         terr, q_pairs, idx = _k_bc6h_eval(xs3, xf3, rows[0], signed, pm, a2)
         shared.append((s_blk, a2, terr, q_pairs, idx))
+    n_cand = len(cands)
 
     best_e, best_w = None, None
     for row in rows:
@@ -1525,8 +1534,93 @@ def _bc6h_2region_kernel(px_ref, sb_ref, err_ref, w_ref, *, rows: tuple,
             bt = err < best_e
             best_e = jnp.where(bt, err, best_e)
             best_w = jnp.where(bt[None, :], words, best_w)
+    return best_e, best_w
+
+
+def _bc6h_2region_kernel(px_ref, sb_ref, err_ref, w_ref, *, rows: tuple,
+                         signed: bool, n_cand: int):
+    xs3 = [px_ref[c * 16:(c + 1) * 16, :] for c in range(3)]
+    xf3 = [x.astype(jnp.float32) for x in xs3]
+    cands = _k_bc6h_decode_cands([sb_ref[cand, :]
+                                  for cand in range(n_cand)])
+    best_e, best_w = _k_bc6h_group(xs3, xf3, cands, rows, signed)
     err_ref[...] = jnp.broadcast_to(best_e[None, :], err_ref.shape)
     w_ref[...] = best_w
+
+
+def _bc6h_row_groups():
+    """Consecutive 2-region rows sharing (precW, iprec), whose subset
+    evaluation is identical (only delta-fit + emit differ)."""
+    groups = []
+    for row in range(10):
+        key = (BC6H_MODE_INFO[row][3], BC6H_MODE_INFO[row][4])
+        if groups and groups[-1][0] == key:
+            groups[-1][1].append(row)
+        else:
+            groups.append((key, [row]))
+    return [tuple(rows) for _, rows in groups]
+
+
+def _bc6h_all_kernel(px_ref, m_ref, err_ref, w_ref, *, signed: bool,
+                     n_cand: int):
+    """The whole BC6H encode in one dispatch: shape ranking over the 32
+    2-region shapes, the four 1-region rows, every precision group's
+    shared subset evaluation, per-row delta fits, emit, and the row fold
+    all stay in VMEM. Fold order matches bc67.encode_bc6h: 1-region rows
+    first, then 2-region rows 0-9."""
+    xs3 = [px_ref[c * 16:(c + 1) * 16, :] for c in range(3)]
+    xf3 = [x.astype(jnp.float32) for x in xs3]
+
+    best_e, best_w = _k_bc6h_1region(xs3, xf3, signed)
+
+    xf4 = xf3 + [jnp.zeros_like(xf3[0])]
+    sb_rows = _k_shape_topk(xf4, m_ref[...], 1, 32, 3, n_cand)
+    cands = _k_bc6h_decode_cands(sb_rows)
+    for rows in _bc6h_row_groups():
+        err, words = _k_bc6h_group(xs3, xf3, cands, rows, signed)
+        bt = err < best_e
+        best_e = jnp.where(bt, err, best_e)
+        best_w = jnp.where(bt[None, :], words, best_w)
+    err_ref[...] = jnp.broadcast_to(best_e[None, :], err_ref.shape)
+    w_ref[...] = best_w
+
+
+# measured on v5e at 2K: tile 512 -> 124.8 Mt/s (VMEM pressure), 256 ->
+# 155.0, 128 -> 151.8; the grouped multi-dispatch path peaks at 137.1
+_BC6H_ALL_TILE = 256
+
+
+@functools.partial(jax.jit, static_argnames=("signed", "n_cand",
+                                              "interpret", "tile"))
+def bc6h_encode_pallas(px_int: jnp.ndarray, signed: bool, n_cand: int = 4,
+                       interpret: bool = False, tile: int = _BC6H_ALL_TILE):
+    """Full BC6H encode as ONE pallas dispatch. px_int [16, 3, NB] i32
+    (F16-int). Returns (err [NB] f32, words [NB, 4] u32)."""
+    from jax.experimental import pallas as pl
+
+    from .bc67_tables import PARTITIONS
+
+    nb = px_int.shape[2]
+    nb_pad = -(-nb // tile) * tile
+    px_cm = jnp.transpose(px_int, (1, 0, 2)).reshape(48, nb)
+    if nb_pad - nb:
+        px_cm = jnp.pad(px_cm, ((0, 0), (0, nb_pad - nb)))
+    parts = PARTITIONS[1][:32]
+    m_host = np.concatenate(
+        [(parts == p).astype(np.float32) for p in range(2)], axis=0)
+
+    err8, words = pl.pallas_call(
+        functools.partial(_bc6h_all_kernel, signed=signed, n_cand=n_cand),
+        grid=(nb_pad // tile,),
+        in_specs=[pl.BlockSpec((48, tile), lambda i: (0, i)),
+                  pl.BlockSpec((64, 16), lambda i: (0, 0))],
+        out_specs=[pl.BlockSpec((8, tile), lambda i: (0, i)),
+                   pl.BlockSpec((4, tile), lambda i: (0, i))],
+        out_shape=[jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((4, nb_pad), jnp.uint32)],
+        interpret=interpret,
+    )(px_cm, jnp.asarray(m_host))
+    return err8[0, :nb], words[:, :nb].T
 
 
 def _bc6h_px_prep(px_int):

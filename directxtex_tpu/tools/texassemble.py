@@ -20,8 +20,9 @@ def build_parser() -> argparse.ArgumentParser:
                                 description=__doc__.split("\n")[0])
     p.add_argument("command", choices=[
         "cube", "volume", "array", "cubearray",
-        "h-cross", "v-cross", "h-strip", "v-strip",
-        "cube-from-hc", "cube-from-vc", "cube-from-hs", "cube-from-vs",
+        "h-cross", "v-cross", "v-cross-fnz", "h-tee", "h-strip", "v-strip",
+        "cube-from-hc", "cube-from-vc", "cube-from-vc-fnz", "cube-from-ht",
+        "cube-from-hs", "cube-from-vs", "cube-from-mips",
         "merge", "gif", "array-strip", "from-mips",
     ])
     p.add_argument("files", nargs="+", help="input images")
@@ -132,8 +133,11 @@ def main(argv=None) -> int:
         print(f"  wrote {args.output} ({len(items)} mips as array)")
         return 0
 
-    if cmd in ("h-cross", "v-cross", "h-strip", "v-strip"):
-        # cubemap -> cross/strip layout image (texassemble CMD_H_CROSS etc.)
+    if cmd in ("h-cross", "v-cross", "v-cross-fnz", "h-tee", "h-strip",
+               "v-strip"):
+        # cubemap -> cross/tee/strip layout image (CMD_H_CROSS..CMD_V_STRIP,
+        # face placements texassemble.cpp:2103-2183; v-cross-fnz rotates the
+        # -Z face 180 degrees)
         texs = _load_normalized(args.files, args)
         if len(texs) == 1 and texs[0].array_size == 6:
             faces = [texs[0].levels[0][i] for i in range(6)]
@@ -149,7 +153,12 @@ def main(argv=None) -> int:
         if cmd == "h-cross":
             grid = [[z, py, z, z], [nx, pz, px, nz], [z, ny, z, z]]
         elif cmd == "v-cross":
-            grid = [[z, py, z], [nx, pz, px], [z, ny, z], [z, jnp.flip(nz, (0, 1)), z]]
+            grid = [[z, py, z], [nx, pz, px], [z, ny, z], [z, nz, z]]
+        elif cmd == "v-cross-fnz":
+            grid = [[z, py, z], [nx, pz, px], [z, ny, z],
+                    [z, jnp.flip(nz, (0, 1)), z]]
+        elif cmd == "h-tee":
+            grid = [[py, z, z, z], [pz, px, nz, nx], [ny, z, z, z]]
         elif cmd == "h-strip":
             grid = [[px, nx, py, ny, pz, nz]]
         else:
@@ -160,29 +169,87 @@ def main(argv=None) -> int:
         print(f"  wrote {args.output}")
         return 0
 
-    if cmd in ("cube-from-hc", "cube-from-vc", "cube-from-hs", "cube-from-vs"):
+    if cmd in ("cube-from-hc", "cube-from-vc", "cube-from-vc-fnz",
+               "cube-from-ht", "cube-from-hs", "cube-from-vs"):
+        # layout image -> cubemap (CMD_CUBE_FROM_*, texassemble.cpp:2373+)
         texs = _load_normalized(args.files, args)
         img = texs[0].levels[0][0]
         H, W = img.shape[:2]
-        if cmd == "cube-from-hc":
+        if cmd in ("cube-from-hc", "cube-from-ht"):
             fh, fw = H // 3, W // 4
-            at = lambda r, c: img[r * fh:(r + 1) * fh, c * fw:(c + 1) * fw]
-            faces = [at(1, 2), at(1, 0), at(0, 1), at(2, 1), at(1, 1), at(1, 3)]
-        elif cmd == "cube-from-vc":
+        elif cmd in ("cube-from-vc", "cube-from-vc-fnz"):
             fh, fw = H // 4, W // 3
-            at = lambda r, c: img[r * fh:(r + 1) * fh, c * fw:(c + 1) * fw]
+        elif cmd == "cube-from-hs":
+            fh, fw = H, W // 6
+        else:
+            fh, fw = H // 6, W
+        at = lambda r, c: img[r * fh:(r + 1) * fh, c * fw:(c + 1) * fw]
+        if cmd == "cube-from-hc":
+            faces = [at(1, 2), at(1, 0), at(0, 1), at(2, 1), at(1, 1),
+                     at(1, 3)]
+        elif cmd == "cube-from-vc":
+            faces = [at(1, 2), at(1, 0), at(0, 1), at(2, 1), at(1, 1),
+                     at(3, 1)]
+        elif cmd == "cube-from-vc-fnz":
             faces = [at(1, 2), at(1, 0), at(0, 1), at(2, 1), at(1, 1),
                      jnp.flip(at(3, 1), (0, 1))]
+        elif cmd == "cube-from-ht":
+            faces = [at(1, 1), at(1, 3), at(0, 0), at(2, 0), at(1, 0),
+                     at(1, 2)]
         elif cmd == "cube-from-hs":
-            fw = W // 6
-            faces = [img[:, i * fw:(i + 1) * fw] for i in range(6)]
+            faces = [at(0, i) for i in range(6)]
         else:
-            fh = H // 6
-            faces = [img[i * fh:(i + 1) * fh] for i in range(6)]
+            faces = [at(i, 0) for i in range(6)]
         stacked = jnp.stack(faces)
         tex = Texture.from_array(stacked, is_cube=True)
         save_texture(tex, args.output)
         print(f"  wrote {args.output} (cubemap)")
+        return 0
+
+    if cmd == "cube-from-mips":
+        # 6*m input images (face-major: all mips of +X, then -X, ...) ->
+        # cubemap with a full mip chain (CMD_CUBE_FROM_MIPS,
+        # texassemble.cpp:1802-1833)
+        # no common-size normalization: each input keeps its own mip size
+        # (the reference resizes input i to base >> (i % mips),
+        # texassemble.cpp:1811-1833)
+        from ..io import load_texture
+        from ..ops import decompress
+        from ..texture import CompressedTexture
+        texs = []
+        for pth in args.files:
+            t = load_texture(pth)
+            if isinstance(t, CompressedTexture):
+                t = decompress(t)
+            if t.mip_levels > 1:
+                t = t.replace_levels([t.levels[0]])
+            texs.append(t)
+        n = len(texs)
+        if n == 0 or n % 6 != 0:
+            print("error: cube-from-mips requires a multiple of 6 images",
+                  file=sys.stderr)
+            return 1
+        mips = n // 6
+        base = texs[0].metadata
+        levels = []
+        for m in range(mips):
+            w = max(base.width >> m, 1)
+            h = max(base.height >> m, 1)
+            from ..ops.resize import resize_array
+            lvl = []
+            for f in range(6):
+                im = texs[f * mips + m].levels[0][0]
+                if im.shape[:2] != (h, w):
+                    im = resize_array(im, w, h)
+                lvl.append(im)
+            levels.append(jnp.stack(lvl))
+        meta = TexMetadata(width=base.width, height=base.height, depth=1,
+                           array_size=6, mip_levels=mips,
+                           misc_flags=int(TexMiscFlag.TEXTURECUBE),
+                           format=base.format,
+                           dimension=TexDimension.TEXTURE2D)
+        save_texture(Texture(meta, levels), args.output)
+        print(f"  wrote {args.output} (cubemap, {mips} mips)")
         return 0
 
     # cube / volume / array / cubearray

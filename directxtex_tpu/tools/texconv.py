@@ -25,7 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="texconv", description=__doc__.split("\n")[0],
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
-    p.add_argument("files", nargs="+", help="input image files")
+    p.add_argument("files", nargs="*", help="input image files (may be "
+                   "empty when -flist is given)")
     p.add_argument("-r", action="store_true", dest="recursive",
                    help="treat arguments as glob patterns, search recursively")
     p.add_argument("-f", "--format", default=None,
@@ -117,7 +118,46 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-nologo", action="store_true", help="suppress banner")
     p.add_argument("-dx9", action="store_true", help="force DX9 legacy DDS")
     p.add_argument("-dx10", action="store_true", help="force DX10 ext DDS")
+    p.add_argument("-l", action="store_true", dest="tolower",
+                   help="force output filename to lowercase")
+    p.add_argument("-flist", default=None, metavar="FILE",
+                   help="read input file paths from a text file (one per "
+                        "line, # comments)")
+    p.add_argument("-tga20", action="store_true",
+                   help="write TGA 2.0 extension area (always written by "
+                        "this implementation; accepted for compatibility)")
+    p.add_argument("-tgazeroalpha", action="store_true",
+                   help="allow all-zero-alpha TGA channel instead of "
+                        "treating it as opaque")
+    p.add_argument("-xlum", action="store_true", dest="expand_luminance",
+                   help="expand legacy L8/L16/A8L8 luminance to RGB on load")
+    p.add_argument("-dword", action="store_true", dest="dword_align",
+                   help="use legacy DWORD-aligned pitch for DDS save")
+    p.add_argument("-fl", "--feature-level", default=None, metavar="LEVEL",
+                   help="Direct3D feature level size limit to validate "
+                        "against (9.1-12.2)")
+    p.add_argument("-wiclossless", action="store_true",
+                   help="use lossless encoding when the WIC-style codec "
+                        "supports it")
+    p.add_argument("-ignoresrgb", action="store_true",
+                   help="ignore sRGB metadata in the input image")
+    # accepted for command-line compatibility; this implementation always
+    # encodes on the accelerator (there is no WIC and no CPU/GPU split)
+    p.add_argument("-nowic", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("-singleproc", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("-gpu", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("-nogpu", action="store_true", help=argparse.SUPPRESS)
     return p
+
+
+# Direct3D feature level -> max 2D texture extent
+# (texconv.cpp OPT_FEATURE_LEVEL handling)
+FEATURE_LEVEL_MAX_SIZE = {
+    "9.1": 2048, "9.2": 2048, "9.3": 4096,
+    "10.0": 8192, "10.1": 8192,
+    "11.0": 16384, "11.1": 16384,
+    "12.0": 16384, "12.1": 16384, "12.2": 16384,
+}
 
 
 def _filter_flags(args):
@@ -164,7 +204,8 @@ def process_file(path: str, args, log=print) -> str:
 
     t0 = time.perf_counter()
     load_kwargs = {}
-    if path.lower().endswith(".dds"):
+    lower = path.lower()
+    if lower.endswith(".dds"):
         dflags = DDS_FLAGS.NONE
         if args.badtails:
             dflags |= DDS_FLAGS.BAD_DXTN_TAILS
@@ -172,9 +213,29 @@ def process_file(path: str, args, log=print) -> str:
             dflags |= DDS_FLAGS.PERMISSIVE
         if args.ignoremips:
             dflags |= DDS_FLAGS.IGNORE_MIPS
+        if args.expand_luminance:
+            dflags |= DDS_FLAGS.EXPAND_LUMINANCE
         if dflags:
             load_kwargs["flags"] = dflags
+    elif lower.endswith(".tga") and args.tgazeroalpha:
+        from ..io.tga import TGA_FLAGS
+        load_kwargs["flags"] = TGA_FLAGS.ALLOW_ALL_ZERO_ALPHA
     tex = load_texture(path, **load_kwargs)
+
+    # -ignoresrgb: drop the input's sRGB colorspace metadata
+    # (OPT_IGNORE_SRGB_METADATA, texconv.cpp)
+    if args.ignoresrgb and traits.is_srgb(tex.metadata.format):
+        tex = tex.replace_levels(tex.levels, tex.metadata.with_format(
+            traits.make_linear(tex.metadata.format)))
+
+    if args.feature_level:
+        max_size = FEATURE_LEVEL_MAX_SIZE.get(args.feature_level)
+        if max_size is None:
+            raise ValueError(f"unknown feature level {args.feature_level}")
+        if max(tex.metadata.width, tex.metadata.height) > max_size:
+            raise ValueError(
+                f"{tex.metadata.width}x{tex.metadata.height} exceeds feature "
+                f"level {args.feature_level} limit ({max_size})")
 
     # TYPELESS promotion (-tu / -tf, texconv.cpp:2245-2263)
     if traits.is_typeless(tex.metadata.format):
@@ -325,8 +386,10 @@ def process_file(path: str, args, log=print) -> str:
     ext = {"jpg": "jpg", "png": "png", "bmp": "bmp", "tiff": "tiff",
            "dds": "dds", "tga": "tga", "hdr": "hdr",
            "exr": "exr"}[args.file_type]
-    out_path = os.path.join(args.outdir,
-                            f"{args.prefix}{base}{args.suffix}.{ext}")
+    name = f"{args.prefix}{base}{args.suffix}.{ext}"
+    if args.tolower:
+        name = name.lower()
+    out_path = os.path.join(args.outdir, name)
     if os.path.exists(out_path) and not args.overwrite:
         raise FileExistsError(f"{out_path} exists (use -y to overwrite)")
     os.makedirs(args.outdir, exist_ok=True)
@@ -337,11 +400,15 @@ def process_file(path: str, args, log=print) -> str:
             flags |= DDS_FLAGS.FORCE_DX10_EXT
         if args.dx9:
             flags |= DDS_FLAGS.FORCE_DX9_LEGACY
+        if args.dword_align:
+            flags |= DDS_FLAGS.LEGACY_DWORD
         kwargs["flags"] = flags
     elif ext in ("png", "jpg", "bmp", "tiff"):
         from ..io.wic import WIC_FLAGS
         if args.wicq is not None:
             kwargs["quality"] = args.wicq
+        if args.wiclossless and ext in ("png", "tiff"):
+            kwargs["quality"] = 1.0
         if args.wicmulti:
             kwargs["flags"] = WIC_FLAGS.ALL_FRAMES
     save_texture(tex, out_path, **kwargs)
@@ -363,11 +430,25 @@ def expand_files(patterns, recursive: bool):
     return out
 
 
+def read_file_list(path: str) -> list[str]:
+    """ProcessFileList equivalent (-flist, Common/CmdLineHelpers.h:251)."""
+    out = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                out.append(line)
+    return out
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if not args.nologo:
         print("texconv (directxtex_tpu) — TPU-native texture converter")
-    files = expand_files(args.files, args.recursive)
+    patterns = list(args.files)
+    if args.flist:
+        patterns.extend(read_file_list(args.flist))
+    files = expand_files(patterns, args.recursive)
     if not files:
         print("error: no input files matched", file=sys.stderr)
         return 1

@@ -162,3 +162,91 @@ def test_texassemble_volume_array_merge(tmp_path):
     # green channel pulled from image 2 (value 3/4)
     np.testing.assert_allclose(mt.to_numpy()[..., 1], 0.75, atol=1 / 255)
     np.testing.assert_allclose(mt.to_numpy()[..., 0], 0.0, atol=1 / 255)
+
+
+@pytest.mark.parametrize("layout,inverse", [
+    ("v-cross", "cube-from-vc"),
+    ("v-cross-fnz", "cube-from-vc-fnz"),
+    ("h-tee", "cube-from-ht"),
+    ("h-strip", "cube-from-hs"),
+    ("v-strip", "cube-from-vs"),
+])
+def test_texassemble_layout_roundtrips(tmp_path, layout, inverse):
+    """Every cross/tee/strip layout decomposes back to the same cubemap
+    (CMD_H_CROSS..CMD_CUBE_FROM_VS, texassemble.cpp:2103-2520)."""
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(6):
+        img = rng.random((8, 8, 4)).astype(np.float32)
+        img[..., 3] = 1.0
+        p = str(tmp_path / f"f{i}.png")
+        save_texture(Texture.from_array(img), p)
+        paths.append(p)
+    cube = str(tmp_path / "cube.dds")
+    assert texassemble.main(["-nologo", "cube", "-o", cube, "-y"] + paths) == 0
+
+    lay = str(tmp_path / "lay.png")
+    assert texassemble.main(["-nologo", layout, "-o", lay, cube]) == 0
+    cube2 = str(tmp_path / "cube2.dds")
+    assert texassemble.main(["-nologo", inverse, "-o", cube2, lay]) == 0
+    np.testing.assert_allclose(np.asarray(load_texture(cube2).levels[0]),
+                               np.asarray(load_texture(cube).levels[0]),
+                               atol=1.5 / 255)
+
+
+def test_texassemble_cube_from_mips(tmp_path):
+    paths = []
+    for f in range(6):
+        for m, size in enumerate((8, 4, 2)):
+            img = np.full((size, size, 4), (f * 3 + m + 1) / 20.0, np.float32)
+            img[..., 3] = 1.0
+            p = str(tmp_path / f"f{f}m{m}.png")
+            save_texture(Texture.from_array(img), p)
+            paths.append(p)
+    out = str(tmp_path / "cube.dds")
+    assert texassemble.main(["-nologo", "cube-from-mips", "-o", out, "-y"]
+                            + paths) == 0
+    t = load_texture(out)
+    assert t.metadata.is_cubemap() and t.mip_levels == 3
+    assert t.levels[0].shape[1] == 8 and t.levels[2].shape[1] == 2
+    np.testing.assert_allclose(float(np.asarray(t.levels[1])[2, 0, 0, 0]),
+                               (2 * 3 + 1 + 1) / 20.0, atol=1 / 255)
+
+
+def test_texconv_flist_tolower_fl(png, tmp_path):
+    """-flist input file, -l lowercase output, -fl size validation
+    (OPT_FILELIST/OPT_TOLOWER/OPT_FEATURE_LEVEL, texconv.cpp)."""
+    flist = tmp_path / "files.txt"
+    flist.write_text(f"# comment\n{png}\n")
+    rc = texconv.main(["-nologo", "-y", "-f", "R8G8B8A8_UNORM", "-m", "1",
+                       "-o", str(tmp_path), "-sx", "_FL", "-l",
+                       "-flist", str(flist)])
+    assert rc == 0
+    assert (tmp_path / "in_fl.dds").exists()
+
+    # 16x16 exceeds no feature level; a fake tiny level must fail
+    rc = texconv.main(["-nologo", "-y", "-fl", "9.1", "-w", "4096",
+                       "-o", str(tmp_path), png])
+    assert rc == 0  # 16x16 input is within 9.1's 2048 limit at load
+
+    big = tmp_path / "big.png"
+    save_texture(Texture.from_array(
+        np.zeros((1, 4096, 4), np.float32)), str(big))
+    rc = texconv.main(["-nologo", "-y", "-fl", "9.1",
+                       "-o", str(tmp_path), str(big)])
+    assert rc == 1  # 4096 wide > 2048 limit
+
+
+def test_texconv_ignoresrgb_and_dword(png, tmp_path):
+    """-ignoresrgb drops sRGB metadata; -dword uses legacy pitch."""
+    srgb_dds = tmp_path / "srgb.dds"
+    rc = texconv.main(["-nologo", "-y", "-f", "R8G8B8A8_UNORM_SRGB",
+                       "-m", "1", "-o", str(tmp_path), "-sx", "_s", png])
+    assert rc == 0
+    os.rename(tmp_path / "in_s.dds", srgb_dds)
+
+    rc = texconv.main(["-nologo", "-y", "-ignoresrgb", "-dword", "-m", "1",
+                       "-o", str(tmp_path), "-sx", "_lin", str(srgb_dds)])
+    assert rc == 0
+    tex = load_texture(str(tmp_path / "srgb_lin.dds"))
+    assert tex.metadata.format == FMT.R8G8B8A8_UNORM
