@@ -359,7 +359,7 @@ def _pal_weight(k, K: int):
 
 
 def _assign_indices_t(px_i, u0, u1, prec: int, mask, channels=4,
-                      ch_start=0):
+                      ch_start=0, aw: float = 1.0, alpha_ch: int = 3):
     """Projection-based index assignment over lane-major planes.
 
     Follows the reference's own GPU encoder (BC7Encode.hlsl:501-533 /
@@ -394,9 +394,14 @@ def _assign_indices_t(px_i, u0, u1, prec: int, mask, channels=4,
     # exact integer-palette error at the chosen index:
     # ((64-w)u0 + w u1 + 32) >> 6 == u0 + ((w (u1-u0) + 32) >> 6)
     dist = jnp.zeros_like(p64)
-    for d, ee in zip(d0, e):
+    for c, (d, ee) in enumerate(zip(d0, e), start=ch_start):
         r = (d - ((wk * ee[None, :] + 32) >> 6)).astype(jnp.float32)
-        dist = dist + r * r
+        # alpha error weighting: scoring only, the projection stays
+        # unweighted; under modes 4/5 rotation the true alpha channel sits
+        # at alpha_ch, matching the shader's un-rotate before ComputeError
+        # (BC7Encode.hlsl:239-241, :519-533)
+        dist = dist + (r * r if (c != alpha_ch or aw == 1.0)
+                       else r * r * aw)
     err = jnp.sum(jnp.where(mask, dist, 0.0), axis=0)
     return idx, err
 
@@ -576,7 +581,8 @@ def _emit_bc7(mode_id: int, shape, rotation: int, index_mode: int,
     return words
 
 
-def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id):
+def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id,
+                           aw: float = 1.0):
     """Evaluate one (mode, shape) candidate for all blocks.
 
     px_i [16, 4, NB] int32, px_f float, mask_list: per-subset [16, NB] bool,
@@ -597,7 +603,7 @@ def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id):
         def qpal(e0f_, e1f_):
             q0, q1, p0, p1 = _quantize_endpoints_t(e0f_, e1f_, m)
             u0, u1 = _unquantize_with_p_t(q0, q1, p0, p1, m, shared_p)
-            idx, err = _assign_indices_t(px_i, u0, u1, prec, mask)
+            idx, err = _assign_indices_t(px_i, u0, u1, prec, mask, aw=aw)
             return q0, q1, p0, p1, idx, err
 
         q0a, q1a, p0a, p1a, idx_a, err_a = qpal(e0f, e1f)
@@ -720,7 +726,8 @@ def _top_k_shapes(ests, k: int):
     return picks
 
 
-def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None):
+def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None,
+                        aw: float = 1.0):
     """Modes 0/1/2/3/7: estimate all shapes, fully refine the best
     BC7_SHAPE_CANDIDATES per block. Returns (err [NB], words [NB, 4])."""
     m = _BC7_MODES[mode_id]
@@ -744,7 +751,7 @@ def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None):
                 px_i, m.partitions, 1 << m.partition_bits, 4,
                 BC7_SHAPE_CANDIDATES)
         return partition_mode_pallas(px_i, s_blks.astype(jnp.int32),
-                                     mode_id, 1 << m.partition_bits)
+                                     mode_id, 1 << m.partition_bits, aw=aw)
 
     if ests is None:
         ests = _shape_estimates_table(px_f, m.partitions,
@@ -760,7 +767,7 @@ def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None):
         anchors = [0 if p == 0 else fix_tab[s_blk, p].astype(jnp.int32)
                    for p in range(m.partitions + 1)]
         err, q0s, q1s, p0s, p1s, idx = _eval_subset_candidate(
-            px_i, px_f, mask_list, anchors, mode_id)
+            px_i, px_f, mask_list, anchors, mode_id, aw=aw)
         words = _emit_bc7(mode_id, s_blk.astype(jnp.uint32), 0, 0,
                           q0s, q1s, p0s, p1s, idx, None, nb)
         better = err < best_err
@@ -769,7 +776,8 @@ def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None):
     return best_err, best_words
 
 
-def _dual_eval_ref(pr_i, pr_f, mode_id, im):
+def _dual_eval_ref(pr_i, pr_f, mode_id, im, aw: float = 1.0,
+                   alpha_ch: int = 3):
     """Dual-index (modes 4/5) candidate evaluation, jnp reference path.
 
     RGB axis-fit + alpha min/max endpoints (RoughMSE, BC6HBC7.cpp:3553),
@@ -787,9 +795,11 @@ def _dual_eval_ref(pr_i, pr_f, mode_id, im):
         q0, q1, p0, p1 = _quantize_endpoints_t(e0f_, e1f_, m)
         u0, u1 = _unquantize_with_p_t(q0, q1, p0, p1, m, False)
         cidx, cerr = _assign_indices_t(pr_i, u0, u1, cprec, mask,
-                                       channels=3)
+                                       channels=3, aw=aw,
+                                       alpha_ch=alpha_ch)
         aidx, aerr = _assign_indices_t(pr_i, u0, u1, aprec, mask,
-                                       channels=4, ch_start=3)
+                                       channels=4, ch_start=3, aw=aw,
+                                       alpha_ch=alpha_ch)
         return q0, q1, p0, p1, cidx, aidx, cerr + aerr
 
     e0f, e1f = _minmax_axis_endpoints_t(pr_f, mask, with_alpha=False)
@@ -816,7 +826,7 @@ def _dual_eval_ref(pr_i, pr_f, mode_id, im):
     return q0, q1, p0, p1, cidx, aidx, err
 
 
-def _try_single_mode(px_i, px_f, mode_id):
+def _try_single_mode(px_i, px_f, mode_id, aw: float = 1.0):
     """Modes 4/5/6: single subset, rotations x index modes.
     Returns (err [NB], words [NB, 4])."""
     m = _BC7_MODES[mode_id]
@@ -837,16 +847,17 @@ def _try_single_mode(px_i, px_f, mode_id):
             perm[ch], perm[3] = 3, ch
             pr_i = px_i[:, perm, :]
             pr_f = px_f[:, perm, :]
+        alpha_ch = 3 if rot == 0 else rot - 1
         for im in range(n_im):
             if m.index_prec2 == 0:
                 # mode 6: joint RGBA indices
                 err, q0s, q1s, p0s, p1s, idx = _eval_subset_candidate(
-                    pr_i, pr_f, [mask], [0], mode_id)
+                    pr_i, pr_f, [mask], [0], mode_id, aw=aw)
                 words = _emit_bc7(mode_id, 0, rot, im, q0s, q1s, p0s, p1s,
                                   idx, None, nb)
             else:
                 q0, q1, p0, p1, cidx, aidx, err = _dual_eval_ref(
-                    pr_i, pr_f, mode_id, im)
+                    pr_i, pr_f, mode_id, im, aw=aw, alpha_ch=alpha_ch)
 
                 # anchor fixes: color and alpha endpoint components swap
                 # INDEPENDENTLY (AssignIndices, BC6HBC7.cpp:3196-3216)
@@ -873,7 +884,8 @@ def _try_single_mode(px_i, px_f, mode_id):
 
 
 def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
-               opaque: bool = False) -> jnp.ndarray:
+               opaque: bool = False,
+               alpha_weight: float = 1.0) -> jnp.ndarray:
     """[NB, 16, 4] f32 -> [NB, 16] u8 (D3DXEncodeBC7, BC6HBC7.cpp:2783).
 
     `opaque=True` (a static hint the caller derives on host, e.g. from
@@ -913,7 +925,8 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
         # the whole encode (shape ranking, every mode, cross-mode fold,
         # mode-7 opaque masking) as ONE pallas dispatch
         _, best_words = bc7_encode_pallas(px_i, tuple(modes),
-                                          BC7_SHAPE_CANDIDATES)
+                                          BC7_SHAPE_CANDIDATES,
+                                          aw=alpha_weight)
         return lax.bitcast_convert_type(best_words,
                                         jnp.uint8).reshape(nb, 16)
 
@@ -933,13 +946,15 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
                         px_i, m.partitions, 1 << m.partition_bits, 4,
                         BC7_SHAPE_CANDIDATES)
                 err, words = _try_partition_mode(
-                    px_i, px_f, mode_id, s_blks=shape_cache[key])
+                    px_i, px_f, mode_id, s_blks=shape_cache[key],
+                    aw=alpha_weight)
             else:
                 if m.partitions not in est_cache:
                     est_cache[m.partitions] = _shape_estimates_table(
                         px_f, m.partitions, 4)
                 err, words = _try_partition_mode(
-                    px_i, px_f, mode_id, ests=est_cache[m.partitions])
+                    px_i, px_f, mode_id, ests=est_cache[m.partitions],
+                    aw=alpha_weight)
             if mode_id == 7:
                 # no value for opaque blocks (reference skip, :2818)
                 err = jnp.where(has_alpha, err, jnp.inf)
@@ -947,10 +962,11 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
             # modes 4/5/6 fused into one VMEM pass; folded here in the
             # same mode order as the jnp path
             if single_cache is None:
-                single_cache = single_modes_pallas(px_i)
+                single_cache = single_modes_pallas(px_i, aw=alpha_weight)
             err, words = single_cache[mode_id]
         else:
-            err, words = _try_single_mode(px_i, px_f, mode_id)
+            err, words = _try_single_mode(px_i, px_f, mode_id,
+                                          aw=alpha_weight)
         better = err < best_err
         best_err = jnp.minimum(err, best_err)
         best_words = jnp.where(better[:, None], words, best_words)

@@ -58,7 +58,8 @@ def _k_sel_px(masks, vals):
     return out
 
 
-def _project_assign(xs, u0l, u1l, prec: int, lo: int, hi: int):
+def _project_assign(xs, u0l, u1l, prec: int, lo: int, hi: int,
+                    aw: float = 1.0, alpha_ch: int = 3):
     """Projection index assignment (same math as bc67._assign_indices_t):
     snap each pixel's 0..64 axis projection to the nearest interpolation
     weight, then exact integer-palette distance for the chosen index.
@@ -84,14 +85,17 @@ def _project_assign(xs, u0l, u1l, prec: int, lo: int, hi: int):
     idx = jnp.where(up, kf + 1, jnp.where(dn, kf - 1, kf))
     wk = _pal_weight(idx, K)
     dist = jnp.zeros_like(p64)
-    for d, ee in zip(d0, e):
+    for c, (d, ee) in enumerate(zip(d0, e), start=lo):
         r = (d - ((wk * ee[None, :] + 32) >> 6)).astype(jnp.float32)
-        dist = dist + r * r
+        # alpha weighting hits the scoring only, like the projection-
+        # unweighted reference shader (BC7Encode.hlsl:239-241)
+        dist = dist + (r * r if (c != alpha_ch or aw == 1.0)
+                       else r * r * aw)
     return idx, dist
 
 
 def _project_assign_px(xs, u0px, u1px, e_px, span_px, prec: int,
-                       lo: int = 0, hi: int = 4):
+                       lo: int = 0, hi: int = 4, aw: float = 1.0):
     """_project_assign with per-pixel endpoint planes: u0px/u1px/e_px are
     per-channel [16, T] (or [1, T]-broadcast) int32, span_px [16, T] f32.
     One pass serves every subset of a shape candidate simultaneously —
@@ -114,7 +118,7 @@ def _project_assign_px(xs, u0px, u1px, e_px, span_px, prec: int,
     dist = jnp.zeros_like(p64)
     for c, d in zip(range(lo, hi), d0):
         r = (d - ((wk * e_px[c] + 32) >> 6)).astype(jnp.float32)
-        dist = dist + r * r
+        dist = dist + (r * r if (c != 3 or aw == 1.0) else r * r * aw)
     return idx, dist
 
 
@@ -476,7 +480,8 @@ def _k_emit(mode_id: int, t, s_blk, rot, im, q0s, q1s, p0s, p1s,
     return kw.stack()
 
 
-def _k_eval_subsets(xs, xf, masks, mode_id: int, axes=None):
+def _k_eval_subsets(xs, xf, masks, mode_id: int, axes=None,
+                    aw: float = 1.0):
     """Every subset of one shape candidate in a single fused pass:
     axis fit -> quantize -> projection assign -> LS refit -> second pass ->
     keep better, with the per-pixel plane work (projection, palette
@@ -513,7 +518,8 @@ def _k_eval_subsets(xs, xf, masks, mode_id: int, axes=None):
             jnp.float32) for p in range(n_sub)]
         e_px = [sel([e_s[p][c] for p in range(n_sub)]) for c in range(4)]
         span_px = sel(span_s)
-        idx, dist = _project_assign_px(xs, u0px, u1px, e_px, span_px, iprec)
+        idx, dist = _project_assign_px(xs, u0px, u1px, e_px, span_px,
+                                       iprec, aw=aw)
         errs = [msum(dist, p) for p in range(n_sub)]
         return qs, idx, errs
 
@@ -602,7 +608,8 @@ def _k_decode_cands(sb_rows, parts: int, n_shapes: int):
     return cands
 
 
-def _k_partition_fold(xs, xf, cands, mode_id: int, axes_list=None):
+def _k_partition_fold(xs, xf, cands, mode_id: int, axes_list=None,
+                      aw: float = 1.0):
     """One partition mode over decoded shape candidates: evaluate each,
     keep the best, anchor-swap and emit the winner. axes_list optionally
     supplies a precomputed axis fit per candidate (shared between modes
@@ -616,7 +623,7 @@ def _k_partition_fold(xs, xf, cands, mode_id: int, axes_list=None):
     for ci, (s_blk, pp, pa, masks) in enumerate(cands):
         q0s, q1s, p0s, p1s, idx_full, errs = _k_eval_subsets(
             xs, xf, masks, mode_id,
-            axes=None if axes_list is None else axes_list[ci])
+            axes=None if axes_list is None else axes_list[ci], aw=aw)
         total_err = sum(errs)
         # anchor swaps happen once, on the fold winner, below
         state = (total_err, s_blk, q0s, q1s, p0s, p1s, idx_full, pp, pa)
@@ -664,7 +671,8 @@ def _k_partition_fold(xs, xf, cands, mode_id: int, axes_list=None):
 
 
 def _partition_mode_kernel(px_ref, sb_ref, err_ref, w_ref,
-                           *, mode_id: int, n_cand: int, n_shapes: int):
+                           *, mode_id: int, n_cand: int, n_shapes: int,
+                           aw: float = 1.0):
     """Modes 0/1/2/3/7: evaluate n_cand shape candidates, keep the best,
     emit its block. Partition masks and anchors derive in-kernel from the
     shape id via packed constant tables."""
@@ -673,16 +681,16 @@ def _partition_mode_kernel(px_ref, sb_ref, err_ref, w_ref,
     xf = [x.astype(jnp.float32) for x in xs]
     cands = _k_decode_cands([sb_ref[cand, :] for cand in range(n_cand)],
                             parts, n_shapes)
-    err, words = _k_partition_fold(xs, xf, cands, mode_id)
+    err, words = _k_partition_fold(xs, xf, cands, mode_id, aw=aw)
     err_ref[...] = jnp.broadcast_to(err[None, :], err_ref.shape)
     w_ref[...] = words
 
 
 @functools.partial(jax.jit, static_argnames=("mode_id", "n_shapes",
-                                              "interpret"))
+                                              "interpret", "aw"))
 def partition_mode_pallas(px_i: jnp.ndarray, s_blks: jnp.ndarray,
                           mode_id: int, n_shapes: int = 64,
-                          interpret: bool = False):
+                          interpret: bool = False, aw: float = 1.0):
     """Full partition-mode evaluation. px_i [16, 4, NB] i32;
     s_blks [C, NB] shape candidates (partition masks and anchors derive
     in-kernel). Returns (err [NB] f32, words [NB, 4] u32)."""
@@ -701,7 +709,7 @@ def partition_mode_pallas(px_i: jnp.ndarray, s_blks: jnp.ndarray,
 
     grid = (nb_pad // _TILE,)
     kern = functools.partial(_partition_mode_kernel, mode_id=mode_id,
-                             n_cand=n_cand, n_shapes=n_shapes)
+                             n_cand=n_cand, n_shapes=n_shapes, aw=aw)
     err8, words = pl.pallas_call(
         kern,
         grid=grid,
@@ -722,9 +730,10 @@ def partition_mode_pallas(px_i: jnp.ndarray, s_blks: jnp.ndarray,
     return err8[0, :nb], words[:, :nb].T
 
 
-def _k_mode6(xs0, xf0):
+def _k_mode6(xs0, xf0, aw: float = 1.0):
     """Mode 6: one subset, joint RGBA indices. Returns (err, words)."""
-    q0s6, q1s6, p0s6, p1s6, idx, errs6 = _k_eval_subsets(xs0, xf0, [None], 6)
+    q0s6, q1s6, p0s6, p1s6, idx, errs6 = _k_eval_subsets(xs0, xf0, [None],
+                                                         6, aw=aw)
     q0, q1, p0, p1, err6 = q0s6[0], q1s6[0], p0s6[0], p1s6[0], errs6[0]
     swap = (idx[0] & 0x8) != 0
     q0f = [jnp.where(swap, q1[c], q0[c]) for c in range(4)]
@@ -756,7 +765,7 @@ def _k_rot_data(xs0):
     return rot_data
 
 
-def _k_mode45(rot_data, mode_id: int):
+def _k_mode45(rot_data, mode_id: int, aw: float = 1.0):
     """Mode 4 or 5: dual indices over rotation x index-mode combos,
     keep-best, anchor fixes on the winner (bc67._try_single_mode).
     Returns (err, words)."""
@@ -765,6 +774,7 @@ def _k_mode45(rot_data, mode_id: int):
     best = None
     for rot in range(1 << rot_bits):
         xs, xf, e0, e1 = rot_data[rot]
+        alpha_ch = 3 if rot == 0 else rot - 1
         # first-pass endpoint quantization depends only on the rotation
         q0r, q1r, _, _, u0r, u1r = _k_quant_endpoints(
             e0, e1, rgba_prec, rgba_prec_p, False)
@@ -778,8 +788,10 @@ def _k_mode45(rot_data, mode_id: int):
                         e0l, e1l, rgba_prec, rgba_prec_p, False)
                 else:
                     q0l, q1l, u0l, u1l = pre
-                cidx, cdist = _project_assign(xs, u0l, u1l, cprec, 0, 3)
-                aidx, adist = _project_assign(xs, u0l, u1l, aprec, 3, 4)
+                cidx, cdist = _project_assign(xs, u0l, u1l, cprec, 0, 3,
+                                              aw=aw, alpha_ch=alpha_ch)
+                aidx, adist = _project_assign(xs, u0l, u1l, aprec, 3, 4,
+                                              aw=aw, alpha_ch=alpha_ch)
                 return (q0l, q1l, cidx, aidx,
                         jnp.sum(cdist, axis=0) + jnp.sum(adist, axis=0))
 
@@ -844,25 +856,26 @@ def _k_mode45(rot_data, mode_id: int):
 
 
 def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
-                         e6_ref, w6_ref):
+                         e6_ref, w6_ref, *, aw: float = 1.0):
     """Modes 4/5/6 in one pass: all rotation x index-mode combos, keep-best
     per mode, emit each mode's winner (bc67._try_single_mode)."""
     xs0 = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
     xf0 = [x.astype(jnp.float32) for x in xs0]
 
-    err6, w6 = _k_mode6(xs0, xf0)
+    err6, w6 = _k_mode6(xs0, xf0, aw=aw)
     e6_ref[...] = jnp.broadcast_to(err6[None, :], e6_ref.shape)
     w6_ref[...] = w6
 
     rot_data = _k_rot_data(xs0)
     for mode_id, out_e, out_w in ((4, e4_ref, w4_ref), (5, e5_ref, w5_ref)):
-        err, words = _k_mode45(rot_data, mode_id)
+        err, words = _k_mode45(rot_data, mode_id, aw=aw)
         out_e[...] = jnp.broadcast_to(err[None, :], out_e.shape)
         out_w[...] = words
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def single_modes_pallas(px_i: jnp.ndarray, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "aw"))
+def single_modes_pallas(px_i: jnp.ndarray, interpret: bool = False,
+                        aw: float = 1.0):
     """Modes 4, 5, 6 fused. px_i [16, 4, NB] i32. Returns
     {mode: (err [NB], words [NB, 4] u32)}."""
     from jax.experimental import pallas as pl
@@ -876,7 +889,7 @@ def single_modes_pallas(px_i: jnp.ndarray, interpret: bool = False):
 
     grid = (nb_pad // _TILE,)
     outs = pl.pallas_call(
-        _single_modes_kernel,
+        functools.partial(_single_modes_kernel, aw=aw),
         grid=grid,
         in_specs=[pl.BlockSpec((64, _TILE), lambda i: (0, i))],
         out_specs=[pl.BlockSpec((8, _TILE), lambda i: (0, i)),
@@ -1010,7 +1023,7 @@ def partition_shapes_pallas(px_i: jnp.ndarray, partitions: int,
 
 
 def _bc7_all_kernel(px_ref, m_ref, err_ref, w_ref, *, modes: tuple,
-                    n_cand: int):
+                    n_cand: int, aw: float = 1.0):
     """The whole BC7 encode in one dispatch: shape ranking, every mode's
     candidate evaluation, anchor swaps, emit, and the cross-mode fold all
     happen in VMEM — HBM sees the pixel planes in and one (err, words)
@@ -1035,7 +1048,8 @@ def _bc7_all_kernel(px_ref, m_ref, err_ref, w_ref, *, modes: tuple,
                     for (_, _, _, masks) in cands]
         for m in part_modes:
             results[m] = _k_partition_fold(xs, xf, cands, m,
-                                           ax_a if m == 7 else ax_na)
+                                           ax_a if m == 7 else ax_na,
+                                           aw=aw)
         if 7 in results:
             # no value for opaque blocks (reference skip, BC6HBC7.cpp:2818)
             opaque_blk = jnp.min(xs[3], axis=0) == 255
@@ -1043,12 +1057,12 @@ def _bc7_all_kernel(px_ref, m_ref, err_ref, w_ref, *, modes: tuple,
             results[7] = (jnp.where(opaque_blk, jnp.inf, e7), w7)
 
     if 6 in modes:
-        results[6] = _k_mode6(xs, xf)
+        results[6] = _k_mode6(xs, xf, aw=aw)
     if 4 in modes or 5 in modes:
         rot_data = _k_rot_data(xs)
         for m in (4, 5):
             if m in modes:
-                results[m] = _k_mode45(rot_data, m)
+                results[m] = _k_mode45(rot_data, m, aw=aw)
 
     best_e, best_w = None, None
     for m in modes:
@@ -1063,10 +1077,16 @@ def _bc7_all_kernel(px_ref, m_ref, err_ref, w_ref, *, modes: tuple,
     w_ref[...] = best_w
 
 
+# measured on v5e at 2K opaque: tile 512 -> 344.8 Mt/s, 384 -> 329.8,
+# 256 -> 357.3, 128 -> 338.0
+_BC7_ALL_TILE = 256
+
+
 @functools.partial(jax.jit, static_argnames=("modes", "n_cand",
-                                              "interpret", "tile"))
+                                              "interpret", "tile", "aw"))
 def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
-                      interpret: bool = False, tile: int = _TILE):
+                      interpret: bool = False, tile: int = _BC7_ALL_TILE,
+                      aw: float = 1.0):
     """Full BC7 encode as ONE pallas dispatch over modes ⊆ {1,3,4,5,6,7}
     folded in `modes` order (mode-7 errors are inf-masked for opaque
     blocks in-kernel). px_i [16, 4, NB] i32.
@@ -1087,7 +1107,8 @@ def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
         [(parts == p).astype(np.float32) for p in range(2)], axis=0)
 
     err8, words = pl.pallas_call(
-        functools.partial(_bc7_all_kernel, modes=modes, n_cand=n_cand),
+        functools.partial(_bc7_all_kernel, modes=modes, n_cand=n_cand,
+                          aw=aw),
         grid=(nb_pad // tile,),
         in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i)),
                   pl.BlockSpec((128, 16), lambda i: (0, 0))],

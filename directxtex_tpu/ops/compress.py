@@ -53,7 +53,8 @@ _ENCODERS = {
 
 
 def _encode_blocks(kind: str, blocks: jnp.ndarray, threshold: float,
-                   bcflags: int, opaque: bool = False) -> jnp.ndarray:
+                   bcflags: int, opaque: bool = False,
+                   alpha_weight: float = 1.0) -> jnp.ndarray:
     if kind == "bc1":
         return bc123.encode_bc1(blocks, threshold, bcflags)
     if kind == "bc2":
@@ -73,7 +74,8 @@ def _encode_blocks(kind: str, blocks: jnp.ndarray, threshold: float,
     if kind == "bc6hs":
         return bc67.encode_bc6h(blocks, signed=True)
     if kind == "bc7":
-        return bc67.encode_bc7(blocks, bcflags, opaque=opaque)
+        return bc67.encode_bc7(blocks, bcflags, opaque=opaque,
+                               alpha_weight=alpha_weight)
     raise AssertionError(kind)
 
 
@@ -138,12 +140,15 @@ def default_decompress_format(bcfmt: DXGIFormat) -> DXGIFormat:
 
 def compress(tex: Texture, fmt: DXGIFormat,
              flags: TC = TC.DEFAULT,
-             threshold: float = 0.5) -> CompressedTexture:
+             threshold: float = 0.5,
+             alpha_weight: float = 1.0) -> CompressedTexture:
     """Public Compress (DirectXTexCompress.cpp:632).
 
     Encodes every mip/item of `tex` to BC format `fmt` in batched device
     calls. TEX_COMPRESS_PARALLEL is implied — all blocks always encode in
-    parallel on the TPU.
+    parallel on the TPU. `alpha_weight` scales BC7 alpha error like the
+    reference GPU encoder's CompressOptions.alphaWeight
+    (DirectXTex.h:926, BC7Encode.hlsl:241).
     """
     flags = TC(flags)
     if fmt not in _ENCODERS:
@@ -175,7 +180,7 @@ def compress(tex: Texture, fmt: DXGIFormat,
             all_blocks.append(blocks)
         counts.append((n, per_item))
     packed = _encode_blocks(kind, jnp.concatenate(all_blocks, axis=0),
-                            threshold, bcflags, opaque)
+                            threshold, bcflags, opaque, alpha_weight)
 
     levels = []
     off = 0
@@ -234,7 +239,8 @@ def decompress(ctex: CompressedTexture,
 
 def compress_ex(tex: Texture, fmt: DXGIFormat,
                 flags: TC = TC.DEFAULT, threshold: float = 0.5,
-                status_callback=None) -> CompressedTexture:
+                status_callback=None,
+                alpha_weight: float = 1.0) -> CompressedTexture:
     """CompressEx (DirectXTexCompress.cpp:664, CompressOptions +
     statusCallBack, DirectXTex.h:922-962): like compress(), reporting
     (done, total) between per-item device batches. A callback returning
@@ -242,7 +248,7 @@ def compress_ex(tex: Texture, fmt: DXGIFormat,
     from ..utils.errors import TexAbortError
 
     if status_callback is None:
-        return compress(tex, fmt, flags, threshold)
+        return compress(tex, fmt, flags, threshold, alpha_weight)
 
     total = sum(int(lvl.shape[0]) for lvl in tex.levels)
     done = 0
@@ -268,7 +274,7 @@ def compress_ex(tex: Texture, fmt: DXGIFormat,
         for i in range(lvl.shape[0]):
             blocks, _, _ = image_to_blocks(vals[i])
             outs.append(_encode_blocks(kind, blocks, threshold, bcflags,
-                                       opaque).reshape(-1))
+                                       opaque, alpha_weight).reshape(-1))
             done += 1
             if status_callback(done, total) is False:
                 raise TexAbortError("compress aborted by status callback")

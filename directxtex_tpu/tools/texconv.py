@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="BC flags: d=dither, u=uniform, q=quick, x=3subsets")
     p.add_argument("-at", "--alpha-threshold", type=float, default=0.5,
                    help="BC1 alpha threshold")
+    p.add_argument("-aw", "--alpha-weight", type=float, default=1.0,
+                   help="BC7 alpha error weight (CompressOptions."
+                        "alphaWeight)")
     p.add_argument("-tonemap", action="store_true",
                    help="Reinhard tonemap HDR to LDR")
     p.add_argument("-rotatecolor", default=None,
@@ -379,7 +382,8 @@ def process_file(path: str, args, log=print) -> str:
             cflags |= TC.BC7_QUICK
         if "x" in args.bc:
             cflags |= TC.BC7_USE_3SUBSETS
-        tex = compress(tex, target_fmt, cflags, args.alpha_threshold)
+        tex = compress(tex, target_fmt, cflags, args.alpha_threshold,
+                       alpha_weight=args.alpha_weight)
 
     # save (:3768)
     base = os.path.splitext(os.path.basename(path))[0]

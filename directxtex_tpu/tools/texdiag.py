@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("file", help="input file")
     p.add_argument("file2", nargs="?", help="second file (compare/diff)")
     p.add_argument("-o", "--output", default=None, help="output file (diff/dumpdds)")
+    p.add_argument("-ft", "--file-type", default="png",
+                   choices=["png", "dds", "tga", "hdr", "bmp", "jpg"],
+                   help="dumpdds output container")
     p.add_argument("-x", type=int, default=0, help="block x (dumpbc)")
     p.add_argument("-y", type=int, default=0, help="block y (dumpbc)")
     p.add_argument("-m", "--mip", type=int, default=0, help="mip level")
@@ -199,6 +202,10 @@ def cmd_dumpbc(args, log=print) -> int:
 
 
 def cmd_dumpdds(args, log=print) -> int:
+    """Extract every surface of a complex DDS as its own file
+    (CMD_DUMPDDS, Texdiag/texdiag.cpp:3753+). The reference rejects
+    BC-compressed inputs; here they are decompressed first (superset).
+    Naming follows the reference: _itemNNN/_sliceNNN + _mipNNN."""
     from ..io import save_texture
     from ..texture import CompressedTexture, Texture
     from ..ops import decompress
@@ -207,12 +214,20 @@ def cmd_dumpdds(args, log=print) -> int:
     if isinstance(tex, CompressedTexture):
         tex = decompress(tex)
     base = args.output or os.path.splitext(os.path.basename(args.file))[0]
+    ext = args.file_type
+    is_volume = tex.metadata.depth > 1
     count = 0
     for mip in range(tex.mip_levels):
         for item in range(tex.levels[mip].shape[0]):
-            out = f"{base}_m{mip}_i{item}.png"
-            save_texture(Texture.from_array(
-                np.clip(tex.to_numpy(mip, item), 0, 1)), out)
+            tag = "slice" if is_volume else "item"
+            name = f"{base}_{tag}{item:03d}"
+            if tex.mip_levels > 1:
+                name += f"_mip{mip:03d}"
+            img = tex.to_numpy(mip, item)
+            if ext in ("png", "bmp", "jpg", "tga"):
+                img = np.clip(img, 0, 1)
+            save_texture(Texture.from_array(img.astype(np.float32)),
+                         f"{name}.{ext}")
             count += 1
     log(f"  wrote {count} surfaces")
     return 0

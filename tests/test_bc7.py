@@ -225,3 +225,31 @@ def test_encode_bc7_3subset_flag():
     enc = np.asarray(bc67.encode_bc7(blocks, flags=0x80000))
     dec = np.asarray(bc67.decode_bc7(enc))
     assert rgba_psnr(dec, blocks) > 36
+
+
+def test_bc7_alpha_weight():
+    """alpha_weight scales BC7 alpha error like CompressOptions.alphaWeight
+    (DirectXTex.h:926, BC7Encode.hlsl:241): higher weight must not worsen
+    decoded alpha MSE, and weight 1.0 is the default encoding."""
+    import numpy as np
+    import jax.numpy as jnp
+    from directxtex_tpu.bc import bc67
+
+    rng = np.random.default_rng(23)
+    nb = 120
+    blocks = rng.random((nb, 16, 4)).astype(np.float32)  # noisy alpha
+
+    enc1 = np.asarray(bc67.encode_bc7(jnp.asarray(blocks)))
+    enc_d = np.asarray(bc67.encode_bc7(jnp.asarray(blocks),
+                                       alpha_weight=1.0))
+    np.testing.assert_array_equal(enc1, enc_d)
+
+    enc_hi = np.asarray(bc67.encode_bc7(jnp.asarray(blocks),
+                                        alpha_weight=16.0))
+    dec1 = np.asarray(bc67.decode_bc7(enc1))
+    dec_hi = np.asarray(bc67.decode_bc7(enc_hi))
+    amse1 = float(((dec1[..., 3] - blocks[..., 3]) ** 2).mean())
+    amse_hi = float(((dec_hi[..., 3] - blocks[..., 3]) ** 2).mean())
+    assert amse_hi <= amse1 * 1.001, (amse1, amse_hi)
+    # and it must actually change encoder decisions on noisy-alpha data
+    assert (enc_hi != enc1).any()

@@ -264,3 +264,31 @@ def test_bc6h_single_dispatch_matches_jnp(signed):
         mse_p = ((np.asarray(dec_p)[..., :3] - src) ** 2).sum(axis=(1, 2))
         mse_r = ((np.asarray(dec_r)[..., :3] - src) ** 2).sum(axis=(1, 2))
         np.testing.assert_allclose(mse_p, mse_r, rtol=5e-2, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode_id", [4, 5, 6, 7])
+def test_alpha_weight_kernels_match_jnp(mode_id):
+    """aw-weighted kernels vs the jnp path at the same alpha_weight
+    (CompressOptions.alphaWeight, scoring-only per BC7Encode.hlsl:241)."""
+    px_i, px_f = _mk_blocks(seed=29, alpha=True)
+    aw = 4.0
+    if mode_id == 7:
+        from directxtex_tpu.bc.pallas_kernels import partition_mode_pallas
+        from directxtex_tpu.bc.bc67 import (
+            BC7_SHAPE_CANDIDATES, _BC7_MODES, _shape_estimates_table,
+            _top_k_shapes)
+        m = bc67._BC7_MODES[mode_id]
+        ests = bc67._shape_estimates_table(px_f, m.partitions, 4)
+        ests = ests[:1 << m.partition_bits]
+        err_r, words_r = bc67._try_partition_mode(px_i, px_f, mode_id,
+                                                  ests=ests, aw=aw)
+        s_blks = jnp.stack(bc67._top_k_shapes(ests, 4))
+        err_p, words_p = partition_mode_pallas(
+            px_i, s_blks.astype(jnp.int32), mode_id, 1 << m.partition_bits,
+            interpret=True, aw=aw)
+    else:
+        from directxtex_tpu.bc.pallas_kernels import single_modes_pallas
+        err_r, words_r = bc67._try_single_mode(px_i, px_f, mode_id, aw=aw)
+        out = single_modes_pallas(px_i, interpret=True, aw=aw)
+        err_p, words_p = out[mode_id]
+    _assert_equivalent(err_p, err_r, words_p, words_r, px_i)

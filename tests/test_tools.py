@@ -250,3 +250,30 @@ def test_texconv_ignoresrgb_and_dword(png, tmp_path):
     assert rc == 0
     tex = load_texture(str(tmp_path / "srgb_lin.dds"))
     assert tex.metadata.format == FMT.R8G8B8A8_UNORM
+
+
+def test_texdiag_dumpdds_naming(tmp_path, monkeypatch):
+    """dumpdds extracts each surface with reference naming
+    (_itemNNN_mipNNN, texdiag.cpp:3753+) in the chosen container."""
+    import jax.numpy as jnp
+    from directxtex_tpu.texture import TexMetadata, TexDimension
+    rng = np.random.default_rng(3)
+    lvl0 = jnp.asarray(rng.random((2, 8, 8, 4)).astype(np.float32))
+    lvl1 = jnp.asarray(rng.random((2, 4, 4, 4)).astype(np.float32))
+    meta = TexMetadata(width=8, height=8, depth=1, array_size=2,
+                       mip_levels=2, misc_flags=0,
+                       format=FMT.R8G8B8A8_UNORM,
+                       dimension=TexDimension.TEXTURE2D)
+    src = tmp_path / "arr.dds"
+    save_texture(Texture(meta, [lvl0, lvl1]), str(src))
+
+    monkeypatch.chdir(tmp_path)
+    rc = texdiag.main(["-nologo", "dumpdds", "-ft", "dds", str(src)])
+    assert rc == 0
+    for item in range(2):
+        for mip in range(2):
+            out = tmp_path / f"arr_item{item:03d}_mip{mip:03d}.dds"
+            assert out.exists(), out
+    t = load_texture(str(tmp_path / "arr_item001_mip001.dds"))
+    np.testing.assert_allclose(t.to_numpy(), np.asarray(lvl1[1]),
+                               atol=1 / 255)
