@@ -9,7 +9,6 @@ Decode follows BC4_UNORM/BC4_SNORM::DecodeFromIndex exactly, including the
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as _np
 from jax import lax
 
 from .common import optimize_alpha_t
@@ -17,32 +16,26 @@ from .common import optimize_alpha_t
 __all__ = ["decode_bc4u", "decode_bc4s", "decode_bc5u", "decode_bc5s",
            "encode_bc4u", "encode_bc4s", "encode_bc5u", "encode_bc5s"]
 
-# exact decode tables mirroring BC4BC5.cpp's float(c)/255.0f DIVISION
-# (kept as numpy at module scope; jnp conversion happens lazily at use so
-# importing the package never initializes a JAX backend)
-_T255_DIV = _np.arange(256, dtype=_np.float32) / _np.float32(255.0)
-_snorm_codes = _np.arange(256, dtype=_np.int64)
-_snorm_codes = _np.where(_snorm_codes >= 128, _snorm_codes - 256, _snorm_codes)
-_snorm_codes = _np.where(_snorm_codes == -128, -127, _snorm_codes)
-_T127_DIV = _snorm_codes.astype(_np.float32) / _np.float32(127.0)
-
-
 def _bc4_palette(r0_code: jnp.ndarray, r1_code: jnp.ndarray,
                  signed: bool) -> jnp.ndarray:
     """[NB] u32 byte codes -> [NB, 8] palette (DecodeFromIndex)."""
     if signed:
-        f0 = jnp.asarray(_T127_DIV)[r0_code.astype(jnp.int32)]
-        f1 = jnp.asarray(_T127_DIV)[r1_code.astype(jnp.int32)]
-        # comparison uses the *signed* byte values (red_0 > red_1)
+        # arithmetic instead of a 256-entry table gather (slow on the TPU
+        # VPU): same ops as building _T127_DIV, so bit-identical
         s0 = jnp.where(r0_code >= 128, r0_code.astype(jnp.int32) - 256,
                        r0_code.astype(jnp.int32))
         s1 = jnp.where(r1_code >= 128, r1_code.astype(jnp.int32) - 256,
                        r1_code.astype(jnp.int32))
+        f0 = jnp.where(s0 == -128, -127, s0).astype(jnp.float32) \
+            / jnp.float32(127.0)
+        f1 = jnp.where(s1 == -128, -127, s1).astype(jnp.float32) \
+            / jnp.float32(127.0)
+        # comparison uses the *signed* byte values (red_0 > red_1)
         eight = s0 > s1
         lo_val, hi_val = -1.0, 1.0
     else:
-        f0 = jnp.asarray(_T255_DIV)[r0_code.astype(jnp.int32)]
-        f1 = jnp.asarray(_T255_DIV)[r1_code.astype(jnp.int32)]
+        f0 = r0_code.astype(jnp.float32) / jnp.float32(255.0)
+        f1 = r1_code.astype(jnp.float32) / jnp.float32(255.0)
         eight = r0_code > r1_code
         lo_val, hi_val = 0.0, 1.0
 

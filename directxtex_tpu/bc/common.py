@@ -91,19 +91,22 @@ def optimize_alpha_t(points: jnp.ndarray, csteps: int,
         istep = jnp.where(fdot <= 0.0, lo,
                           jnp.where(fdot >= fsteps, hi, istep_mid))
 
-        dX = jnp.zeros_like(fX)
-        dY = jnp.zeros_like(fX)
-        d2X = jnp.zeros_like(fX)
-        d2Y = jnp.zeros_like(fX)
-        for k in range(csteps):  # istep in {6,7} contributes pC/pD = 0 anyway
-            m = (istep == k).astype(jnp.float32)
-            step_k = pC[k] * fX + pD[k] * fY
-            diff = jnp.sum(m * (step_k - points), axis=0)
-            cnt = jnp.sum(m, axis=0)
-            dX = dX + pC[k] * diff
-            d2X = d2X + cnt * (pC[k] * pC[k])
-            dY = dY + pD[k] * diff
-            d2Y = d2Y + cnt * (pD[k] * pD[k])
+        # the Newton moment sums close over per-pixel pC/pD planes (one
+        # masked reduction each instead of a per-step loop of reductions);
+        # pC/pD come from the exact table constants via index selects so
+        # the arithmetic matches the reference's step values bit-for-bit
+        pc = jnp.zeros_like(points)
+        pd = jnp.zeros_like(points)
+        for k in range(csteps):
+            hit = istep == k
+            pc = jnp.where(hit, jnp.float32(pC[k]), pc)
+            pd = jnp.where(hit, jnp.float32(pD[k]), pd)
+        step_px = pc * fX[None, :] + pd * fY[None, :]
+        diff = step_px - points
+        dX = jnp.sum(pc * diff, axis=0)
+        dY = jnp.sum(pd * diff, axis=0)
+        d2X = jnp.sum(pc * pc, axis=0)
+        d2Y = jnp.sum(pd * pd, axis=0)
 
         nX = jnp.where(d2X > 0, fX - dX / jnp.where(d2X > 0, d2X, 1.0), fX)
         nY = jnp.where(d2Y > 0, fY - dY / jnp.where(d2Y > 0, d2Y, 1.0), fY)
@@ -116,8 +119,12 @@ def optimize_alpha_t(points: jnp.ndarray, csteps: int,
         done = done | stop_now | (active & converged)
         return fX, fY, done
 
-    done0 = jnp.zeros(points.shape[1], bool)
-    fX, fY, _ = lax.fori_loop(0, 8, body, (fX, fY, done0))
+    # unrolled: 8 fixed Newton iterations fuse into one kernel instead of
+    # paying sequential while-loop control overhead per step
+    carry = (fX, fY, jnp.zeros(points.shape[1], bool))
+    for i in range(8):
+        carry = body(i, carry)
+    fX, fY, _ = carry
     return (jnp.clip(fX, MIN_VALUE, MAX_VALUE),
             jnp.clip(fY, MIN_VALUE, MAX_VALUE))
 

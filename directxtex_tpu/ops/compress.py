@@ -41,6 +41,16 @@ def _srgb_flags(compress_flags: TC) -> TF:
     return TF(int(compress_flags & (TC.SRGB_IN | TC.SRGB_OUT)))
 
 
+# channel-copy cflags from DetermineEncoderSettings
+# (DirectXTexCompress.cpp:56-59): BC4 keeps RED (not grayscale), BC5
+# keeps RED+GREEN, on the RGB->R / RGB->RG convert rules
+_CHANNEL_CFLAGS = {
+    "bc4u": TF.RGB_COPY_RED, "bc4s": TF.RGB_COPY_RED,
+    "bc5u": TF.RGB_COPY_RED | TF.RGB_COPY_GREEN,
+    "bc5s": TF.RGB_COPY_RED | TF.RGB_COPY_GREEN,
+}
+
+
 _ENCODERS = {
     FMT.BC1_UNORM: ("bc1", 8), FMT.BC1_UNORM_SRGB: ("bc1", 8),
     FMT.BC2_UNORM: ("bc2", 16), FMT.BC2_UNORM_SRGB: ("bc2", 16),
@@ -172,7 +182,8 @@ def compress(tex: Texture, fmt: DXGIFormat,
     counts = []  # (n_items, blocks_per_item)
     for lvl in tex.levels:
         n, h, w, _ = lvl.shape
-        vals = convert_values(lvl, src_fmt, fmt, srgb)
+        vals = convert_values(lvl, src_fmt, fmt,
+                              srgb | _CHANNEL_CFLAGS.get(kind, TF(0)))
         per_item = None
         for i in range(n):
             blocks, nbh, nbw = image_to_blocks(vals[i])
@@ -269,7 +280,8 @@ def compress_ex(tex: Texture, fmt: DXGIFormat,
 
     levels = []
     for lvl in tex.levels:
-        vals = convert_values(lvl, src_fmt, fmt, srgb)
+        vals = convert_values(lvl, src_fmt, fmt,
+                              srgb | _CHANNEL_CFLAGS.get(kind, TF(0)))
         outs = []
         for i in range(lvl.shape[0]):
             blocks, _, _ = image_to_blocks(vals[i])

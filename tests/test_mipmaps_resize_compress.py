@@ -234,3 +234,25 @@ def test_generate_mipmaps_3d_filtered():
         if mode != TF.POINT:
             # mean-preserving reductions
             assert abs(float(v.mean()) - float(vol.mean())) < 0.05, mode
+
+
+def test_compress_bc4_bc5_channel_copy():
+    """compress() to BC4/BC5 keeps RED (and GREEN) instead of grayscale —
+    DetermineEncoderSettings cflags (DirectXTexCompress.cpp:56-59)."""
+    import numpy as np
+    from directxtex_tpu.formats import FMT
+    from directxtex_tpu.ops import compress, decompress
+    from directxtex_tpu.texture import Texture
+
+    rng = np.random.default_rng(6)
+    img = rng.random((16, 16, 4)).astype(np.float32)
+    img[..., 1] = 1.0 - img[..., 0]  # green anti-correlated with red
+    tex = Texture.from_array(img)
+
+    back4 = decompress(compress(tex, FMT.BC4_UNORM)).to_numpy()
+    err_red = np.abs(back4[..., 0] - img[..., 0]).max()
+    assert err_red < 0.1, err_red  # grayscale would be ~0.3+ off
+
+    back5 = decompress(compress(tex, FMT.BC5_UNORM)).to_numpy()
+    assert np.abs(back5[..., 0] - img[..., 0]).max() < 0.1
+    assert np.abs(back5[..., 1] - img[..., 1]).max() < 0.1

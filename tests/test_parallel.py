@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from directxtex_tpu.bc import bc123
 from directxtex_tpu.parallel import (
@@ -49,3 +50,95 @@ def test_graft_dryrun():
     out = jax.jit(fn)(*args)
     # BC7 (16 bytes/block) once bc67 landed; BC1 (8) before
     assert out.shape in ((16 * 16, 16), (16 * 16, 8))
+
+
+class TestSpatial:
+    """Rows-sharded huge-image path: halo exchange over the mesh
+    (SURVEY.md §5 large-texture note)."""
+
+    def _mesh(self):
+        import jax
+        from directxtex_tpu.parallel import make_mesh
+        return make_mesh(jax.devices()[:8])
+
+    @pytest.mark.parametrize("wrap", [True, False])
+    def test_halo_exchange_rows(self, wrap):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from directxtex_tpu.parallel import halo_exchange_rows
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+
+        mesh = self._mesh()
+        H, W = 32, 8
+        x = np.arange(H * W, dtype=np.float32).reshape(H, W)
+        sh = NamedSharding(mesh, P("batch"))
+
+        fn = jax.jit(shard_map(
+            lambda v: halo_exchange_rows(v, 1, "batch", wrap=wrap),
+            mesh=mesh, in_specs=P("batch"), out_specs=P("batch")))
+        out = np.asarray(fn(jax.device_put(jnp.asarray(x), sh)))
+        # each shard of 4 rows becomes 6: check shard 1 (rows 4..7)
+        s1 = out[6:12]
+        np.testing.assert_array_equal(s1[0], x[3])   # top halo
+        np.testing.assert_array_equal(s1[1:5], x[4:8])
+        np.testing.assert_array_equal(s1[5], x[8])   # bottom halo
+        # global edges: shard 0 top halo
+        top0 = out[0]
+        np.testing.assert_array_equal(top0, x[-1] if wrap else x[0])
+        botN = out[-1]
+        np.testing.assert_array_equal(botN, x[0] if wrap else x[-1])
+
+    @pytest.mark.parametrize("mirror_v", [False, True])
+    def test_sharded_normal_map_matches_full(self, mirror_v):
+        import jax
+        import jax.numpy as jnp
+        from directxtex_tpu.parallel import sharded_normal_map, rows_sharding
+
+        mesh = self._mesh()
+        H, W = 64, 16
+        rng = np.random.default_rng(11)
+        height = rng.random((H, W)).astype(np.float32)
+        amp = 2.0
+
+        # independent full-image reference (wrap via roll, clamp via pad)
+        def shift(h, dy, dx):
+            if mirror_v and dy:
+                p = np.pad(h, ((1, 1), (0, 0)), mode="edge")
+                h = p[1 + dy:p.shape[0] - 1 + dy]
+            elif dy:
+                h = np.roll(h, -dy, axis=0)
+            if dx:
+                h = np.roll(h, -dx, axis=1)
+            return h
+        nb = {(dy, dx): shift(height, dy, dx)
+              for dy in (-1, 0, 1) for dx in (-1, 0, 1)}
+        tx = ((nb[(-1, -1)] - nb[(-1, 1)]) + (nb[(0, -1)] - nb[(0, 1)])
+              + (nb[(1, -1)] - nb[(1, 1)])) * (amp / 6.0)
+        ty = ((nb[(-1, -1)] - nb[(1, -1)]) + (nb[(-1, 0)] - nb[(1, 0)])
+              + (nb[(-1, 1)] - nb[(1, 1)])) * (amp / 6.0)
+        ln = np.sqrt(tx * tx + ty * ty + 1.0)
+        ref = np.stack([tx / ln, ty / ln, 1.0 / ln], -1) * 0.5 + 0.5
+
+        fn = sharded_normal_map(mesh, amplitude=amp, mirror_v=mirror_v)
+        out = np.asarray(fn(jax.device_put(
+            jnp.asarray(height), rows_sharding(mesh))))
+        np.testing.assert_allclose(out[..., :3], ref, atol=1e-5)
+        np.testing.assert_allclose(out[..., 3], 1.0)
+
+    def test_sharded_box_mip(self):
+        import jax
+        import jax.numpy as jnp
+        from directxtex_tpu.parallel import sharded_box_mip, rows_sharding
+
+        mesh = self._mesh()
+        rng = np.random.default_rng(12)
+        img = rng.random((32, 16, 4)).astype(np.float32)
+        ref = img.reshape(16, 2, 8, 2, 4).mean(axis=(1, 3))
+        fn = sharded_box_mip(mesh)
+        out = np.asarray(fn(jax.device_put(jnp.asarray(img),
+                                           rows_sharding(mesh))))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
