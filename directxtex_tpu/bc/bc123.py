@@ -153,7 +153,11 @@ def decode_bc3(blocks: jnp.ndarray) -> jnp.ndarray:
     idx_lo = ((lo[:, None] >> sh[None, :]) & 7).astype(jnp.int32)
     idx_hi = ((hi[:, None] >> sh[None, :]) & 7).astype(jnp.int32)
     idx = jnp.concatenate([idx_lo, idx_hi], axis=1)
-    a = jnp.take_along_axis(palette, idx, axis=1)
+    # one-hot select instead of a gather (slow on the TPU VPU)
+    onehot = (idx[:, :, None] == jnp.arange(8)[None, None, :]).astype(
+        jnp.float32)
+    a = jnp.einsum("nik,nk->ni", onehot, palette,
+                   preferred_element_type=jnp.float32)
     return rgba.at[:, :, 3].set(a)
 
 

@@ -25,7 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
         "cube-from-hs", "cube-from-vs", "cube-from-mips",
         "merge", "gif", "array-strip", "from-mips",
     ])
-    p.add_argument("files", nargs="+", help="input images")
+    p.add_argument("files", nargs="*", help="input images (may be empty "
+                   "with -flist)")
     p.add_argument("-o", "--output", required=True, help="output file")
     p.add_argument("-y", action="store_true", dest="overwrite")
     p.add_argument("-w", "--width", type=int, default=0)
@@ -33,18 +34,70 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--format", default=None, help="output DXGI format")
     p.add_argument("--swizzle", default="rgba",
                    help="merge: channel source map (merge only)")
+    p.add_argument("-if", "--image-filter", default="fant",
+                   choices=["point", "linear", "cubic", "fant", "box",
+                            "triangle"],
+                   help="resize filter (OPT_FILTER)")
+    p.add_argument("-srgb", action="store_true", help="sRGB in and out")
+    p.add_argument("-srgbi", action="store_true", help="sRGB input")
+    p.add_argument("-srgbo", action="store_true", help="sRGB output")
+    p.add_argument("-wrap", action="store_true", help="wrap filtering")
+    p.add_argument("-mirror", action="store_true", help="mirror filtering")
+    p.add_argument("-sepalpha", action="store_true",
+                   help="resize alpha separately")
+    p.add_argument("-alpha", action="store_true",
+                   help="convert premultiplied input to straight alpha")
+    p.add_argument("-tonemap", action="store_true",
+                   help="Reinhard tonemap HDR inputs to LDR")
+    p.add_argument("-stripmips", action="store_true",
+                   help="accept mipped inputs, using level 0 only "
+                        "(always-on here; accepted for compatibility)")
+    p.add_argument("-l", action="store_true", dest="tolower",
+                   help="force output filename to lowercase")
+    p.add_argument("-flist", default=None, metavar="FILE",
+                   help="read input paths from a text file")
+    p.add_argument("-dx10", action="store_true",
+                   help="force DX10 extended DDS header")
+    p.add_argument("-bgcolor", default=None, metavar="RRGGBB",
+                   help="gif: background color for transparent frames")
+    p.add_argument("-fl", "--feature-level", default=None,
+                   help="feature level size limit to validate against")
     p.add_argument("-nologo", action="store_true")
     return p
 
 
+def _filter_flags(args):
+    from ..ops.flags import TEX_FILTER_FLAGS as TF
+    flags = TF({
+        "point": TF.POINT, "linear": TF.LINEAR, "cubic": TF.CUBIC,
+        "fant": TF.FANT, "box": TF.BOX, "triangle": TF.TRIANGLE,
+    }[getattr(args, "image_filter", "fant")])
+    if getattr(args, "wrap", False):
+        flags |= TF.WRAP
+    if getattr(args, "mirror", False):
+        flags |= TF.MIRROR
+    if getattr(args, "sepalpha", False):
+        flags |= TF.SEPARATE_ALPHA
+    if getattr(args, "srgb", False) or getattr(args, "srgbi", False):
+        flags |= TF.SRGB_IN
+    if getattr(args, "srgb", False) or getattr(args, "srgbo", False):
+        flags |= TF.SRGB_OUT
+    return flags
+
+
 def _load_normalized(paths, args):
     """Per-input normalization (texassemble.cpp:1586-2035): decompress,
-    strip mips, resize to a common size, convert to a common format."""
+    strip mips, undo premultiplied alpha, resize to a common size,
+    tonemap, convert to a common format."""
+    import jax.numpy as jnp
+
     from ..formats import format_from_name
     from ..io import load_texture
-    from ..ops import decompress, resize
+    from ..ops import decompress, premultiply_alpha, resize
+    from ..ops.flags import TEX_PMALPHA_FLAGS as PM
     from ..texture import CompressedTexture
 
+    filt = _filter_flags(args)
     texs = []
     for p in paths:
         t = load_texture(p)
@@ -52,29 +105,73 @@ def _load_normalized(paths, args):
             t = decompress(t)
         if t.mip_levels > 1:
             t = t.replace_levels([t.levels[0]])
+        if getattr(args, "alpha", False) and t.metadata.is_pm_alpha():
+            t = premultiply_alpha(t, PM.REVERSE)
         texs.append(t)
+    if getattr(args, "feature_level", None):
+        from .texconv import FEATURE_LEVEL_MAX_SIZE
+        max_size = FEATURE_LEVEL_MAX_SIZE.get(args.feature_level)
+        if max_size is None:
+            raise ValueError(f"unknown feature level {args.feature_level}")
+        for t in texs:
+            if max(t.metadata.width, t.metadata.height) > max_size:
+                raise ValueError(
+                    f"input exceeds feature level {args.feature_level} "
+                    f"limit ({max_size})")
     w = args.width or texs[0].metadata.width
     h = args.height or texs[0].metadata.height
-    texs = [resize(t, w, h) if (t.metadata.width, t.metadata.height) != (w, h)
+    texs = [resize(t, w, h, filt)
+            if (t.metadata.width, t.metadata.height) != (w, h)
             else t for t in texs]
+    if getattr(args, "tonemap", False):
+        from ..ops import transform_image
+
+        def tonemap_level(img):
+            lum = (img[..., 0] * 0.2126 + img[..., 1] * 0.7152
+                   + img[..., 2] * 0.0722)
+            max_lum = jnp.maximum(jnp.max(lum), 1e-6)
+            scale = (1.0 + lum / (max_lum * max_lum)) / (1.0 + lum)
+            return img.at[..., :3].multiply(scale[..., None])
+        texs = [transform_image(t, tonemap_level) for t in texs]
     if args.format:
         from ..ops import convert
         fmt = format_from_name(args.format)
-        texs = [convert(t, fmt) if t.metadata.format != fmt else t
+        texs = [convert(t, fmt, filt) if t.metadata.format != fmt else t
                 for t in texs]
     return texs
 
 
 def main(argv=None) -> int:
+    import os
+
     import jax.numpy as jnp
 
-    from ..io import save_texture
+    from ..io import save_texture as _raw_save
     from ..texture import TexDimension, TexMetadata, TexMiscFlag, Texture
 
     args = build_parser().parse_args(argv)
     if not args.nologo:
         print("texassemble (directxtex_tpu)")
     cmd = args.command
+
+    if args.flist:
+        from .texconv import read_file_list
+        args.files = list(args.files) + read_file_list(args.flist)
+    if not args.files:
+        print("error: no input files", file=sys.stderr)
+        return 1
+    if args.tolower:
+        args.output = args.output.lower()
+    if os.path.exists(args.output) and not args.overwrite:
+        print(f"error: {args.output} exists (use -y to overwrite)",
+              file=sys.stderr)
+        return 1
+
+    def save_texture(tex, path, **kw):
+        if args.dx10 and str(path).lower().endswith(".dds"):
+            from ..io import DDS_FLAGS
+            kw.setdefault("flags", DDS_FLAGS.FORCE_DX10_EXT)
+        _raw_save(tex, path, **kw)
 
     if cmd == "merge":
         if len(args.files) != 2:
@@ -95,9 +192,18 @@ def main(argv=None) -> int:
         return 0
 
     if cmd == "gif":
-        # animated GIF -> texture array (AnimatedGif.cpp)
+        # animated GIF -> texture array (AnimatedGif.cpp); -bgcolor
+        # composites transparent pixels onto the given color
         from ..io.wic import WIC_FLAGS, load_from_wic_file
         tex = load_from_wic_file(args.files[0], WIC_FLAGS.ALL_FRAMES)
+        if args.bgcolor:
+            key = int(args.bgcolor, 16)
+            bg = jnp.asarray([((key >> 16) & 0xFF) / 255.0,
+                              ((key >> 8) & 0xFF) / 255.0,
+                              (key & 0xFF) / 255.0, 1.0], jnp.float32)
+            lvl = tex.levels[0]
+            a = lvl[..., 3:4]
+            tex = tex.replace_levels([lvl * a + bg * (1.0 - a)])
         save_texture(tex, args.output)
         print(f"  wrote {args.output} ({tex.array_size} frames)")
         return 0

@@ -277,3 +277,24 @@ def test_texdiag_dumpdds_naming(tmp_path, monkeypatch):
     t = load_texture(str(tmp_path / "arr_item001_mip001.dds"))
     np.testing.assert_allclose(t.to_numpy(), np.asarray(lvl1[1]),
                                atol=1 / 255)
+
+
+def test_texassemble_flist_tolower_dx10(tmp_path):
+    rng = np.random.default_rng(8)
+    paths = []
+    for i in range(2):
+        img = rng.random((8, 8, 4)).astype(np.float32)
+        p = str(tmp_path / f"i{i}.png")
+        save_texture(Texture.from_array(img), p)
+        paths.append(p)
+    flist = tmp_path / "in.txt"
+    flist.write_text("\n".join(paths) + "\n")
+    out = str(tmp_path / "ARR.dds")
+    rc = texassemble.main(["-nologo", "array", "-o", out, "-y", "-l",
+                           "-dx10", "-flist", str(flist)])
+    assert rc == 0
+    t = load_texture(str(tmp_path / "arr.dds"))
+    assert t.metadata.array_size == 2
+    # DX10 header forced: fourCC DX10 at offset 84
+    raw = (tmp_path / "arr.dds").read_bytes()
+    assert raw[84:88] == b"DX10"
