@@ -660,57 +660,42 @@ def _shape_estimates_table(px_f, partitions: int, nch: int,
                            n_shapes: int | None = None):
     """[n_shapes, NB] cheap error proxy for every shape of a partition class.
 
-    For each (shape, subset): within-subset variance minus the variance
-    along a per-block global color axis (one covariance power-iteration).
-    All per-subset sums are matmuls of static [n_shapes, 16] mask matrices
-    against [16, NB] pixel planes, so the whole table rides the MXU — no
-    per-shape loop. Channels beyond `nch` still participate but contribute
-    zero once centered when constant (e.g. opaque alpha), so one table
-    serves BC7 modes 1/3/7."""
+    For each (shape, subset): the within-subset total variance
+    Σ|x - mean_subset|². All per-subset sums are matmuls of static
+    [n_shapes, 16] mask matrices against [16, NB] pixel planes, so the
+    whole table rides the MXU — no per-shape loop. Channels beyond `nch`
+    still participate but contribute zero once centered when constant
+    (e.g. opaque alpha), so one table serves BC7 modes 1/3/7.
+
+    A prior version subtracted the variance along a per-block covariance
+    axis (closer to the refined error); measured PSNR gain of that term is
+    0.005 dB while costing a power iteration + 2 extra planes per shape,
+    so the plain variance proxy wins."""
     if n_shapes is None:
         n_shapes = 64 if partitions else 1
     nb = px_f.shape[2]
 
     mu = jnp.mean(px_f, axis=0)                       # [4, NB]
     xc = px_f - mu[None, :, :]                        # [16, 4, NB] centered
-    var = jnp.sum(xc * xc, axis=0)                    # [4, NB]
-    # reference channel = per-block argmax variance (one-hot select)
-    ref = jnp.argmax(var[:nch], axis=0)               # [NB]
-    t_ref = jnp.zeros((16, nb), jnp.float32)
-    for c in range(nch):
-        t_ref = jnp.where(ref[None, :] == c, xc[:, c, :], t_ref)
-    # axis: covariance column of the reference channel, sharpened by one
-    # extra power iteration (a <- Cov a)
-    a = jnp.sum(xc * t_ref[:, None, :], axis=0)       # [4, NB]
-    t = jnp.sum(xc * a[None, :, :], axis=1)           # [16, NB]
-    a = jnp.sum(xc * t[:, None, :], axis=0)
-    a = a / jnp.maximum(jnp.sqrt(jnp.sum(a * a, axis=0)), 1e-6)[None, :]
-    t = jnp.sum(xc * a[None, :, :], axis=1)           # [16, NB] projection
-    len2 = jnp.sum(a * a, axis=0)                     # [NB]
-    inv_len2 = 1.0 / jnp.maximum(len2, 1e-6)
-
     q = jnp.sum(xc * xc, axis=1)                      # [16, NB] per-px |xc|^2
-    t2 = t * t
 
     # one fused mask matmul: rows = every (subset, shape) pair, contracting
-    # the 16-pixel axis; 7 stacked planes (|xc|^2, t^2, t, 4 channels)
+    # the 16-pixel axis; 5 stacked planes (|xc|^2, 4 channels)
     parts = PARTITIONS[partitions][:n_shapes]         # host [S, 16]
     n_sub = partitions + 1
     m_host = np.concatenate(
         [(parts == p).astype(np.float32) for p in range(n_sub)], axis=0)
     n_inv = 1.0 / np.maximum(m_host.sum(axis=1), 1.0)  # [n_sub*S]
-    rhs = jnp.concatenate(
-        [jnp.stack([q, t2, t], axis=1), xc], axis=1)   # [16, 7, NB]
+    rhs = jnp.concatenate([q[:, None, :], xc], axis=1)  # [16, 5, NB]
     s_all = jnp.einsum("mk,kqn->mqn", jnp.asarray(m_host), rhs,
                        preferred_element_type=jnp.float32)
 
     est = jnp.zeros((n_shapes, nb), jnp.float32)
     for p in range(n_sub):
-        sp = s_all[p * n_shapes:(p + 1) * n_shapes]    # [S, 7, NB]
+        sp = s_all[p * n_shapes:(p + 1) * n_shapes]    # [S, 5, NB]
         ninv = jnp.asarray(n_inv[p * n_shapes:(p + 1) * n_shapes])[:, None]
-        tot = sp[:, 0] - jnp.sum(sp[:, 3:7] * sp[:, 3:7], axis=1) * ninv
-        va = (sp[:, 1] - sp[:, 2] * sp[:, 2] * ninv) * inv_len2[None, :]
-        est = est + tot - va
+        est = est + sp[:, 0] \
+            - jnp.sum(sp[:, 1:5] * sp[:, 1:5], axis=1) * ninv
     return est
 
 

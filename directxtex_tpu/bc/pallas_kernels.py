@@ -907,61 +907,40 @@ def single_modes_pallas(px_i: jnp.ndarray, interpret: bool = False,
 def _k_shape_topk(xf, mmat, partitions: int, n_shapes: int, nch: int,
                   n_cand: int):
     """Shape estimates + top-k in VMEM (bc67._shape_estimates_table +
-    _top_k_shapes): per-block covariance axis, per-(shape, subset) masked
-    moment sums via one MXU dot against the static 0/1 partition matrix
-    mmat [n_sub*S, 16], variance-proxy scoring, then n_cand sequential
-    argmins. Returns a list of n_cand s_blk rows [T] i32."""
+    _top_k_shapes): per-(shape, subset) within-subset total variance via
+    one MXU dot against the static 0/1 partition matrix mmat
+    [n_sub*S, 16], then n_cand sequential argmins.
+    Returns a list of n_cand s_blk rows [T] i32. `nch` is unused since the
+    proxy dropped its covariance-axis term (0.005 dB, see
+    bc67._shape_estimates_table) but stays in the signature for parity."""
+    del nch
     n_sub = partitions + 1
     t_lanes = xf[0].shape[1]
 
     mu = [jnp.mean(f, axis=0) for f in xf]
     xc = [f - m[None, :] for f, m in zip(xf, mu)]
-    var = [jnp.sum(c * c, axis=0) for c in xc]
-    # reference channel = argmax variance among the first nch
-    ref = jnp.zeros_like(var[0], dtype=jnp.int32)
-    best_v = var[0]
-    for c in range(1, nch):
-        b = var[c] > best_v
-        best_v = jnp.where(b, var[c], best_v)
-        ref = jnp.where(b, c, ref)
-    t_ref = jnp.zeros_like(xc[0])
-    for c in range(nch):
-        t_ref = jnp.where(ref[None, :] == c, xc[c], t_ref)
-    a = [jnp.sum(c * t_ref, axis=0) for c in xc]
-    t = sum(xc[c] * a[c][None, :] for c in range(4))
-    a = [jnp.sum(xc[c] * t, axis=0) for c in range(4)]
-    an = jnp.maximum(jnp.sqrt(sum(v * v for v in a)), 1e-6)
-    a = [v / an for v in a]
-    t = sum(xc[c] * a[c][None, :] for c in range(4))
-    len2 = sum(v * v for v in a)
-    inv_len2 = 1.0 / jnp.maximum(len2, 1e-6)
-
     q = sum(c * c for c in xc)
-    planes = [q, t * t, t] + xc                      # 7 x [16, T]
-    rhs = jnp.concatenate(planes, axis=1)            # [16, 7*T]
+    planes = [q] + xc                                # 5 x [16, T]
+    rhs = jnp.concatenate(planes, axis=1)            # [16, 5*T]
 
     n_inv = 1.0 / jnp.maximum(jnp.sum(mmat, axis=1, keepdims=True), 1.0)
     sp = jax.lax.dot_general(
         mmat, rhs, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [n_sub*S, 7*T]
+        preferred_element_type=jnp.float32)          # [n_sub*S, 5*T]
 
     est = jnp.zeros((n_shapes, t_lanes), jnp.float32)
     for p in range(n_sub):
         spp = sp[p * n_shapes:(p + 1) * n_shapes]
         ninv = n_inv[p * n_shapes:(p + 1) * n_shapes]
-        ch2 = sum(spp[:, (3 + c) * t_lanes:(4 + c) * t_lanes] ** 2
+        ch2 = sum(spp[:, (1 + c) * t_lanes:(2 + c) * t_lanes] ** 2
                   for c in range(4))
-        tot = spp[:, 0:t_lanes] - ch2 * ninv
-        va = (spp[:, t_lanes:2 * t_lanes]
-              - spp[:, 2 * t_lanes:3 * t_lanes] ** 2 * ninv) \
-            * inv_len2[None, :]
-        est = est + tot - va
+        est = est + spp[:, 0:t_lanes] - ch2 * ninv
 
     big = jnp.float32(jnp.inf)
     out = []
     for cand in range(n_cand):
         best_e = est[0]
-        s_blk = jnp.zeros_like(ref)
+        s_blk = jnp.zeros((t_lanes,), jnp.int32)
         for s in range(1, n_shapes):
             b = est[s] < best_e
             best_e = jnp.where(b, est[s], best_e)

@@ -286,14 +286,29 @@ def process_file(path: str, args, log=print) -> str:
     if (tw, th) != (tex.metadata.width, tex.metadata.height):
         tex = resize(tex, tw, th, filt)
 
-    # swizzle (:2645)
+    # swizzle (:2645): HLSL-style mask incl. '0'/'1' literals
+    # (ParseSwizzleMask, texconv.cpp:1157-1240)
     if args.swizzle:
         chan = {"r": 0, "g": 1, "b": 2, "a": 3,
                 "x": 0, "y": 1, "z": 2, "w": 3}
-        sw = [chan[c] for c in args.swizzle.lower()]
+        sw = list(args.swizzle.lower())
+        if not 1 <= len(sw) <= 4 or any(
+                c not in chan and c not in "01" for c in sw):
+            raise ValueError(f"invalid swizzle mask {args.swizzle!r}")
         while len(sw) < 4:
             sw.append(sw[-1])
-        tex = transform_image(tex, lambda img: img[..., sw])
+
+        def do_swizzle(img):
+            outs = []
+            for c in sw:
+                if c == "0":
+                    outs.append(jnp.zeros_like(img[..., 0]))
+                elif c == "1":
+                    outs.append(jnp.ones_like(img[..., 0]))
+                else:
+                    outs.append(img[..., chan[c]])
+            return jnp.stack(outs, axis=-1)
+        tex = transform_image(tex, do_swizzle)
 
     # color rotation (:2696)
     if args.rotatecolor:

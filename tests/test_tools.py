@@ -298,3 +298,21 @@ def test_texassemble_flist_tolower_dx10(tmp_path):
     # DX10 header forced: fourCC DX10 at offset 84
     raw = (tmp_path / "arr.dds").read_bytes()
     assert raw[84:88] == b"DX10"
+
+
+def test_texconv_swizzle_literals(png, tmp_path):
+    """HLSL-style swizzle masks with 0/1 literals
+    (ParseSwizzleMask, texconv.cpp:1157-1240)."""
+    rc = texconv.main(["-nologo", "-y", "-swizzle", "r01a", "-m", "1",
+                       "-f", "R8G8B8A8_UNORM", "-o", str(tmp_path),
+                       "-sx", "_sw", png])
+    assert rc == 0
+    rc = texconv.main(["-nologo", "-y", "-swizzle", "rgba", "-m", "1",
+                       "-f", "R8G8B8A8_UNORM", "-o", str(tmp_path),
+                       "-sx", "_id", png])
+    assert rc == 0
+    out = load_texture(str(tmp_path / "in_sw.dds")).to_numpy()
+    ident = load_texture(str(tmp_path / "in_id.dds")).to_numpy()
+    np.testing.assert_allclose(out[..., 0], ident[..., 0], atol=1 / 255)
+    np.testing.assert_allclose(out[..., 1], 0.0, atol=1e-6)
+    np.testing.assert_allclose(out[..., 2], 1.0, atol=1e-6)
