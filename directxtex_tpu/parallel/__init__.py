@@ -18,8 +18,10 @@ from .sharding import (
 from .spatial import (
     halo_exchange_rows, rows_sharding, sharded_box_mip, sharded_normal_map,
 )
+from .library import compress_library, compress_library_fn, load_library
 
 __all__ = ["batch_sharding", "make_mesh", "replicated", "shard_batch",
            "sharded_compress_fn", "sharded_mse",
            "halo_exchange_rows", "rows_sharding", "sharded_box_mip",
-           "sharded_normal_map"]
+           "sharded_normal_map",
+           "compress_library", "compress_library_fn", "load_library"]
