@@ -672,6 +672,14 @@ def load_from_dds_memory(data: bytes, flags: DDS_FLAGS = DDS_FLAGS.NONE):
     conv = dec.conv_flags
     offset = dec.data_offset
 
+    # 4GB guard (CP_FLAGS_LIMIT_4GB semantics, DirectXTex.h:136): payloads
+    # past 4GiB need an explicit opt-in (DDS_FLAGS_ALLOW_LARGE_FILES :278)
+    if len(data) - offset > (1 << 32) and not (
+            flags & DDS_FLAGS.ALLOW_LARGE_FILES):
+        from ..utils.errors import TexArithmeticOverflowError
+        raise TexArithmeticOverflowError(
+            "DDS payload exceeds 4GB; pass DDS_FLAGS.ALLOW_LARGE_FILES")
+
     pal8 = None
     if conv & _CF.PAL8:
         pal8 = np.frombuffer(data, "<u4", 256, offset).copy()

@@ -438,12 +438,18 @@ def process_file(path: str, args, log=print) -> str:
 
 
 def expand_files(patterns, recursive: bool):
-    """SearchForFiles equivalent (Common/CmdLineHelpers.h:189)."""
+    """SearchForFiles equivalent (Common/CmdLineHelpers.h:189): with -r a
+    plain wildcard like `*.png` searches subdirectories too."""
     import glob
     out = []
     for pat in patterns:
         if os.path.isfile(pat):
             out.append(pat)
+            continue
+        if recursive and "**" not in pat:
+            head, tail = os.path.split(pat)
+            rec_pat = os.path.join(head, "**", tail)
+            out.extend(sorted(glob.glob(rec_pat, recursive=True)))
         else:
             out.extend(sorted(glob.glob(pat, recursive=recursive)))
     return out
