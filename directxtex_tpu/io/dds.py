@@ -724,7 +724,13 @@ def load_from_dds_memory(data: bytes, flags: DDS_FLAGS = DDS_FLAGS.NONE):
     if is_bc:
         levels = []
         for mip in range(meta.mip_levels):
-            stacked = np.stack(per_level[mip])
+            if is_3d:
+                # [depth, bytes_per_slice]: slices are the item axis, same
+                # layout compress() produces
+                _w, _h, d = meta.mip_dims(mip)
+                stacked = np.stack(np.split(per_level[mip][0], d))
+            else:
+                stacked = np.stack(per_level[mip])
             levels.append(stacked)
         return CompressedTexture(meta, [np.asarray(l) for l in levels])
 
@@ -936,7 +942,12 @@ def save_to_dds_memory(tex, flags: DDS_FLAGS = DDS_FLAGS.NONE) -> bytes:
         n_items = 1 if is_3d else meta.array_size
         for item in range(n_items):
             for mip in range(tex.mip_levels):
-                out += tex.level_bytes(mip, 0 if is_3d else item).tobytes()
+                if is_3d:
+                    # every depth slice of the level, slice-major
+                    for z in range(tex.levels[mip].shape[0]):
+                        out += tex.level_bytes(mip, z).tobytes()
+                else:
+                    out += tex.level_bytes(mip, item).tobytes()
         return bytes(out)
 
     if not is_packable(meta.format):

@@ -347,3 +347,31 @@ def test_loaders_and_screengrab(tmp_path):
 
     cap = capture_texture(np.zeros((4, 4, 4), np.float32))
     assert cap.metadata.width == 4
+
+
+def test_dds_3d_bc_round_trip(tmp_path):
+    """Compressed volume textures write/read every depth slice
+    (slice-major per mip, DirectXTexDDS.cpp save path)."""
+    import jax.numpy as jnp
+    from directxtex_tpu.formats import FMT
+    from directxtex_tpu.ops import compress, decompress
+    from directxtex_tpu.texture import TexDimension, TexMetadata, Texture
+
+    rng = np.random.default_rng(5)
+    vol = rng.random((4, 8, 8, 4)).astype(np.float32)
+    vol[..., 3] = 1.0
+    meta = TexMetadata(width=8, height=8, depth=4, array_size=1,
+                       mip_levels=1, misc_flags=0,
+                       format=FMT.R8G8B8A8_UNORM,
+                       dimension=TexDimension.TEXTURE3D)
+    ct = compress(Texture(meta, [jnp.asarray(vol)]), FMT.BC1_UNORM)
+    out = str(tmp_path / "vol.dds")
+    save_texture(ct, out)
+    back = load_texture(out)
+    assert back.metadata.depth == 4
+    np.testing.assert_array_equal(np.asarray(back.levels[0]),
+                                  np.asarray(ct.levels[0]))
+    dec = decompress(back)
+    for z in range(4):
+        err = np.abs(dec.to_numpy(0, z) - vol[z]).mean()
+        assert err < 0.1, (z, err)
