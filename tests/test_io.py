@@ -353,7 +353,7 @@ def test_dds_3d_bc_round_trip(tmp_path):
     """Compressed volume textures write/read every depth slice
     (slice-major per mip, DirectXTexDDS.cpp save path)."""
     import jax.numpy as jnp
-    from directxtex_tpu.formats import FMT
+    from directxtex_tpu.io import load_texture, save_texture
     from directxtex_tpu.ops import compress, decompress
     from directxtex_tpu.texture import TexDimension, TexMetadata, Texture
 
