@@ -99,7 +99,7 @@ def hdr_cubemap_pipeline():
             (gu, -gv, one), (-gu, -gv, -one),
         ]
         flat = equirect.reshape(-1, 4)
-        all_blocks = []
+        idxs = []
         for dx, dy, dz in dirs:
             norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
             x, y, z = dx / norm, dy / norm, dz / norm
@@ -109,9 +109,14 @@ def hdr_cubemap_pipeline():
             fv = (0.5 - lat / jnp.pi) * equirect.shape[0]
             x0 = jnp.clip(fu.astype(jnp.int32), 0, equirect.shape[1] - 1)
             y0 = jnp.clip(fv.astype(jnp.int32), 0, equirect.shape[0] - 1)
-            sampled = jnp.take(flat, y0 * equirect.shape[1] + x0,
-                               axis=0)      # row gather beats 2-D indexing
-            blocks, _, _ = image_to_blocks(sampled)
+            idxs.append(y0 * equirect.shape[1] + x0)
+        # ONE row gather for all six faces (row gather beats 2-D indexing;
+        # batching amortizes the gather engine's fixed overhead)
+        sampled_all = jnp.take(flat, jnp.stack(idxs).reshape(-1), axis=0)
+        sampled_all = sampled_all.reshape(6, face, face, 4)
+        all_blocks = []
+        for i in range(6):
+            blocks, _, _ = image_to_blocks(sampled_all[i])
             all_blocks.append(blocks)
         # all 6 faces in one encode dispatch
         packed = bc67.encode_bc6h(jnp.concatenate(all_blocks, axis=0),
