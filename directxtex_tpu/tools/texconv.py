@@ -206,6 +206,32 @@ def process_file(path: str, args, log=print) -> str:
     from ..texture import CompressedTexture
 
     t0 = time.perf_counter()
+
+    class _StageTimer:
+        """-timing per-stage breakdown; syncs device work for honest
+        numbers (the reference prints one wall-clock per file,
+        texconv.cpp OPT_TIMING; the device-resident pipeline warrants
+        per-stage visibility)."""
+
+        def __init__(self, enabled):
+            self.enabled = enabled
+            self.t = time.perf_counter()
+            self.rows = []
+
+        def mark(self, name, tex_=None):
+            if not self.enabled:
+                return
+            try:
+                import jax
+                if tex_ is not None:
+                    jax.block_until_ready(tex_.levels)
+            except Exception:
+                pass
+            now = time.perf_counter()
+            self.rows.append((name, now - self.t))
+            self.t = now
+
+    st = _StageTimer(args.timing)
     load_kwargs = {}
     lower = path.lower()
     if lower.endswith(".dds"):
@@ -249,9 +275,12 @@ def process_file(path: str, args, log=print) -> str:
             tex = tex.replace_levels(tex.levels, tex.metadata.with_format(
                 traits.make_typeless_float(tex.metadata.format)))
 
+    st.mark("load", tex)
+
     # decompress BC input (texconv.cpp:2316)
     if isinstance(tex, CompressedTexture):
         tex = decompress(tex)
+        st.mark("decompress", tex)
 
     target_fmt = (format_from_name(args.format) if args.format
                   else tex.metadata.format)
@@ -285,6 +314,7 @@ def process_file(path: str, args, log=print) -> str:
         tw, th = max(4, tw & ~3), max(4, th & ~3)
     if (tw, th) != (tex.metadata.width, tex.metadata.height):
         tex = resize(tex, tw, th, filt)
+        st.mark("resize", tex)
 
     # swizzle (:2645): HLSL-style mask incl. '0'/'1' literals
     # (ParseSwizzleMask, texconv.cpp:1157-1240)
@@ -375,12 +405,14 @@ def process_file(path: str, args, log=print) -> str:
     if not traits.is_compressed(target_fmt) and \
             tex.metadata.format != target_fmt:
         tex = convert(tex, target_fmt, filt, args.alpha_threshold)
+        st.mark("convert", tex)
 
     # mips (:3309)
     if args.mips is not None and args.mips != 1:
         tex = generate_mipmaps(tex, filt, args.mips)
         if args.keepcoverage is not None:
             tex = scale_mipmaps_alpha_for_coverage(tex, args.keepcoverage)
+        st.mark("mipmaps", tex)
 
     # premultiply (:3504)
     if args.pmalpha:
@@ -399,6 +431,7 @@ def process_file(path: str, args, log=print) -> str:
             cflags |= TC.BC7_USE_3SUBSETS
         tex = compress(tex, target_fmt, cflags, args.alpha_threshold,
                        alpha_weight=args.alpha_weight)
+        st.mark("compress", tex)
 
     # save (:3768)
     base = os.path.splitext(os.path.basename(path))[0]
@@ -431,9 +464,11 @@ def process_file(path: str, args, log=print) -> str:
         if args.wicmulti:
             kwargs["flags"] = WIC_FLAGS.ALL_FRAMES
     save_texture(tex, out_path, **kwargs)
+    st.mark("save")
 
     if args.timing:
-        log(f"  {path}: {time.perf_counter() - t0:.3f}s")
+        stages = "  ".join(f"{n} {dt * 1e3:.1f}ms" for n, dt in st.rows)
+        log(f"  {path}: {time.perf_counter() - t0:.3f}s  [{stages}]")
     return out_path
 
 
