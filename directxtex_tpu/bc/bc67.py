@@ -137,127 +137,205 @@ def _interp(e0: jnp.ndarray, e1: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return ((64 - w) * e0 + w * e1 + 32) >> 6
 
 
-def _decode_bc7_mode(words: jnp.ndarray, mode: int) -> jnp.ndarray:
-    """Decode ALL blocks assuming `mode`; [NB, 16, 4] u8 texels (int32)."""
+def _gb_t(words, start: int, n: int):
+    """Static-offset bit read over lane-major words [4, NB] -> [NB] u32."""
+    if n == 0:
+        return jnp.zeros(words.shape[1], jnp.uint32)
+    wi, sh = start // 32, start % 32
+    v = words[wi] >> sh
+    if sh + n > 32:
+        v = v | (words[wi + 1] << (32 - sh))
+    return v & ((1 << n) - 1)
+
+
+def _gb_dyn_t(words, start, width_minus, base_width: int):
+    """Bit read at per-block offsets. words [4, NB]; start [NB] i32;
+    width = base_width - width_minus (width_minus in {0, 1})."""
+    wi = (start >> 5).astype(jnp.int32)
+    sh = (start & 31).astype(jnp.uint32)
+    w0 = words[0]
+    w1n = words[1]
+    for k in (1, 2, 3):
+        hit = wi == k
+        w0 = jnp.where(hit, words[k], w0)
+        w1n = jnp.where(hit, words[min(k + 1, 3)], w1n)
+    lo = w0 >> sh
+    hi = jnp.where(sh == 0, jnp.uint32(0), w1n << ((32 - sh) & 31))
+    mask = jnp.where(width_minus != 0,
+                     jnp.uint32((1 << (base_width - 1)) - 1),
+                     jnp.uint32((1 << base_width) - 1))
+    return (lo | hi) & mask
+
+
+def _packed_shape_tables_bc7(partitions: int, n_shapes: int):
+    """(pp, pa) python-int tables: 2-bit/px partition ids, 4-bit anchors."""
+    pp = tuple(int(sum(int(PARTITIONS[partitions][s, i]) << (2 * i)
+                       for i in range(16))) for s in range(n_shapes))
+    pa = tuple(int(FIXUPS[partitions, s, 1])
+               | (int(FIXUPS[partitions, s, 2]) << 4)
+               for s in range(n_shapes))
+    return pp, pa
+
+
+def _decode_bc7_mode_t(words, mode: int):
+    """Decode ALL blocks assuming `mode`, lane-major.
+    words [4, NB] u32 -> [16, 4, NB] int32 texels (0..255)."""
     m = _BC7_MODES[mode]
-    nb = words.shape[0]
-    n_ep = (m.partitions + 1) * 2
+    nb = words.shape[1]
+    n_sub = m.partitions + 1
+    n_ep = n_sub * 2
     bit = mode + 1
 
-    shape = _get_bits_static(words, bit, m.partition_bits).astype(jnp.int32)
+    shape = _gb_t(words, bit, m.partition_bits).astype(jnp.int32)
     bit += m.partition_bits
-    rotation = _get_bits_static(words, bit, m.rotation_bits).astype(jnp.int32)
+    rotation = _gb_t(words, bit, m.rotation_bits).astype(jnp.int32)
     bit += m.rotation_bits
-    index_mode = _get_bits_static(words, bit, m.index_mode_bits).astype(jnp.int32)
+    index_mode = _gb_t(words, bit, m.index_mode_bits).astype(jnp.int32)
     bit += m.index_mode_bits
 
-    # endpoints, channel-major
-    ep = jnp.zeros((nb, n_ep, 4), jnp.int32)
+    # endpoints [n_ep][4] of [NB]
+    ep = [[None] * 4 for _ in range(n_ep)]
     for ch in range(4):
         prec = m.rgba_prec[ch]
         if prec == 0:
-            ep = ep.at[:, :, ch].set(255)
+            for e in range(n_ep):
+                ep[e][ch] = jnp.full((nb,), 255, jnp.int32)
             continue
         for e in range(n_ep):
-            v = _get_bits_static(words, bit, prec).astype(jnp.int32)
-            ep = ep.at[:, e, ch].set(v)
+            ep[e][ch] = _gb_t(words, bit, prec).astype(jnp.int32)
             bit += prec
 
-    # p-bits
     if m.p_bits:
         pbits = []
-        for i in range(m.p_bits):
-            pbits.append(_get_bits_static(words, bit, 1).astype(jnp.int32))
+        for _ in range(m.p_bits):
+            pbits.append(_gb_t(words, bit, 1).astype(jnp.int32))
             bit += 1
         for e in range(n_ep):
             pi = e * m.p_bits // n_ep
             for ch in range(4):
                 if m.rgba_prec[ch] != m.rgba_prec_p[ch]:
-                    ep = ep.at[:, e, ch].set((ep[:, e, ch] << 1) | pbits[pi])
+                    ep[e][ch] = (ep[e][ch] << 1) | pbits[pi]
 
-    # unquantize with the with-P precision
     for ch in range(4):
         prec = m.rgba_prec_p[ch]
-        if prec == 0:
+        if prec == 0 or prec >= 8:
             continue
-        ep = ep.at[:, :, ch].set(_unquantize(ep[:, :, ch], prec))
+        for e in range(n_ep):
+            c = (ep[e][ch] << (8 - prec)) & 0xFF
+            ep[e][ch] = c | (c >> prec)
 
-    # color indices (anchor-compressed, shape-dependent offsets)
-    offs_t, nbits_t = _get_index_layout(m.partitions, m.index_prec)
-    offs = jnp.asarray(offs_t)[shape] + bit          # [NB, 16]
-    nb1 = jnp.asarray(nbits_t)[shape]
-    total_index1 = int(offs_t[0, 15] + nbits_t[0, 15])  # same for all shapes
-    w1 = _get_bits_dynamic(words, offs, nb1).astype(jnp.int32)
-    bit += total_index1
+    # partition ids + anchors via packed-int selects over the shape id
+    if m.partitions:
+        pp_tab, pa_tab = _packed_shape_tables_bc7(m.partitions,
+                                                  1 << m.partition_bits)
+        pp = jnp.zeros((nb,), jnp.uint32)
+        pa = jnp.zeros((nb,), jnp.int32)
+        for sv in range(1 << m.partition_bits):
+            hit = shape == sv
+            pp = jnp.where(hit, jnp.uint32(pp_tab[sv]), pp)
+            pa = jnp.where(hit, pa_tab[sv], pa)
+        a2 = pa & 0xF
+        a3 = (pa >> 4) & 0xF if m.partitions == 2 else None
+    else:
+        pp = jnp.zeros((nb,), jnp.uint32)
+        a2 = a3 = None
 
+    def read_indices(base_bit: int, prec: int, with_anchors: bool):
+        """Anchor-compressed index reads; returns (vals [16][NB], nbits)."""
+        vals = []
+        total = 0
+        for i in range(16):
+            if with_anchors and a2 is not None:
+                before = (1 if i > 0 else 0) \
+                    + (a2 < i).astype(jnp.int32) \
+                    + ((a3 < i).astype(jnp.int32) if a3 is not None else 0)
+                is_anchor = jnp.where(
+                    (i == 0) | (a2 == i)
+                    | ((a3 == i) if a3 is not None else False), 1, 0)
+                start = base_bit + prec * i - before
+                vals.append(_gb_dyn_t(words, start, is_anchor,
+                                      prec).astype(jnp.int32))
+            else:
+                # single subset: only pixel 0 is an anchor; offsets static
+                width = prec - (1 if i == 0 else 0)
+                start = base_bit + prec * i - (1 if i > 0 else 0)
+                vals.append(_gb_t(words, start, width).astype(jnp.int32))
+        n_anchors = 1 + (m.partitions if with_anchors else 0)
+        total = 16 * prec - n_anchors
+        return vals, total
+
+    w1, total1 = read_indices(bit, m.index_prec, True)
+    bit += total1
     if m.index_prec2:
-        offs2_t, nbits2_t = _get_index_layout(0, m.index_prec2)
-        offs2 = jnp.asarray(offs2_t)[jnp.zeros_like(shape)] + bit
-        nb2 = jnp.asarray(nbits2_t)[jnp.zeros_like(shape)]
-        w2 = _get_bits_dynamic(words, offs2, nb2).astype(jnp.int32)
+        w2, _ = read_indices(bit, m.index_prec2, False)
     else:
         w2 = w1
 
-    # region per pixel; one-hot endpoint select (n_subsets <= 3)
-    region = jnp.asarray(PARTITIONS[m.partitions])[shape]  # [NB, 16]
-    n_sub = m.partitions + 1
-    roh = (region[:, :, None] == jnp.arange(n_sub)[None, None, :]
-           ).astype(jnp.int32)                              # [NB,16,S]
-    e0 = jnp.einsum("nis,nsc->nic", roh, ep[:, 0::2][:, :n_sub])
-    e1 = jnp.einsum("nis,nsc->nic", roh, ep[:, 1::2][:, :n_sub])
+    K1 = 1 << m.index_prec
+    K2 = 1 << m.index_prec2 if m.index_prec2 else K1
+    swap = index_mode == 1
 
-    wc_tab = jnp.asarray(_WEIGHTS[m.index_prec])
-    woh1 = (w1[:, :, None] == jnp.arange(1 << m.index_prec)[None, None, :]
-            ).astype(jnp.int32)
-    wcol = woh1 @ wc_tab
-    if m.index_prec2:
-        wa_tab = jnp.asarray(_WEIGHTS[m.index_prec2])
-        woh2 = (w2[:, :, None] == jnp.arange(1 << m.index_prec2)[None, None, :]
-                ).astype(jnp.int32)
-        walp = woh2 @ wa_tab
-        # index_mode swaps which index set drives color vs alpha
-        swap = index_mode[:, None] == 1
-        wc = jnp.where(swap, walp, wcol)
-        wa = jnp.where(swap, wcol, walp)
-    else:
-        wc = wcol
-        wa = wcol
+    out_px = []
+    for i in range(16):
+        if m.partitions:
+            reg = ((pp >> (2 * i)) & 3).astype(jnp.int32)
+            e0 = [ep[0][ch] for ch in range(4)]
+            e1 = [ep[1][ch] for ch in range(4)]
+            for sv in range(1, n_sub):
+                hit = reg == sv
+                e0 = [jnp.where(hit, ep[2 * sv][ch], e0[ch])
+                      for ch in range(4)]
+                e1 = [jnp.where(hit, ep[2 * sv + 1][ch], e1[ch])
+                      for ch in range(4)]
+        else:
+            e0 = [ep[0][ch] for ch in range(4)]
+            e1 = [ep[1][ch] for ch in range(4)]
 
-    rgb = _interp(e0[:, :, :3], e1[:, :, :3], wc[:, :, None])
-    a = _interp(e0[:, :, 3], e1[:, :, 3], wa)
-    out = jnp.concatenate([rgb, a[:, :, None]], axis=2)  # [NB, 16, 4] int32
+        wc = _pal_weight(w1[i], K1)
+        if m.index_prec2:
+            wa = _pal_weight(w2[i], K2)
+            wc, wa = (jnp.where(swap, wa, wc), jnp.where(swap, wc, wa))
+        else:
+            wa = wc
+        px = [((64 - wc) * e0[ch] + wc * e1[ch] + 32) >> 6
+              for ch in range(3)]
+        px.append(((64 - wa) * e0[3] + wa * e1[3] + 32) >> 6)
 
-    # rotation: swap one channel with alpha (rotations are exclusive)
-    if m.rotation_bits:
-        rot = rotation[:, None]
-        r, g, b, al = out[..., 0], out[..., 1], out[..., 2], out[..., 3]
-        nr = jnp.where(rot == 1, al, r)
-        ng = jnp.where(rot == 2, al, g)
-        nbl = jnp.where(rot == 3, al, b)
-        na = jnp.where(rot == 1, r, jnp.where(rot == 2, g,
-                       jnp.where(rot == 3, b, al)))
-        out = jnp.stack([nr, ng, nbl, na], axis=-1)
-    return out
+        if m.rotation_bits:
+            r, g, b, al = px
+            nr = jnp.where(rotation == 1, al, r)
+            ng = jnp.where(rotation == 2, al, g)
+            nbl = jnp.where(rotation == 3, al, b)
+            na = jnp.where(rotation == 1, r, jnp.where(
+                rotation == 2, g, jnp.where(rotation == 3, b, al)))
+            px = [nr, ng, nbl, na]
+        out_px.append(jnp.stack(px))
+    return jnp.stack(out_px)                      # [16, 4, NB]
 
 
 def decode_bc7(blocks: jnp.ndarray) -> jnp.ndarray:
-    """[NB, 16] u8 -> [NB, 16, 4] f32 (D3DXDecodeBC7, bit-exact)."""
-    words = _bytes_to_words(blocks)
-    b = (words[:, 0] & 0xFF).astype(jnp.int32)
-    # mode = index of the lowest set bit of byte 0; all-zero -> reserved
-    mode = jnp.full_like(b, 8)
-    for m in range(8):
-        hit = (b & (1 << m)) != 0
-        mode = jnp.where((mode == 8) & hit, m, mode)
+    """[NB, 16] u8 -> [NB, 16, 4] f32 (D3DXDecodeBC7, bit-exact).
 
-    results = [_decode_bc7_mode(words, m) for m in range(8)]
-    stacked = jnp.stack(results)  # [8, NB, 16, 4]
-    safe_mode = jnp.clip(mode, 0, 7)
-    out = jnp.take_along_axis(
-        stacked, safe_mode[None, :, None, None].astype(jnp.int32), axis=0)[0]
+    Lane-major: all math runs on [NB]-lane vectors (block index minor),
+    the layout rule that took BC4 decode from 0.05 to 5.5 Gtexels/s —
+    the previous [NB, 16, 4]-major decoder wasted ~97% of each vreg."""
+    w = _bytes_to_words(blocks)                   # [NB, 4]
+    words = jnp.transpose(w)                      # [4, NB] lane-major
+    b0 = (words[0] & 0xFF).astype(jnp.int32)
+    mode = jnp.full_like(b0, 8)
+    for mv in range(8):
+        hit = (b0 & (1 << mv)) != 0
+        mode = jnp.where((mode == 8) & hit, mv, mode)
+
+    out = jnp.zeros((16, 4, words.shape[1]), jnp.int32)
+    for mv in range(8):
+        res = _decode_bc7_mode_t(words, mv)
+        out = jnp.where(mode[None, None, :] == mv, res, out)
     # reserved mode: transparent black (BC6HBC7.cpp:2781)
-    out = jnp.where((mode >= 8)[:, None, None], 0, out)
-    return jnp.asarray(_T255)[jnp.clip(out, 0, 255)]
+    out = jnp.where(mode[None, None, :] >= 8, 0, out)
+    # float(c)/255 — identical arithmetic to the _T255 table entries
+    outf = jnp.clip(out, 0, 255).astype(jnp.float32) * jnp.float32(1 / 255)
+    return jnp.transpose(outf, (2, 0, 1))         # [NB, 16, 4]\n
 
 
 
@@ -1010,28 +1088,33 @@ def _sext(v: jnp.ndarray, bits: int) -> jnp.ndarray:
     return (v.astype(jnp.int32) << sh) >> sh
 
 
-def _decode_bc6h_mode(words: jnp.ndarray, row: int, signed: bool) -> jnp.ndarray:
-    """Decode ALL blocks assuming mode row `row`. Returns [NB, 16, 3] f32."""
+def _decode_bc6h_mode_t(words, row: int, signed: bool):
+    """Decode ALL blocks assuming mode row `row`, lane-major.
+    words [4, NB] u32 -> [16, 3, NB] f32 half values."""
     _, partitions, transformed, iprec, precW, precX, precY, precZ = \
         BC6H_MODE_INFO[row]
-    nb = words.shape[0]
+    nb = words.shape[1]
     header_bits = 82 if partitions else 65
 
-    # gather header fields via the descriptor: field ids 2..14
+    # gather header fields via the descriptor: field ids 2..14; contiguous
+    # descriptor runs fold into multi-bit extracts
     fields = {fid: jnp.zeros(nb, jnp.int32) for fid in range(2, 15)}
     desc = BC6H_DESC[row]
-    for pos in range(header_bits):
+    pos = 0
+    while pos < header_bits:
         fid, fbit = int(desc[pos, 0]), int(desc[pos, 1])
-        if fid < 2:
-            continue  # mode bits already known
-        bit = _get_bits_static(words, pos, 1).astype(jnp.int32)
-        fields[fid] = fields[fid] | (bit << fbit)
+        run = 1
+        while (pos + run < header_bits
+               and int(desc[pos + run, 0]) == fid
+               and int(desc[pos + run, 1]) == fbit + run):
+            run += 1
+        if fid >= 2:
+            v = _gb_t(words, pos, run).astype(jnp.int32)
+            fields[fid] = fields[fid] | (v << fbit)
+        pos += run
 
     shape = fields[2]
-    # endpoints: [region][A/B] per channel; fields RW..BZ = 3..14
-    # layout: R: W=3 X=4 Y=5 Z=6; G: 7,8,9,10; B: 11,12,13,14
-    e = {}  # (region, ab, ch) -> int32 [NB]
-    precs = {(0, 0): precW, (0, 1): precX, (1, 0): precY, (1, 1): precZ}
+    e = {}
     for ch, base in ((0, 3), (1, 7), (2, 11)):
         e[(0, 0, ch)] = fields[base + 0]
         e[(0, 1, ch)] = fields[base + 1]
@@ -1059,46 +1142,78 @@ def _decode_bc6h_mode(words: jnp.ndarray, row: int, signed: bool) -> jnp.ndarray
                     v = _sext(v, precW[ch])
                 e[key] = v
 
-    # unquantize all endpoints with precW
     u = {}
     for (reg, ab, ch), v in e.items():
         u[(reg, ab, ch)] = _bc6h_unquantize(v, precW[ch], signed)
 
-    # indices
-    offs_t, nbits_t = _get_index_layout(partitions, iprec)
-    offs = jnp.asarray(offs_t)[shape] + header_bits
-    nbw = jnp.asarray(nbits_t)[shape]
-    idx = _get_bits_dynamic(words, offs, nbw).astype(jnp.int32)
+    # anchors for the 2-region rows: packed selects over 32 shapes
+    if partitions:
+        pa_tab = tuple(int(FIXUPS[1, sv, 1]) for sv in range(32))
+        pp_tab = tuple(int(sum(int(PARTITIONS[1][sv, i]) << (2 * i)
+                               for i in range(16))) for sv in range(32))
+        a2 = jnp.zeros((nb,), jnp.int32)
+        pp = jnp.zeros((nb,), jnp.uint32)
+        for sv in range(32):
+            hit = shape == sv
+            a2 = jnp.where(hit, pa_tab[sv], a2)
+            pp = jnp.where(hit, jnp.uint32(pp_tab[sv]), pp)
+    else:
+        a2 = None
+        pp = jnp.zeros((nb,), jnp.uint32)
 
-    region = jnp.asarray(PARTITIONS[partitions])[shape]  # [NB,16]
-    wtab = jnp.asarray(_WEIGHTS[iprec])
-    woh = (idx[:, :, None] == jnp.arange(1 << iprec)[None, None, :]
-           ).astype(jnp.int32)
-    w = woh @ wtab
+    K = 1 << iprec
+    out_px = []
+    for i in range(16):
+        if partitions:
+            before = (1 if i > 0 else 0) + (a2 < i).astype(jnp.int32)
+            is_anchor = jnp.where((i == 0) | (a2 == i), 1, 0)
+            start = header_bits + iprec * i - before
+            idx = _gb_dyn_t(words, start, is_anchor,
+                            iprec).astype(jnp.int32)
+            reg = ((pp >> (2 * i)) & 1).astype(jnp.int32)
+        else:
+            width = iprec - (1 if i == 0 else 0)
+            start = header_bits + iprec * i - (1 if i > 0 else 0)
+            idx = _gb_t(words, start, width).astype(jnp.int32)
+            reg = None
 
-    outs = []
-    for ch in range(3):
-        e0 = jnp.where(region == 0, u[(0, 0, ch)][:, None], u[(1, 0, ch)][:, None])
-        e1 = jnp.where(region == 0, u[(0, 1, ch)][:, None], u[(1, 1, ch)][:, None])
-        comp = (e0 * (64 - w) + e1 * w + 32) >> 6
-        comp = _bc6h_finish_unquantize(comp, signed)
-        outs.append(_bc6h_int_to_half(comp, signed))
-    return jnp.stack(outs, axis=-1)
+        w = _pal_weight(idx, K)
+        px = []
+        for ch in range(3):
+            if partitions:
+                e0 = jnp.where(reg == 0, u[(0, 0, ch)], u[(1, 0, ch)])
+                e1 = jnp.where(reg == 0, u[(0, 1, ch)], u[(1, 1, ch)])
+            else:
+                e0, e1 = u[(0, 0, ch)], u[(0, 1, ch)]
+            comp = (e0 * (64 - w) + e1 * w + 32) >> 6
+            comp = _bc6h_finish_unquantize(comp, signed)
+            px.append(_bc6h_int_to_half(comp, signed))
+        out_px.append(jnp.stack(px))
+    return jnp.stack(out_px)                       # [16, 3, NB]
 
 
 def decode_bc6h(blocks: jnp.ndarray, signed: bool) -> jnp.ndarray:
-    """[NB, 16] u8 -> [NB, 16, 4] f32 (D3DXDecodeBC6HU/S, bit-exact)."""
-    words = _bytes_to_words(blocks)
-    m2 = (words[:, 0] & 0x3).astype(jnp.int32)
-    m5 = (words[:, 0] & 0x1F).astype(jnp.int32)
-    header_mode = jnp.where(m2 < 2, m2, m5)
-    row = jnp.asarray(BC6H_MODE_TO_INFO)[jnp.clip(header_mode, 0, 31)]
+    """[NB, 16] u8 -> [NB, 16, 4] f32 (D3DXDecodeBC6HU/S, bit-exact).
 
-    results = jnp.stack([_decode_bc6h_mode(words, r, signed)
-                         for r in range(14)])  # [14, NB, 16, 3]
-    safe = jnp.clip(row, 0, 13)
-    rgb = jnp.take_along_axis(results, safe[None, :, None, None], axis=0)[0]
-    rgb = jnp.where((row < 0)[:, None, None], 0.0, rgb)  # reserved: black
+    Lane-major ([NB] minor) like the encoders; see decode_bc7."""
+    w = _bytes_to_words(blocks)
+    words = jnp.transpose(w)                       # [4, NB]
+    b0 = words[0].astype(jnp.int32)
+    m2 = b0 & 0x3
+    m5 = b0 & 0x1F
+    header_mode = jnp.where(m2 < 2, m2, m5)
+    # 32-entry host-table select chain (not a gather)
+    rowv = jnp.full_like(header_mode, -1)
+    for hm in range(32):
+        rowv = jnp.where(header_mode == hm,
+                         int(BC6H_MODE_TO_INFO[hm]), rowv)
+
+    out = jnp.zeros((16, 3, words.shape[1]), jnp.float32)
+    for r in range(14):
+        res = _decode_bc6h_mode_t(words, r, signed)
+        out = jnp.where(rowv[None, None, :] == r, res, out)
+    out = jnp.where(rowv[None, None, :] < 0, 0.0, out)  # reserved: black
+    rgb = jnp.transpose(out, (2, 0, 1))            # [NB, 16, 3]
     a = jnp.ones(rgb.shape[:2] + (1,), jnp.float32)
     return jnp.concatenate([rgb, a], axis=-1)
 
