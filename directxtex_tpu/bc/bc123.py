@@ -73,97 +73,97 @@ def _encode565(rgb: jnp.ndarray) -> jnp.ndarray:
     return (r << 11) | (g << 5) | b
 
 
-def _decode_bc1_words(w0: jnp.ndarray, w1: jnp.ndarray, bitmap: jnp.ndarray,
-                      isbc1: bool) -> jnp.ndarray:
-    """Core DecodeBC1 (BC.cpp:318). w0/w1/bitmap are [NB] u32."""
-    clr0 = _decode565(w0)  # [NB, 4]
-    clr1 = _decode565(w1)
-    three_color = (w0 <= w1) if isbc1 else jnp.zeros_like(w0, bool)
-
-    lerp = lambda t: clr0 + t * (clr1 - clr0)
-    c2_4 = lerp(jnp.float32(1.0 / 3.0))
-    c3_4 = lerp(jnp.float32(2.0 / 3.0))
-    c2_3 = lerp(jnp.float32(0.5))
-    c3_3 = jnp.zeros_like(clr0)  # transparent black
-
-    tc = three_color[:, None]
-    c2 = jnp.where(tc, c2_3, c2_4)
-    c3 = jnp.where(tc, c3_3, c3_4)
-
-    palette = jnp.stack([clr0, clr1, c2, c3], axis=1)  # [NB, 4, 4]
-    shifts = jnp.arange(16, dtype=jnp.uint32) * 2
-    idx = ((bitmap[:, None] >> shifts[None, :]) & 3).astype(jnp.int32)
-    # one-hot select instead of gather: batched [16,4]x[4,4] matmuls
-    onehot = (idx[:, :, None] == jnp.arange(4)[None, None, :]).astype(jnp.float32)
-    return jnp.einsum("nik,nkc->nic", onehot, palette,
-                      preferred_element_type=jnp.float32)
+def _decode_bc1_planes_t(w0, w1, bitmap, isbc1: bool):
+    """Core DecodeBC1 (BC.cpp:318), lane-major: [NB] u32 words ->
+    [16, 4, NB] f32. Identical float math to the per-block reference
+    (verified exactly by tests/test_bc.py golden decoders)."""
+    r0, g0, b0 = _decode565_planes(w0)
+    r1, g1, b1 = _decode565_planes(w1)
+    one = jnp.ones_like(r0)
+    c0 = [r0, g0, b0, one]
+    c1 = [r1, g1, b1, one]
+    three = (w0 <= w1) if isbc1 else jnp.zeros_like(w0, bool)
+    t13 = jnp.float32(1.0 / 3.0)
+    t23 = jnp.float32(2.0 / 3.0)
+    t12 = jnp.float32(0.5)
+    c2 = [jnp.where(three, a + t12 * (b - a), a + t13 * (b - a))
+          for a, b in zip(c0, c1)]
+    c3 = [jnp.where(three, jnp.zeros_like(a), a + t23 * (b - a))
+          for a, b in zip(c0, c1)]  # 3-color mode: transparent black
+    px = []
+    for i in range(16):
+        idx = ((bitmap >> (2 * i)) & 3).astype(jnp.int32)
+        row = [jnp.where(idx == 1, c1[ch],
+               jnp.where(idx == 2, c2[ch],
+               jnp.where(idx == 3, c3[ch], c0[ch]))) for ch in range(4)]
+        px.append(jnp.stack(row))
+    return jnp.stack(px)                         # [16, 4, NB]
 
 
 def decode_bc1(blocks: jnp.ndarray) -> jnp.ndarray:
     """[NB, 8] u8 -> [NB, 16, 4] f32 (D3DXDecodeBC1, BC.cpp:731)."""
     words = _bytes_to_u32(blocks)  # [NB, 2]
     w565 = words[:, 0]
-    return _decode_bc1_words(w565 & 0xFFFF, w565 >> 16, words[:, 1], True)
+    out = _decode_bc1_planes_t(w565 & 0xFFFF, w565 >> 16, words[:, 1], True)
+    return jnp.transpose(out, (2, 0, 1))
 
 
 def decode_bc2(blocks: jnp.ndarray) -> jnp.ndarray:
     """[NB, 16] u8 -> [NB, 16, 4] f32 (D3DXDecodeBC2, BC.cpp:802)."""
     words = _bytes_to_u32(blocks)  # [NB, 4]: a0 a1 rgb bitmap
     w565 = words[:, 2]
-    rgba = _decode_bc1_words(w565 & 0xFFFF, w565 >> 16, words[:, 3], False)
-    # 4-bit alpha from words 0..1
-    shifts = jnp.arange(8, dtype=jnp.uint32) * 4
-    a0 = ((words[:, 0, None] >> shifts[None, :]) & 0xF)
-    a1 = ((words[:, 1, None] >> shifts[None, :]) & 0xF)
-    a = jnp.concatenate([a0, a1], axis=1).astype(jnp.float32) * _INV15
-    return rgba.at[:, :, 3].set(a)
-
-
-def _bc3_alpha_palette(a0: jnp.ndarray, a1: jnp.ndarray) -> jnp.ndarray:
-    """[NB] u32 byte codes -> [NB, 8] f32 alpha palette (BC.cpp:915-930)."""
-    f0 = a0.astype(jnp.float32) * _INV255
-    f1 = a1.astype(jnp.float32) * _INV255
-    i = jnp.arange(1, 7, dtype=jnp.float32)
-    # 8-step: fAlpha[i+1] = (f0*(7-i) + f1*i)/7 for i in 1..6
-    p8 = (f0[:, None] * (7.0 - i)[None, :] + f1[:, None] * i[None, :]) * (1.0 / 7.0)
-    pal8 = jnp.concatenate([f0[:, None], f1[:, None], p8], axis=1)
-    # 6-step: i in 1..4, then 0.0, 1.0
-    i6 = jnp.arange(1, 5, dtype=jnp.float32)
-    p6 = (f0[:, None] * (5.0 - i6)[None, :] + f1[:, None] * i6[None, :]) * (1.0 / 5.0)
-    pal6 = jnp.concatenate([f0[:, None], f1[:, None], p6,
-                            jnp.zeros_like(f0[:, None]),
-                            jnp.ones_like(f0[:, None])], axis=1)
-    return jnp.where((a0 > a1)[:, None], pal8, pal6)
+    out = _decode_bc1_planes_t(w565 & 0xFFFF, w565 >> 16, words[:, 3],
+                               False)
+    # explicit 4-bit alpha from words 0..1, lane-major per pixel
+    inv15 = jnp.float32(_INV15)
+    for i in range(16):
+        word = words[:, 0] if i < 8 else words[:, 1]
+        a = ((word >> (4 * (i % 8))) & 0xF).astype(jnp.float32) * inv15
+        out = out.at[i, 3, :].set(a)
+    return jnp.transpose(out, (2, 0, 1))
 
 
 def decode_bc3(blocks: jnp.ndarray) -> jnp.ndarray:
     """[NB, 16] u8 -> [NB, 16, 4] f32 (D3DXDecodeBC3, BC.cpp:902)."""
     words = _bytes_to_u32(blocks)
     w565 = words[:, 2]
-    rgba = _decode_bc1_words(w565 & 0xFFFF, w565 >> 16, words[:, 3], False)
+    out = _decode_bc1_planes_t(w565 & 0xFFFF, w565 >> 16, words[:, 3],
+                               False)
 
     a0 = words[:, 0] & 0xFF
     a1 = (words[:, 0] >> 8) & 0xFF
-    palette = _bc3_alpha_palette(a0, a1)  # [NB, 8]
+    # alpha palette as 8 [NB] planes (BC.cpp:915-930)
+    inv255 = jnp.float32(_INV255)
+    f0 = a0.astype(jnp.float32) * inv255
+    f1 = a1.astype(jnp.float32) * inv255
+    eight = a0 > a1
+    pal = [f0, f1]
+    for k in range(2, 8):
+        p8 = (f0 * jnp.float32(8 - k) + f1 * jnp.float32(k - 1)) \
+            * jnp.float32(1.0 / 7.0)
+        if k < 6:
+            p6 = (f0 * jnp.float32(6 - k) + f1 * jnp.float32(k - 1)) \
+                * jnp.float32(1.0 / 5.0)
+        elif k == 6:
+            p6 = jnp.zeros_like(f0)
+        else:
+            p6 = jnp.ones_like(f0)
+        pal.append(jnp.where(eight, p8, p6))
 
     # 3-bit indices: 48 bits across bytes 2..7
     lo = (words[:, 0] >> 16) | ((words[:, 1] & 0xFF) << 16)   # bytes 2,3,4
     hi = words[:, 1] >> 8                                     # bytes 5,6,7
-    sh = jnp.arange(8, dtype=jnp.uint32) * 3
-    idx_lo = ((lo[:, None] >> sh[None, :]) & 7).astype(jnp.int32)
-    idx_hi = ((hi[:, None] >> sh[None, :]) & 7).astype(jnp.int32)
-    idx = jnp.concatenate([idx_lo, idx_hi], axis=1)
-    # one-hot select instead of a gather (slow on the TPU VPU)
-    onehot = (idx[:, :, None] == jnp.arange(8)[None, None, :]).astype(
-        jnp.float32)
-    a = jnp.einsum("nik,nk->ni", onehot, palette,
-                   preferred_element_type=jnp.float32)
-    return rgba.at[:, :, 3].set(a)
+    for i in range(16):
+        word = lo if i < 8 else hi
+        idx = ((word >> (3 * (i % 8))) & 7).astype(jnp.int32)
+        a = pal[0]
+        for k in range(1, 8):
+            a = jnp.where(idx == k, pal[k], a)
+        out = out.at[i, 3, :].set(a)
+    return jnp.transpose(out, (2, 0, 1))
 
 
-# ---------------------------------------------------------------------------
-# encode
-# ---------------------------------------------------------------------------
+
 
 # ---------------------------------------------------------------------------
 # encode — lane-major layout
