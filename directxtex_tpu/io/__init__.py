@@ -18,9 +18,10 @@ from .tga import (
     load_from_tga_memory, save_to_tga_file, save_to_tga_memory,
 )
 from .ppm import (
-    load_from_pfm_file, load_from_pfm_memory, load_from_ppm_file,
-    load_from_ppm_memory, save_to_pfm_file, save_to_pfm_memory,
-    save_to_ppm_file, save_to_ppm_memory,
+    load_from_pfm_file, load_from_pfm_memory, load_from_phm_file,
+    load_from_phm_memory, load_from_ppm_file, load_from_ppm_memory,
+    save_to_pfm_file, save_to_pfm_memory, save_to_phm_file,
+    save_to_phm_memory, save_to_ppm_file, save_to_ppm_memory,
 )
 from .exr import (
     get_metadata_from_exr_memory, load_from_exr_file, load_from_exr_memory,
@@ -66,6 +67,8 @@ def load_texture(path, **kwargs):
         return load_from_ppm_file(path)
     if ext == ".pfm":
         return load_from_pfm_file(path)
+    if ext == ".phm":
+        return load_from_phm_file(path)
     return load_from_wic_file(path, **kwargs)
 
 
@@ -85,4 +88,6 @@ def save_texture(tex, path, **kwargs):
         return save_to_ppm_file(tex, path)
     if ext == ".pfm":
         return save_to_pfm_file(tex, path)
+    if ext == ".phm":
+        return save_to_phm_file(tex, path)
     return save_to_wic_file(tex, path, **kwargs)

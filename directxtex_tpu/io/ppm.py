@@ -121,3 +121,49 @@ def load_from_pfm_file(path) -> Texture:
 def save_to_pfm_file(tex: Texture, path) -> None:
     with open(path, "wb") as f:
         f.write(save_to_pfm_memory(tex))
+
+
+def load_from_phm_memory(data: bytes) -> Texture:
+    """PHM (Portable Half Map): 'PH' color / 'Ph' mono, binary half floats
+    (LoadFromPortablePixMapHDR half16 path, Texconv/PortablePixMap.cpp:
+    447-481; scale sign selects endianness like PFM)."""
+    if data[:2] not in (b"PH", b"Ph"):
+        raise ValueError("PHM: bad magic (want PH or Ph)")
+    color = data[:2] == b"PH"
+    toks, pos = _read_tokens(data, 3, 2)
+    w, h = int(toks[0]), int(toks[1])
+    scale = float(toks[2])
+    pos += 1
+    nchan = 3 if color else 1
+    dtype = "<f2" if scale < 0 else ">f2"
+    raw = np.frombuffer(data, dtype, w * h * nchan, pos)
+    arr = raw.astype(np.float32).reshape(h, w, nchan)
+    arr = arr[::-1]  # rows are bottom-up like PFM
+    if abs(scale) not in (0.0, 1.0):
+        arr = arr * np.float32(abs(scale))
+    if color:
+        rgba = np.concatenate([arr, np.ones((h, w, 1), np.float32)], -1)
+        fmt = FMT.R16G16B16A16_FLOAT
+    else:
+        rgba = np.concatenate(
+            [arr, np.zeros((h, w, 2), np.float32),
+             np.ones((h, w, 1), np.float32)], -1)
+        fmt = FMT.R16_FLOAT
+    return Texture(TexMetadata(width=w, height=h, format=fmt), [rgba[None]])
+
+
+def save_to_phm_memory(tex: Texture, mip: int = 0, item: int = 0) -> bytes:
+    img = np.asarray(tex.image(mip, item))
+    h, w = img.shape[:2]
+    body = img[::-1, :, :3].astype("<f2").tobytes()
+    return b"PH\n%d %d\n-1.0\n" % (w, h) + body
+
+
+def load_from_phm_file(path) -> Texture:
+    with open(path, "rb") as f:
+        return load_from_phm_memory(f.read())
+
+
+def save_to_phm_file(tex: Texture, path) -> None:
+    with open(path, "wb") as f:
+        f.write(save_to_phm_memory(tex))

@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="target DXGI format name (e.g. BC7_UNORM)")
     p.add_argument("-ft", "--file-type", default="dds",
                    choices=["dds", "tga", "hdr", "exr", "png", "jpg", "bmp",
-                            "tiff"],
+                            "tiff", "ppm", "pfm", "phm"],
                    help="output container")
     p.add_argument("-o", "--outdir", default=".", help="output directory")
     p.add_argument("-px", "--prefix", default="", help="output name prefix")
@@ -435,9 +435,7 @@ def process_file(path: str, args, log=print) -> str:
 
     # save (:3768)
     base = os.path.splitext(os.path.basename(path))[0]
-    ext = {"jpg": "jpg", "png": "png", "bmp": "bmp", "tiff": "tiff",
-           "dds": "dds", "tga": "tga", "hdr": "hdr",
-           "exr": "exr"}[args.file_type]
+    ext = args.file_type
     name = f"{args.prefix}{base}{args.suffix}.{ext}"
     if args.tolower:
         name = name.lower()

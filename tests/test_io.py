@@ -377,3 +377,19 @@ def test_dds_3d_bc_round_trip(tmp_path):
         # the byte-exact level comparison above is the real gate
         err = np.abs(dec.to_numpy(0, z) - vol[z]).mean()
         assert err < 0.2, (z, err)
+
+
+def test_phm_round_trip(tmp_path):
+    """PHM (Portable Half Map) load/save
+    (Texconv/PortablePixMap.cpp:447-481, half16 path)."""
+    from directxtex_tpu.io import load_texture, save_texture
+    from directxtex_tpu.texture import Texture
+    rng = np.random.default_rng(9)
+    img = (rng.random((6, 5, 4)).astype(np.float32) * 8.0)
+    img[..., 3] = 1.0
+    p = str(tmp_path / "x.phm")
+    save_texture(Texture.from_array(img, fmt=FMT.R16G16B16A16_FLOAT), p)
+    back = load_texture(p)
+    assert back.metadata.format == FMT.R16G16B16A16_FLOAT
+    np.testing.assert_allclose(back.to_numpy()[..., :3],
+                               img[..., :3].astype(np.float16), atol=1e-3)

@@ -20,7 +20,7 @@ pytestmark = pytest.mark.skipif(
     reason="DIRECTXTEX_MEDIA_PATH not set")
 
 _EXTS = (".dds", ".tga", ".hdr", ".png", ".jpg", ".jpeg", ".bmp", ".ppm",
-         ".pfm", ".exr", ".tiff", ".gif")
+         ".pfm", ".phm", ".exr", ".tiff", ".gif")
 
 
 def _corpus():
