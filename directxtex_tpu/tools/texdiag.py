@@ -124,6 +124,30 @@ def cmd_analyzebc(args, log=print) -> int:
         three = (words[:, 0] <= words[:, 1]).sum()
         log(f"    4-color blocks: {len(raw) - three}")
         log(f"    3-color blocks (incl. transparent): {three}")
+    elif fmt in (FMT.BC2_UNORM, FMT.BC2_UNORM_SRGB, FMT.BC2_TYPELESS,
+                 FMT.BC3_UNORM, FMT.BC3_UNORM_SRGB, FMT.BC3_TYPELESS):
+        # color half at bytes 8..15 is always 4-color; BC3 alpha adds a
+        # 6- vs 8-step codec choice (AnalyzeBC, Texdiag/texdiag.cpp:790+)
+        if fmt in (FMT.BC3_UNORM, FMT.BC3_UNORM_SRGB, FMT.BC3_TYPELESS):
+            a0 = raw[:, 0].astype(int)
+            a1 = raw[:, 1].astype(int)
+            eight = (a0 > a1).sum()
+            log(f"    8-step alpha blocks: {eight}")
+            log(f"    6-step alpha blocks: {len(raw) - eight}")
+        else:
+            log(f"    explicit 4-bit alpha blocks: {len(raw)}")
+    elif fmt in (FMT.BC4_UNORM, FMT.BC4_SNORM, FMT.BC4_TYPELESS,
+                 FMT.BC5_UNORM, FMT.BC5_SNORM, FMT.BC5_TYPELESS):
+        signed = fmt in (FMT.BC4_SNORM, FMT.BC5_SNORM)
+        nch = 2 if fmt in (FMT.BC5_UNORM, FMT.BC5_SNORM,
+                           FMT.BC5_TYPELESS) else 1
+        for c in range(nch):
+            r0 = raw[:, c * 8].astype(np.int8 if signed else np.uint8)
+            r1 = raw[:, c * 8 + 1].astype(np.int8 if signed else np.uint8)
+            eight = (r0.astype(int) > r1.astype(int)).sum()
+            name = "red" if c == 0 else "green"
+            log(f"    {name}: 8-step blocks {eight}, "
+                f"6-step blocks {len(raw) - eight}")
     else:
         log("    (no per-mode statistics for this format)")
     return 0
