@@ -9,7 +9,6 @@ blocks back to the DDS byte layout.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +18,7 @@ from ..bc import bc123, bc45, bc67
 from ..bc.common import blocks_to_image, image_to_blocks
 from ..formats.dxgi import FMT, DXGIFormat
 from ..formats import traits
-from ..texture import CompressedTexture, TexMetadata, Texture
+from ..texture import CompressedTexture, Texture
 from .convert import convert_values
 from .flags import TEX_COMPRESS_FLAGS as TC
 from .flags import TEX_FILTER_FLAGS as TF

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..formats import traits
-from ..texture import TexDimension, Texture
+from ..texture import Texture
 from .colorspace import apply_linear_to_srgb, apply_srgb_to_linear
 from .flags import TEX_FILTER_FLAGS as TF
 from .flags import TEX_FILTER_MODE_MASK

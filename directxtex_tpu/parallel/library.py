@@ -20,9 +20,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from ..formats import traits
 from ..formats.dxgi import DXGIFormat
 from .sharding import batch_sharding
 
