@@ -316,9 +316,9 @@ def _decode_bc7_mode_t(words, mode: int):
 def decode_bc7(blocks: jnp.ndarray) -> jnp.ndarray:
     """[NB, 16] u8 -> [NB, 16, 4] f32 (D3DXDecodeBC7, bit-exact).
 
-    Lane-major: all math runs on [NB]-lane vectors (block index minor),
-    the layout rule that took BC4 decode from 0.05 to 5.5 Gtexels/s —
-    the previous [NB, 16, 4]-major decoder wasted ~97% of each vreg."""
+    Lane-major: all math runs on [NB]-lane vectors (block index minor) —
+    the previous [NB, 16, 4]-major decoder wasted ~97% of each vreg and
+    measured 0.005 Gtexels/s on a v5e; this one measures 0.64."""
     w = _bytes_to_words(blocks)                   # [NB, 4]
     words = jnp.transpose(w)                      # [4, NB] lane-major
     b0 = (words[0] & 0xFF).astype(jnp.int32)
