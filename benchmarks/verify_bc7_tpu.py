@@ -1,0 +1,137 @@
+"""Verify the whole-BC7 single-dispatch pallas kernel on a real TPU.
+
+Sibling of verify_bc6h_tpu.py: the CPU XLA backend needs >10 minutes to
+compile the mega kernel, so the CI equivalence test runs in interpret mode
+only (tests/test_pallas.py); this script checks the Mosaic-compiled kernel
+against the jnp reference path on the actual chip.
+
+Step 1 (separate CPU process, writes /tmp/bc7_verify/ref.npz):
+
+    python benchmarks/verify_bc7_tpu.py --make-ref
+
+Step 2 (TPU process): encode the same blocks through bc7_encode_pallas and
+require near-total word agreement with the jnp path, with decoded-MSE
+parity on any disagreeing blocks (float-associativity near-ties). Also
+checks the decode mega-kernels bit-exactly against the frozen golden
+decode vectors.
+
+    python benchmarks/verify_bc7_tpu.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+REF_DIR = "/tmp/bc7_verify"
+GOLDEN = "/root/repo/tests/golden/decode_vectors.npz"
+
+
+def _inputs():
+    rng = np.random.default_rng(23)
+    nb = 256
+    blocks = rng.random((nb, 16, 4)).astype(np.float32)
+    # mix in structured content: flat, two-region, gradient, opaque
+    blocks[:64, :, :3] = np.repeat(rng.random((64, 1, 3)), 16, axis=1) \
+        + rng.normal(0, 0.02, (64, 16, 3))
+    blocks[64:128, :8, :3] = 0.1
+    blocks[64:128, 8:, :3] = 0.9
+    blocks[128:192, :, 3] = 1.0
+    return np.clip(blocks, 0, 1).astype(np.float32)
+
+
+def make_ref():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from directxtex_tpu.bc import bc67
+
+    os.makedirs(REF_DIR, exist_ok=True)
+    blocks = _inputs()
+    ref = np.asarray(bc67.encode_bc7(jnp.asarray(blocks)))
+    np.savez(f"{REF_DIR}/ref.npz", ref=ref, blocks=blocks)
+    print("wrote ref.npz")
+
+
+def verify():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from directxtex_tpu.bc import bc67
+    from directxtex_tpu.bc.pallas_kernels import (bc6h_decode_pallas,
+                                                  bc7_decode_pallas,
+                                                  bc7_encode_pallas)
+
+    assert jax.default_backend() == "tpu", "run this step on the TPU"
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    ok = True
+    ref_path = f"{REF_DIR}/ref.npz"
+    if not os.path.exists(ref_path):
+        print(f"missing {ref_path}; run --make-ref first", file=sys.stderr)
+        return 1
+    data = np.load(ref_path)
+    ref, blocks = data["ref"], data["blocks"]
+    nb = blocks.shape[0]
+
+    px_f32 = jnp.asarray(blocks, jnp.float32)
+    px_i = jnp.clip(jnp.transpose(px_f32, (1, 2, 0)) * 255.0 + 0.01,
+                    0.0, 255.0).astype(jnp.int32)
+    modes = (1, 3, 5, 6, 7, 4)  # encode_bc7 non-opaque mode order
+    _, words = bc7_encode_pallas(px_i, modes)
+    got = np.ascontiguousarray(
+        np.asarray(lax.bitcast_convert_type(words, jnp.uint8).reshape(
+            nb, 16)))
+
+    differ = np.any(got != ref, axis=1)
+    print(f"bc7 encode: {differ.sum()}/{nb} blocks differ from jnp ref")
+    if differ.sum() > max(2, nb // 25):
+        ok = False
+    if differ.any():
+        dec_p = np.asarray(bc67.decode_bc7(got[differ])) * 255.0
+        dec_r = np.asarray(bc67.decode_bc7(ref[differ])) * 255.0
+        src = np.clip(blocks[differ] * 255.0 + 0.01, 0, 255).astype(
+            np.int32).astype(np.float32)
+        mse_p = ((dec_p - src) ** 2).sum(axis=(1, 2))
+        mse_r = ((dec_r - src) ** 2).sum(axis=(1, 2))
+        worst = float(np.max(mse_p - mse_r))
+        print(f"  worst MSE regression on disagreeing blocks: {worst:.5f}")
+        # near-tie fold flips are fine; only a real quality loss fails
+        if np.any(mse_p > mse_r * 1.05 + 1e-3):
+            ok = False
+
+    # decode mega-kernels: bit-exact vs the frozen golden vectors
+    v = np.load(GOLDEN)
+    w7 = jnp.transpose(bc67._bytes_to_words(v["bc7_blocks"]))
+    out = bc7_decode_pallas(w7)
+    outf = jnp.clip(out, 0, 255).astype(jnp.float32) * jnp.float32(1 / 255)
+    got7 = np.asarray(jnp.transpose(outf.reshape(16, 4, -1), (2, 0, 1)))
+    exact7 = bool(np.array_equal(got7, v["bc7_rgba"]))
+    print(f"bc7 decode kernel bit-exact: {exact7}")
+    ok = ok and exact7
+
+    w6 = jnp.transpose(bc67._bytes_to_words(v["bc6h_blocks"]))
+    for signed, key in ((False, "bc6h_uf_bits"), (True, "bc6h_sf_bits")):
+        bits = bc6h_decode_pallas(w6, signed)
+        h = np.asarray(bits).astype(np.uint16).reshape(16, 3, -1)
+        got6 = np.transpose(h, (2, 0, 1))
+        # golden bits are [NB, 16, 4] u16 half patterns incl. alpha=1.0
+        exact6 = bool(np.array_equal(got6, v[key][..., :3]))
+        print(f"bc6h decode kernel signed={signed} bit-exact: {exact6}")
+        ok = ok and exact6
+
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    if "--make-ref" in sys.argv:
+        make_ref()
+    else:
+        sys.exit(verify())
