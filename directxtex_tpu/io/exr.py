@@ -4,9 +4,10 @@ Mirrors the reference's OpenEXR adapter (Auxiliary/DirectXTexEXR.cpp:
 LoadFromEXRFile/SaveToEXRFile work through RgbaInputFile/RgbaOutputFile as
 half RGBA <-> R16G16B16A16_FLOAT). This implementation reads/writes the EXR
 container directly: single-part scanline images, HALF/FLOAT/UINT channels,
-NONE / RLE / ZIPS / ZIP compression (everything the reference adapter emits;
-PIZ/PXR24/B44/DWA raise). Tiled, deep, and multi-part files are rejected
-like the adapter's RgbaInputFile would.
+NONE / RLE / ZIPS / ZIP / PIZ compression for read and write plus PXR24
+read (the most common wire formats; B44/B44A/DWA raise). The PIZ
+wavelet+Huffman codec lives in exr_piz.py. Tiled, deep, and multi-part
+files are rejected like the adapter's RgbaInputFile would.
 
 Load returns the framework-native f32 RGBA Texture with metadata format
 R16G16B16A16_FLOAT (matching Auxiliary/DirectXTexEXR.cpp:172-183); save
@@ -32,7 +33,11 @@ _MAGIC = 0x01312F76
 
 # compression ids (OpenEXR ImfCompression.h)
 _NONE, _RLE, _ZIPS, _ZIP, _PIZ, _PXR24, _B44, _B44A, _DWAA, _DWAB = range(10)
-_LINES_PER_BLOCK = {_NONE: 1, _RLE: 1, _ZIPS: 1, _ZIP: 16}
+_LINES_PER_BLOCK = {_NONE: 1, _RLE: 1, _ZIPS: 1, _ZIP: 16, _PIZ: 32,
+                    _PXR24: 16}
+# writer-supported subset (PXR24 is decode-only: it is lossy for float
+# channels, and the reference's adapter never writes it)
+_WRITE_COMPRESSIONS = (_NONE, _RLE, _ZIPS, _ZIP, _PIZ)
 _PIXEL_DTYPE = {0: np.dtype("<u4"), 1: np.dtype("<f2"), 2: np.dtype("<f4")}
 
 
@@ -213,8 +218,63 @@ def _rle_encode(buf: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def _decompress_chunk(raw: bytes, compression: int,
+def _pxr24_uncompress(raw: bytes, layout, width: int,
                       expected: int) -> np.ndarray:
+    """PXR24 chunk decode (ImfPxr24Compressor semantics): zlib, then per
+    (scanline, channel) byte-planes with a running 32-bit delta sum.
+    layout: list of (name, pixel_type, nlines)."""
+    buf = np.frombuffer(zlib.decompress(raw), np.uint8)
+    out = np.empty(expected, np.uint8)
+    pos = 0
+    opos = 0
+    ny0 = max(ny for _, _, ny in layout)
+    for y in range(ny0):
+        for _, pt, ny in layout:
+            if y >= ny:
+                continue
+            n = width
+            if pt == 1:  # HALF: 2 byte planes, 16-bit deltas
+                if pos + 2 * n > len(buf):
+                    raise ValueError("EXR: truncated PXR24 chunk")
+                d = (buf[pos:pos + n].astype(np.uint64) << 8) \
+                    | buf[pos + n:pos + 2 * n]
+                pos += 2 * n
+                px = np.cumsum(d).astype(np.uint16)
+                out[opos:opos + 2 * n] = px.view(np.uint8)
+                opos += 2 * n
+            elif pt == 2:  # FLOAT: 3 byte planes, 24-bit deltas, <<8
+                if pos + 3 * n > len(buf):
+                    raise ValueError("EXR: truncated PXR24 chunk")
+                d = (buf[pos:pos + n].astype(np.uint64) << 24) \
+                    | (buf[pos + n:pos + 2 * n].astype(np.uint64) << 16) \
+                    | (buf[pos + 2 * n:pos + 3 * n].astype(np.uint64) << 8)
+                pos += 3 * n
+                px = np.cumsum(d).astype(np.uint32)
+                out[opos:opos + 4 * n] = px.view(np.uint8)
+                opos += 4 * n
+            else:  # UINT: 4 byte planes, 32-bit deltas
+                if pos + 4 * n > len(buf):
+                    raise ValueError("EXR: truncated PXR24 chunk")
+                d = (buf[pos:pos + n].astype(np.uint64) << 24) \
+                    | (buf[pos + n:pos + 2 * n].astype(np.uint64) << 16) \
+                    | (buf[pos + 2 * n:pos + 3 * n].astype(np.uint64) << 8) \
+                    | buf[pos + 3 * n:pos + 4 * n]
+                pos += 4 * n
+                px = np.cumsum(d).astype(np.uint32)
+                out[opos:opos + 4 * n] = px.view(np.uint8)
+                opos += 4 * n
+    if opos != expected:
+        raise ValueError("EXR: PXR24 chunk size mismatch")
+    return out
+
+
+def _piz_layout(layout):
+    """(name, pixel_type, ny) -> (name, u16s_per_pixel, ny)."""
+    return [(n, 1 if pt == 1 else 2, ny) for n, pt, ny in layout]
+
+
+def _decompress_chunk(raw: bytes, compression: int, expected: int,
+                      layout=None, width: int = 0) -> np.ndarray:
     if compression == _NONE or len(raw) >= expected:
         # OpenEXR stores chunks raw when compression didn't shrink them
         if len(raw) != expected and compression == _NONE:
@@ -228,8 +288,16 @@ def _decompress_chunk(raw: bytes, compression: int,
         return _unpredict(buf)
     if compression == _RLE:
         return _unpredict(_rle_decode(raw, expected))
+    if compression == _PIZ:
+        from . import exr_piz
+        out = exr_piz.piz_uncompress(raw, _piz_layout(layout), width)
+        if len(out) != expected:
+            raise ValueError("EXR: PIZ chunk size mismatch")
+        return out
+    if compression == _PXR24:
+        return _pxr24_uncompress(raw, layout, width, expected)
     raise ValueError(f"EXR: compression {compression} not supported "
-                     "(NONE/RLE/ZIPS/ZIP only)")
+                     "(NONE/RLE/ZIPS/ZIP/PIZ/PXR24 only)")
 
 
 def get_metadata_from_exr_memory(data: bytes) -> TexMetadata:
@@ -273,7 +341,9 @@ def load_from_exr_memory(data: bytes) -> Texture:
             raise ValueError("EXR: chunk scanline out of range")
         nlines = min(lpb, height - y)
         raw = rr.bytes(size)
-        buf = _decompress_chunk(raw, comp, bpp_line * nlines)
+        layout = [(name, pt, nlines) for name, pt, _, _ in chans]
+        buf = _decompress_chunk(raw, comp, bpp_line * nlines,
+                                layout=layout, width=width)
         pos = 0
         for line in range(nlines):
             for name, pt, _, _ in chans:
@@ -318,7 +388,7 @@ def save_to_exr_memory(tex: Texture, mip: int = 0, item: int = 0,
                        compression: int = _ZIP) -> bytes:
     """SaveToEXRFile (Auxiliary/DirectXTexEXR.cpp:320+): half RGBA
     scanlines, ZIP compression by default."""
-    if compression not in _LINES_PER_BLOCK:
+    if compression not in _WRITE_COMPRESSIONS:
         raise ValueError("EXR: unsupported save compression")
     img = np.asarray(tex.levels[mip][item], np.float32)
     height, width = img.shape[:2]
@@ -363,6 +433,10 @@ def save_to_exr_memory(tex: Texture, mip: int = 0, item: int = 0,
             packed = zlib.compress(_predict(raw).tobytes())
         elif compression == _RLE:
             packed = _rle_encode(_predict(raw))
+        elif compression == _PIZ:
+            from . import exr_piz
+            layout = [(n, 1, nlines) for n in chan_names]  # half channels
+            packed = exr_piz.piz_compress(raw, layout, width)
         else:
             packed = raw.tobytes()
         if len(packed) >= len(raw):

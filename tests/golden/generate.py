@@ -298,6 +298,16 @@ def gen_containers():
     expected["hdr_pixels"] = np.asarray(
         hdr.load_from_hdr_memory((cdir / "probe.hdr").read_bytes()).levels[0])
 
+    # EXR: PIZ-compressed half RGBA (pins the wavelet+Huffman codec bytes
+    # AND the decoded pixels)
+    from directxtex_tpu.io import exr
+    piz_img = corpus["hdr"][:40, :24]  # > 32 rows: two PIZ chunks
+    ptex = Texture.from_array(piz_img, fmt=FMT.R32G32B32A32_FLOAT)
+    (cdir / "probe_piz.exr").write_bytes(
+        exr.save_to_exr_memory(ptex, compression=exr._PIZ))
+    expected["piz_pixels"] = np.asarray(exr.load_from_exr_memory(
+        (cdir / "probe_piz.exr").read_bytes()).levels[0][0])
+
     np.savez_compressed(HERE / "containers.npz", **expected)
     print("containers/: fixtures written")
 

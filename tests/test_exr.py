@@ -18,7 +18,8 @@ def _tex(h=37, w=61, seed=0):
 
 
 @pytest.mark.parametrize("compression",
-                         [exr._NONE, exr._RLE, exr._ZIPS, exr._ZIP])
+                         [exr._NONE, exr._RLE, exr._ZIPS, exr._ZIP,
+                          exr._PIZ])
 def test_roundtrip_compressions(compression):
     tex, img = _tex()
     data = exr.save_to_exr_memory(tex, compression=compression)
@@ -119,10 +120,100 @@ def test_truncated():
 def test_unsupported_compression_rejected():
     tex, _ = _tex()
     data = bytearray(exr.save_to_exr_memory(tex, compression=exr._NONE))
-    # find the compression attribute value and patch it to PIZ
+    # find the compression attribute value and patch it to B44
     i = bytes(data).find(b"compression\0compression\0")
     assert i > 0
     off = i + len(b"compression\0compression\0") + 4
-    data[off] = exr._PIZ
+    data[off] = exr._B44
     with pytest.raises(ValueError, match="not supported"):
         exr.load_from_exr_memory(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# PIZ codec internals (exr_piz is also the format oracle for native/piz.cpp)
+# ---------------------------------------------------------------------------
+
+def test_piz_huffman_roundtrip():
+    from directxtex_tpu.io import exr_piz as P
+    rng = np.random.default_rng(11)
+    for n in (1, 17, 4096):
+        raw = rng.integers(0, 500, n).astype(np.uint16)
+        raw[n // 3:n // 2] = 7  # runs exercise the rlc path
+        assert np.array_equal(P.huf_uncompress(P.huf_compress(raw), n), raw)
+    wide = rng.integers(0, 1 << 16, 30000).astype(np.uint16)
+    assert np.array_equal(
+        P.huf_uncompress(P.huf_compress(wide), len(wide)), wide)
+
+
+@pytest.mark.parametrize("mx", [(1 << 14) - 1, (1 << 16) - 1])
+def test_piz_wavelet_roundtrip(mx):
+    from directxtex_tpu.io import exr_piz as P
+    rng = np.random.default_rng(12)
+    for ny, nx in ((16, 16), (32, 48), (7, 5), (1, 9), (33, 17)):
+        a = rng.integers(0, mx + 1, (ny, nx)).astype(np.uint16)
+        buf = a.reshape(-1).copy()
+        P.wav2_encode(buf, nx, 1, ny, nx, mx)
+        if min(nx, ny) > 1:  # degenerate strips skip the transform
+            assert not np.array_equal(buf.reshape(ny, nx), a)
+        P.wav2_decode(buf, nx, 1, ny, nx, mx)
+        assert np.array_equal(buf.reshape(ny, nx), a), (ny, nx, mx)
+
+
+def test_piz_tall_image_multiple_chunks():
+    # > 32 scanlines exercises several PIZ chunks incl. a short last one
+    tex, img = _tex(h=71, w=13, seed=5)
+    data = exr.save_to_exr_memory(tex, compression=exr._PIZ)
+    out = exr.load_from_exr_memory(data)
+    np.testing.assert_array_equal(
+        np.asarray(out.levels[0][0]),
+        img.astype(np.float16).astype(np.float32))
+
+
+def test_piz_golden_fixture():
+    """Frozen PIZ file decodes to frozen pixels (tests/golden/probe.piz.exr);
+    catches silent drift of the wavelet/huffman implementation."""
+    import pathlib
+    golden = pathlib.Path(__file__).parent / "golden"
+    raw = (golden / "containers/probe_piz.exr").read_bytes()
+    want = np.load(golden / "containers.npz")["piz_pixels"]
+    out = exr.load_from_exr_memory(raw)
+    np.testing.assert_array_equal(np.asarray(out.levels[0][0]), want)
+
+
+def test_pxr24_decode():
+    """Hand-built PXR24 chunk (zlib over per-row delta byte planes)."""
+    import zlib
+    h, w = 5, 7
+    rng = np.random.default_rng(6)
+    img = rng.random((h, w, 3)).astype("<f2")
+    chlist = b""
+    for n in (b"B", b"G", b"R"):
+        chlist += n + b"\0" + struct.pack("<i", 1) + b"\0\0\0\0" \
+            + struct.pack("<ii", 1, 1)
+    chlist += b"\0"
+    box = struct.pack("<4i", 0, 0, w - 1, h - 1)
+    hdr = struct.pack("<II", exr._MAGIC, 2)
+    hdr += exr._attr(b"channels", b"chlist", chlist)
+    hdr += exr._attr(b"compression", b"compression",
+                     bytes([exr._PXR24]))
+    hdr += exr._attr(b"dataWindow", b"box2i", box)
+    hdr += exr._attr(b"displayWindow", b"box2i", box)
+    hdr += exr._attr(b"lineOrder", b"lineOrder", b"\0")
+    hdr += b"\0"
+    # one chunk (h <= 16): per line, per channel: split u16 rows into
+    # hi/lo byte planes of per-row deltas
+    planes = bytearray()
+    for y in range(h):
+        for ch in (2, 1, 0):  # B, G, R
+            row = img[y, :, ch].view(np.uint16).astype(np.int64)
+            d = np.diff(row, prepend=0) & 0xFFFFFFFF
+            planes += (d >> 8).astype(np.uint8).tobytes()
+            planes += (d & 0xFF).astype(np.uint8).tobytes()
+    packed = zlib.compress(bytes(planes))
+    chunk = struct.pack("<ii", 0, len(packed)) + packed
+    out = bytearray(hdr)
+    out += struct.pack("<Q", len(hdr) + 8)
+    out += chunk
+    tex = exr.load_from_exr_memory(bytes(out))
+    got = np.asarray(tex.levels[0][0])
+    np.testing.assert_array_equal(got[..., :3], img.astype(np.float32))
