@@ -357,7 +357,7 @@ def decode_bc7(blocks: jnp.ndarray) -> jnp.ndarray:
     out = jnp.where(mode[None, None, :] >= 8, 0, out)
     # float(c)/255 — identical arithmetic to the _T255 table entries
     outf = jnp.clip(out, 0, 255).astype(jnp.float32) * jnp.float32(1 / 255)
-    return jnp.transpose(outf, (2, 0, 1))         # [NB, 16, 4]
+    return jnp.transpose(outf, (2, 0, 1))         # [NB, 16, 4]\n
 
 
 
@@ -459,7 +459,7 @@ def _pal_weight(k, K: int):
 
 
 def _assign_indices_t(px_i, u0, u1, prec: int, mask, channels=4,
-                      ch_start=0, aw: float = 1.0, alpha_ch=3):
+                      ch_start=0, aw: float = 1.0, alpha_ch: int = 3):
     """Projection-based index assignment over lane-major planes.
 
     Follows the reference's own GPU encoder (BC7Encode.hlsl:501-533 /
@@ -498,17 +498,10 @@ def _assign_indices_t(px_i, u0, u1, prec: int, mask, channels=4,
         r = (d - ((wk * ee[None, :] + 32) >> 6)).astype(jnp.float32)
         # alpha error weighting: scoring only, the projection stays
         # unweighted; under modes 4/5 rotation the true alpha channel sits
-        # at alpha_ch (an int, or a per-lane [NB] row after a fold over
-        # rotations), matching the shader's un-rotate before ComputeError
+        # at alpha_ch, matching the shader's un-rotate before ComputeError
         # (BC7Encode.hlsl:239-241, :519-533)
-        if aw == 1.0:
-            dist = dist + r * r
-        elif isinstance(alpha_ch, int):
-            dist = dist + (r * r * aw if c == alpha_ch else r * r)
-        else:
-            wch = jnp.where(alpha_ch == c, jnp.float32(aw),
-                            jnp.float32(1.0))[None, :]
-            dist = dist + r * r * wch
+        dist = dist + (r * r if (c != alpha_ch or aw == 1.0)
+                       else r * r * aw)
     err = jnp.sum(jnp.where(mask, dist, 0.0), axis=0)
     return idx, err
 
@@ -640,9 +633,7 @@ def _emit_bc7(mode_id: int, shape, rotation: int, index_mode: int,
         words = _scatter_bits(words, sh.astype(jnp.uint32), bit, m.partition_bits)
         bit += m.partition_bits
     if m.rotation_bits:
-        rv = rotation if not isinstance(rotation, int) else jnp.full(
-            (nb,), rotation, jnp.uint32)
-        words = _scatter_bits(words, rv.astype(jnp.uint32),
+        words = _scatter_bits(words, jnp.full((nb,), rotation, jnp.uint32),
                               bit, m.rotation_bits)
         bit += m.rotation_bits
     if m.index_mode_bits:
@@ -758,89 +749,6 @@ def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id,
     return total_err, q0s, q1s, p0s, p1s, idx_full
 
 
-def _eval_subset_passA(px_i, px_f, mask_list, mode_id, aw: float = 1.0):
-    """Pass A of the candidate search: axis fit + quantize + projection
-    assignment, NO refit. Returns (errs [per-subset list of [NB]],
-    e0f_s, e1f_s [per-subset [4, NB] float endpoints], idx [16, NB]).
-
-    The refit + second evaluation run once, on the per-mode fold winner
-    (_refine_subsets), instead of on every shape candidate — the staged
-    search the reference's own GPU encoder uses (BCDirectCompute.cpp:373+,
-    rank candidates with the cheap pass, refine the survivors)."""
-    m = _BC7_MODES[mode_id]
-    shared_p = m.p_bits == (m.partitions + 1) and m.p_bits > 0
-    prec = m.index_prec
-
-    errs, e0f_s, e1f_s = [], [], []
-    idx_full = jnp.zeros((px_i.shape[0], px_i.shape[2]), jnp.int32)
-    for mask in mask_list:
-        e0f, e1f = _minmax_axis_endpoints_t(px_f, mask,
-                                            with_alpha=m.rgba_prec[3] > 0)
-        q0, q1, p0, p1 = _quantize_endpoints_t(e0f, e1f, m)
-        u0, u1 = _unquantize_with_p_t(q0, q1, p0, p1, m, shared_p)
-        idx, err = _assign_indices_t(px_i, u0, u1, prec, mask, aw=aw)
-        errs.append(err)
-        e0f_s.append(e0f)
-        e1f_s.append(e1f)
-        idx_full = jnp.where(mask, idx, idx_full)
-    return errs, e0f_s, e1f_s, idx_full
-
-
-def _refine_subsets(px_i, px_f, mask_list, anchors, mode_id, errsA,
-                    e0f_s, e1f_s, idxA, aw: float = 1.0):
-    """Refine the fold winner: requantize its pass-A endpoints, one
-    least-squares refit from the pass-A indices, second evaluation,
-    per-subset keep-better, anchor swaps.
-    Returns (total_err, q0s, q1s, p0s, p1s, idx_full)."""
-    m = _BC7_MODES[mode_id]
-    shared_p = m.p_bits == (m.partitions + 1) and m.p_bits > 0
-    prec = m.index_prec
-
-    total_err = jnp.zeros(px_i.shape[2], jnp.float32)
-    e_pairs, p_pairs = [], []
-    idx_full = jnp.zeros_like(idxA)
-    for sub, mask in enumerate(mask_list):
-        # pass-A quantization is a pure function of the carried floats
-        q0a, q1a, p0a, p1a = _quantize_endpoints_t(e0f_s[sub], e1f_s[sub], m)
-        err_a = errsA[sub]
-        e0c, e1c = _ls_refit_t(px_f, idxA, mask, prec, e0f_s[sub],
-                               e1f_s[sub])
-        q0b, q1b, p0b, p1b = _quantize_endpoints_t(e0c, e1c, m)
-        u0, u1 = _unquantize_with_p_t(q0b, q1b, p0b, p1b, m, shared_p)
-        idx_r, err_r = _assign_indices_t(px_i, u0, u1, prec, mask, aw=aw)
-        better = err_r < err_a
-        q0 = jnp.where(better[None, :], q0b, q0a)
-        q1 = jnp.where(better[None, :], q1b, q1a)
-        p0 = jnp.where(better, p0b, p0a)
-        p1 = jnp.where(better, p1b, p1a)
-        idx = jnp.where(better[None, :], idx_r, idxA)
-        err = jnp.where(better, err_r, err_a)
-        total_err = total_err + err
-        e_pairs.append((q0, q1))
-        p_pairs.append((p0, p1))
-        idx_full = jnp.where(mask, idx, idx_full)
-
-    msb = 1 << (prec - 1)
-    maxi = (1 << prec) - 1
-    q0s, q1s, p0s, p1s = [], [], [], []
-    for sub, (mask, anchor) in enumerate(zip(mask_list, anchors)):
-        if isinstance(anchor, int):
-            a_idx = idx_full[anchor]
-        else:
-            a_idx = jnp.zeros(idx_full.shape[1], jnp.int32)
-            for i in range(16):
-                a_idx = jnp.where(anchor == i, idx_full[i], a_idx)
-        swap = (a_idx & msb) != 0
-        q0, q1 = e_pairs[sub]
-        p0, p1 = p_pairs[sub]
-        q0s.append(jnp.where(swap[None, :], q1, q0))
-        q1s.append(jnp.where(swap[None, :], q0, q1))
-        p0s.append(jnp.where(swap, p1, p0))
-        p1s.append(jnp.where(swap, p0, p1))
-        idx_full = jnp.where(swap[None, :] & mask, maxi - idx_full, idx_full)
-    return total_err, q0s, q1s, p0s, p1s, idx_full
-
-
 # Shapes fully refined per partitioned mode after the cheap estimate pass.
 # Measured quality on hard two-region content: 1 cand -36.23 dB,
 # 2 -36.36, 4 -36.47, 8 -36.57 (reference refines 16 = uShapes/4,
@@ -904,29 +812,6 @@ def _top_k_shapes(ests, k: int):
     return picks
 
 
-def _where_state(cond, a, b):
-    """Elementwise per-lane select between two state tuples; every array
-    has the lane axis last, cond is [NB]."""
-    return tuple(
-        jnp.where(cond.reshape((1,) * (x.ndim - 1) + cond.shape), x, y)
-        for x, y in zip(a, b))
-
-
-def _fold_top2(top2, state):
-    """Streaming per-lane top-2 fold by state[0] (error). top2 is a
-    [best, second] list (entries None until populated)."""
-    best, second = top2
-    if best is None:
-        return [state, None]
-    bt = state[0] < best[0]
-    new_best = _where_state(bt, state, best)
-    demoted = _where_state(bt, best, state)
-    if second is None:
-        return [new_best, demoted]
-    st = demoted[0] < second[0]
-    return [new_best, _where_state(st, demoted, second)]
-
-
 def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None,
                         aw: float = 1.0):
     """Modes 0/1/2/3/7: estimate all shapes, fully refine the best
@@ -960,38 +845,15 @@ def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None,
     # mode 0 has a 4-bit partition field: only shapes 0..15 are encodable
     ests = ests[:1 << m.partition_bits]
 
-    n_sub = m.partitions + 1
-    # pass A over every candidate; keep the per-lane top-2 by pass-A
-    # error and refine only those two (refining only the single pass-A
-    # winner loses ~0.1 dB on hard two-region content when the refit
-    # reorders the top-2; the second refine lane recovers it)
-    picks = _top_k_shapes(ests, BC7_SHAPE_CANDIDATES)
-
-    top2 = [None, None]
-    for s_blk in picks:
-        pmask = parts_tab[s_blk].T                       # [16, NB]
-        mask_list = [pmask == p for p in range(n_sub)]
-        errs, e0f_s, e1f_s, idxA = _eval_subset_passA(
-            px_i, px_f, mask_list, mode_id, aw=aw)
-        state = (sum(errs), s_blk, jnp.stack(errs),
-                 jnp.stack(e0f_s), jnp.stack(e1f_s), idxA)
-        top2 = _fold_top2(top2, state)
-
     best_err = jnp.full((nb,), jnp.inf, jnp.float32)
     best_words = jnp.zeros((nb, 4), jnp.uint32)
-    for best in top2:
-        if best is None:
-            continue
-        _, s_blk, errsA, e0f_w, e1f_w, idxA = best
-        pmask = parts_tab[s_blk].T
-        mask_list = [pmask == p for p in range(n_sub)]
+    for s_blk in _top_k_shapes(ests, BC7_SHAPE_CANDIDATES):
+        pmask = parts_tab[s_blk].T                       # [16, NB]
+        mask_list = [pmask == p for p in range(m.partitions + 1)]
         anchors = [0 if p == 0 else fix_tab[s_blk, p].astype(jnp.int32)
-                   for p in range(n_sub)]
-        err, q0s, q1s, p0s, p1s, idx = _refine_subsets(
-            px_i, px_f, mask_list, anchors, mode_id,
-            [errsA[p] for p in range(n_sub)],
-            [e0f_w[p] for p in range(n_sub)],
-            [e1f_w[p] for p in range(n_sub)], idxA, aw=aw)
+                   for p in range(m.partitions + 1)]
+        err, q0s, q1s, p0s, p1s, idx = _eval_subset_candidate(
+            px_i, px_f, mask_list, anchors, mode_id, aw=aw)
         words = _emit_bc7(mode_id, s_blk.astype(jnp.uint32), 0, 0,
                           q0s, q1s, p0s, p1s, idx, None, nb)
         better = err < best_err
@@ -1000,62 +862,68 @@ def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None,
     return best_err, best_words
 
 
-def _rot_select_planes(px, rot):
-    """Per-lane rotation channel swap: px [16, 4, NB], rot [NB] in 0..3
-    (rotation r swaps channel r-1 with alpha; BC6HBC7.cpp decode :2620)."""
-    r = rot[None, :]
-    c0 = jnp.where(r == 1, px[:, 3, :], px[:, 0, :])
-    c1 = jnp.where(r == 2, px[:, 3, :], px[:, 1, :])
-    c2 = jnp.where(r == 3, px[:, 3, :], px[:, 2, :])
-    c3 = jnp.where(r == 1, px[:, 0, :],
-                   jnp.where(r == 2, px[:, 1, :],
-                             jnp.where(r == 3, px[:, 2, :], px[:, 3, :])))
-    return jnp.stack([c0, c1, c2, c3], axis=1)
+def _dual_eval_ref(pr_i, pr_f, mode_id, im, aw: float = 1.0,
+                   alpha_ch: int = 3):
+    """Dual-index (modes 4/5) candidate evaluation, jnp reference path.
 
-
-def _dual_passA(pr_i, mode_id, im, e0f, e1f, aw: float = 1.0,
-                alpha_ch=3):
-    """Pass A of the dual-index (modes 4/5) search: quantize the axis-fit
-    endpoints, independent color/alpha projection assignments — no refit
-    (that runs once on the rotation-fold winner in _try_single_mode).
-    Returns (cidx, aidx [16, NB], err [NB])."""
+    RGB axis-fit + alpha min/max endpoints (RoughMSE, BC6HBC7.cpp:3553),
+    quantize, independent color/alpha palette searches at the two index
+    precisions, one least-squares refit per group, second evaluation,
+    keep-best. Returns (q0, q1 [4, NB], p0, p1 [NB], cidx, aidx [16, NB],
+    err [NB]). pallas_kernels.dual_eval_pallas fuses this same math."""
     m = _BC7_MODES[mode_id]
     nb = pr_i.shape[2]
     mask = jnp.ones((16, nb), bool)
     cprec = m.index_prec2 if im else m.index_prec
     aprec = m.index_prec if im else m.index_prec2
-    q0, q1, p0, p1 = _quantize_endpoints_t(e0f, e1f, m)
-    u0, u1 = _unquantize_with_p_t(q0, q1, p0, p1, m, False)
-    cidx, cerr = _assign_indices_t(pr_i, u0, u1, cprec, mask,
-                                   channels=3, aw=aw, alpha_ch=alpha_ch)
-    aidx, aerr = _assign_indices_t(pr_i, u0, u1, aprec, mask,
-                                   channels=4, ch_start=3, aw=aw,
-                                   alpha_ch=alpha_ch)
-    return cidx, aidx, cerr + aerr
+
+    def qpal(e0f_, e1f_):
+        q0, q1, p0, p1 = _quantize_endpoints_t(e0f_, e1f_, m)
+        u0, u1 = _unquantize_with_p_t(q0, q1, p0, p1, m, False)
+        cidx, cerr = _assign_indices_t(pr_i, u0, u1, cprec, mask,
+                                       channels=3, aw=aw,
+                                       alpha_ch=alpha_ch)
+        aidx, aerr = _assign_indices_t(pr_i, u0, u1, aprec, mask,
+                                       channels=4, ch_start=3, aw=aw,
+                                       alpha_ch=alpha_ch)
+        return q0, q1, p0, p1, cidx, aidx, cerr + aerr
+
+    e0f, e1f = _minmax_axis_endpoints_t(pr_f, mask, with_alpha=False)
+    a_min = jnp.min(pr_f[:, 3, :], axis=0)
+    a_max = jnp.max(pr_f[:, 3, :], axis=0)
+    e0f = e0f.at[3].set(a_min)
+    e1f = e1f.at[3].set(a_max)
+
+    q0, q1, p0, p1, cidx, aidx, err = qpal(e0f, e1f)
+    e0c, e1c = e0f, e1f
+    e0c, e1c = _ls_refit_t(pr_f, cidx, mask, cprec, e0c, e1c,
+                           ch_start=0, ch_end=3)
+    e0c, e1c = _ls_refit_t(pr_f, aidx, mask, aprec, e0c, e1c,
+                           ch_start=3, ch_end=4)
+    q0b, q1b, p0b, p1b, cidx_b, aidx_b, err_b = qpal(e0c, e1c)
+    better = err_b < err
+    q0 = jnp.where(better[None, :], q0b, q0)
+    q1 = jnp.where(better[None, :], q1b, q1)
+    cidx = jnp.where(better[None, :], cidx_b, cidx)
+    aidx = jnp.where(better[None, :], aidx_b, aidx)
+    err = jnp.minimum(err_b, err)
+    p0 = jnp.where(better, p0b, p0)
+    p1 = jnp.where(better, p1b, p1)
+    return q0, q1, p0, p1, cidx, aidx, err
 
 
 def _try_single_mode(px_i, px_f, mode_id, aw: float = 1.0):
-    """Modes 4/5/6: single subset, rotations x index modes. Rotations fold
-    on the cheap pass-A error; the refit + second evaluation run once per
-    index mode, on the winning rotation (with its channel permutation
-    selected per lane). Returns (err [NB], words [NB, 4])."""
+    """Modes 4/5/6: single subset, rotations x index modes.
+    Returns (err [NB], words [NB, 4])."""
     m = _BC7_MODES[mode_id]
     nb = px_i.shape[2]
     mask = jnp.ones((16, nb), bool)
     n_rot = 1 << m.rotation_bits
     n_im = 1 << m.index_mode_bits
 
-    if m.index_prec2 == 0:
-        # mode 6: joint RGBA indices, single candidate — refine inline
-        err, q0s, q1s, p0s, p1s, idx = _eval_subset_candidate(
-            px_i, px_f, [mask], [0], mode_id, aw=aw)
-        words = _emit_bc7(mode_id, 0, 0, 0, q0s, q1s, p0s, p1s,
-                          idx, None, nb)
-        return err, words
+    best_err = jnp.full((nb,), jnp.inf, jnp.float32)
+    best_words = jnp.zeros((nb, 4), jnp.uint32)
 
-    # axis fit per rotation (RoughMSE, BC6HBC7.cpp:3553): RGB axis pick +
-    # alpha min/max — this is rotation-dependent but index-mode-invariant
-    rot_data = []
     for rot in range(n_rot):
         if rot == 0:
             pr_i, pr_f = px_i, px_f
@@ -1065,77 +933,36 @@ def _try_single_mode(px_i, px_f, mode_id, aw: float = 1.0):
             perm[ch], perm[3] = 3, ch
             pr_i = px_i[:, perm, :]
             pr_f = px_f[:, perm, :]
-        e0f, e1f = _minmax_axis_endpoints_t(pr_f, mask, with_alpha=False)
-        e0f = e0f.at[3].set(jnp.min(pr_f[:, 3, :], axis=0))
-        e1f = e1f.at[3].set(jnp.max(pr_f[:, 3, :], axis=0))
-        rot_data.append((pr_i, pr_f, e0f, e1f))
+        alpha_ch = 3 if rot == 0 else rot - 1
+        for im in range(n_im):
+            if m.index_prec2 == 0:
+                # mode 6: joint RGBA indices
+                err, q0s, q1s, p0s, p1s, idx = _eval_subset_candidate(
+                    pr_i, pr_f, [mask], [0], mode_id, aw=aw)
+                words = _emit_bc7(mode_id, 0, rot, im, q0s, q1s, p0s, p1s,
+                                  idx, None, nb)
+            else:
+                q0, q1, p0, p1, cidx, aidx, err = _dual_eval_ref(
+                    pr_i, pr_f, mode_id, im, aw=aw, alpha_ch=alpha_ch)
 
-    best_err = jnp.full((nb,), jnp.inf, jnp.float32)
-    best_words = jnp.zeros((nb, 4), jnp.uint32)
-    p1_, p2_ = m.index_prec, m.index_prec2
-    for im in range(n_im):
-        cprec = p2_ if im else p1_
-        aprec = p1_ if im else p2_
-        # pass A per rotation, keep the per-lane top-2 (refit can reorder
-        # close rotations; one extra refine lane recovers the loss)
-        top2 = [None, None]
-        for rot in range(n_rot):
-            pr_i, pr_f, e0f, e1f = rot_data[rot]
-            alpha_ch = 3 if rot == 0 else rot - 1
-            cidx, aidx, err = _dual_passA(pr_i, mode_id, im, e0f, e1f,
-                                          aw=aw, alpha_ch=alpha_ch)
-            top2 = _fold_top2(top2, (err, jnp.full((nb,), rot, jnp.int32),
-                                     e0f, e1f, cidx, aidx))
-
-        for cand in top2:
-            if cand is None:
-                continue
-            err_a, rot_w, e0f, e1f, cidx, aidx = cand
-            alpha_ch = jnp.where(rot_w == 0, 3, rot_w - 1)
-            pr_i = _rot_select_planes(px_i, rot_w)
-            pr_f = _rot_select_planes(px_f, rot_w)
-
-            # refine: requantize its floats, refit, second pass
-            q0a, q1a, p0a, p1a = _quantize_endpoints_t(e0f, e1f, m)
-            e0c, e1c = _ls_refit_t(pr_f, cidx, mask, cprec, e0f, e1f,
-                                   ch_start=0, ch_end=3)
-            e0c, e1c = _ls_refit_t(pr_f, aidx, mask, aprec, e0c, e1c,
-                                   ch_start=3, ch_end=4)
-            q0b, q1b, p0b, p1b = _quantize_endpoints_t(e0c, e1c, m)
-            u0, u1 = _unquantize_with_p_t(q0b, q1b, p0b, p1b, m, False)
-            cidx_b, cerr_b = _assign_indices_t(pr_i, u0, u1, cprec, mask,
-                                               channels=3, aw=aw,
-                                               alpha_ch=alpha_ch)
-            aidx_b, aerr_b = _assign_indices_t(pr_i, u0, u1, aprec, mask,
-                                               channels=4, ch_start=3,
-                                               aw=aw, alpha_ch=alpha_ch)
-            err_b = cerr_b + aerr_b
-            better = err_b < err_a
-            q0 = jnp.where(better[None, :], q0b, q0a)
-            q1 = jnp.where(better[None, :], q1b, q1a)
-            p0 = jnp.where(better, p0b, p0a)
-            p1 = jnp.where(better, p1b, p1a)
-            cidx = jnp.where(better[None, :], cidx_b, cidx)
-            aidx = jnp.where(better[None, :], aidx_b, aidx)
-            err = jnp.minimum(err_b, err_a)
-
-            # anchor fixes: color and alpha endpoint components swap
-            # INDEPENDENTLY (AssignIndices, BC6HBC7.cpp:3196-3216)
-            w1 = cidx if im == 0 else aidx
-            w2 = aidx if im == 0 else cidx
-            msb1, maxi1 = 1 << (p1_ - 1), (1 << p1_) - 1
-            msb2, maxi2 = 1 << (p2_ - 1), (1 << p2_) - 1
-            swap1 = (w1[0] & msb1) != 0
-            w1 = jnp.where(swap1[None, :], maxi1 - w1, w1)
-            swap2 = (w2[0] & msb2) != 0
-            w2 = jnp.where(swap2[None, :], maxi2 - w2, w2)
-            swap_rgb = swap1 if im == 0 else swap2
-            swap_a = swap2 if im == 0 else swap1
-            do_swap = jnp.stack([swap_rgb, swap_rgb, swap_rgb, swap_a])
-            q0f = jnp.where(do_swap, q1, q0)
-            q1f = jnp.where(do_swap, q0, q1)
-            words = _emit_bc7(mode_id, 0, rot_w, im, [q0f], [q1f],
-                              [p0], [p1], w1, w2, nb)
+                # anchor fixes: color and alpha endpoint components swap
+                # INDEPENDENTLY (AssignIndices, BC6HBC7.cpp:3196-3216)
+                w1 = cidx if im == 0 else aidx
+                w2 = aidx if im == 0 else cidx
+                p1_, p2_ = m.index_prec, m.index_prec2
+                msb1, maxi1 = 1 << (p1_ - 1), (1 << p1_) - 1
+                msb2, maxi2 = 1 << (p2_ - 1), (1 << p2_) - 1
+                swap1 = (w1[0] & msb1) != 0
+                w1 = jnp.where(swap1[None, :], maxi1 - w1, w1)
+                swap2 = (w2[0] & msb2) != 0
+                w2 = jnp.where(swap2[None, :], maxi2 - w2, w2)
+                swap_rgb = swap1 if im == 0 else swap2
+                swap_a = swap2 if im == 0 else swap1
+                do_swap = jnp.stack([swap_rgb, swap_rgb, swap_rgb, swap_a])
+                q0f = jnp.where(do_swap, q1, q0)
+                q1f = jnp.where(do_swap, q0, q1)
+                words = _emit_bc7(mode_id, 0, rot, im, [q0f], [q1f],
+                                  [p0], [p1], w1, w2, nb)
             better = err < best_err
             best_words = jnp.where(better[:, None], words, best_words)
             best_err = jnp.minimum(err, best_err)

@@ -59,15 +59,13 @@ def _k_sel_px(masks, vals):
 
 
 def _project_assign(xs, u0l, u1l, prec: int, lo: int, hi: int,
-                    aw: float = 1.0, alpha_ch=3):
+                    aw: float = 1.0, alpha_ch: int = 3):
     """Projection index assignment (same math as bc67._assign_indices_t):
     snap each pixel's 0..64 axis projection to the nearest interpolation
     weight, then exact integer-palette distance for the chosen index.
 
     xs: per-channel [16, T] int32 pixel planes; u0l/u1l: per-channel [T]
-    int32 endpoints. alpha_ch: int, or a per-lane [T] int32 row after a
-    fold over modes-4/5 rotations. Returns (idx [16, T] int32,
-    dist [16, T] f32)."""
+    int32 endpoints. Returns (idx [16, T] int32, dist [16, T] f32)."""
     K = 1 << prec
     d0 = [xs[c] - u0l[c][None, :] for c in range(lo, hi)]
     e = [u1l[c] - u0l[c] for c in range(lo, hi)]
@@ -91,14 +89,8 @@ def _project_assign(xs, u0l, u1l, prec: int, lo: int, hi: int,
         r = (d - ((wk * ee[None, :] + 32) >> 6)).astype(jnp.float32)
         # alpha weighting hits the scoring only, like the projection-
         # unweighted reference shader (BC7Encode.hlsl:239-241)
-        if aw == 1.0:
-            dist = dist + r * r
-        elif isinstance(alpha_ch, int):
-            dist = dist + (r * r * aw if c == alpha_ch else r * r)
-        else:
-            wch = jnp.where(alpha_ch == c, jnp.float32(aw),
-                            jnp.float32(1.0))[None, :]
-            dist = dist + r * r * wch
+        dist = dist + (r * r if (c != alpha_ch or aw == 1.0)
+                       else r * r * aw)
     return idx, dist
 
 
@@ -488,11 +480,20 @@ def _k_emit(mode_id: int, t, s_blk, rot, im, q0s, q1s, p0s, p1s,
     return kw.stack()
 
 
-def _k_qpal(xs, masks, e0_s, e1_s, mode_id: int, aw: float = 1.0):
-    """Quantize per-subset float endpoints and run the fused per-pixel
-    projection assignment over every subset of one shape candidate.
-    Returns (qs per-subset quant tuples, idx [16, T], errs per-subset)."""
-    rgba_prec, rgba_prec_p, iprec, shared_p, _ = _BC7_MODE_STATICS[mode_id]
+def _k_eval_subsets(xs, xf, masks, mode_id: int, axes=None,
+                    aw: float = 1.0):
+    """Every subset of one shape candidate in a single fused pass:
+    axis fit -> quantize -> projection assign -> LS refit -> second pass ->
+    keep better, with the per-pixel plane work (projection, palette
+    distance, refit moment planes) computed once and shared by all subsets
+    via per-pixel endpoint selection + masked reductions. Math identical
+    to running _k_eval_subset per subset (bc67._eval_subset_candidate).
+
+    masks: list of [16, T] bool partition masks, or [None] (single subset).
+    Returns (q0s, q1s, p0s, p1s, idx_full, errs): per-subset endpoint
+    lists, combined per-pixel indices, per-subset errors."""
+    rgba_prec, rgba_prec_p, iprec, shared_p, with_alpha = \
+        _BC7_MODE_STATICS[mode_id]
     n_sub = len(masks)
     single = masks[0] is None
 
@@ -505,66 +506,29 @@ def _k_qpal(xs, masks, e0_s, e1_s, mode_id: int, aw: float = 1.0):
             return vals[0][None, :]
         return _k_sel_px(masks, vals)
 
-    qs = [_k_quant_endpoints(e0_s[p], e1_s[p], rgba_prec, rgba_prec_p,
-                             shared_p) for p in range(n_sub)]
-    u0px = [sel([qs[p][4][c] for p in range(n_sub)]) for c in range(4)]
-    u1px = [sel([qs[p][5][c] for p in range(n_sub)]) for c in range(4)]
-    # axis direction and span are per-subset scalars, selected per-pixel
-    e_s = [[qs[p][5][c] - qs[p][4][c] for c in range(4)]
-           for p in range(n_sub)]
-    span_s = [sum(e_s[p][c] * e_s[p][c] for c in range(4)).astype(
-        jnp.float32) for p in range(n_sub)]
-    e_px = [sel([e_s[p][c] for p in range(n_sub)]) for c in range(4)]
-    span_px = sel(span_s)
-    idx, dist = _project_assign_px(xs, u0px, u1px, e_px, span_px,
-                                   iprec, aw=aw)
-    errs = [msum(dist, p) for p in range(n_sub)]
-    return qs, idx, errs
+    def qpal(e0_s, e1_s):
+        qs = [_k_quant_endpoints(e0_s[p], e1_s[p], rgba_prec, rgba_prec_p,
+                                 shared_p) for p in range(n_sub)]
+        u0px = [sel([qs[p][4][c] for p in range(n_sub)]) for c in range(4)]
+        u1px = [sel([qs[p][5][c] for p in range(n_sub)]) for c in range(4)]
+        # axis direction and span are per-subset scalars, selected per-pixel
+        e_s = [[qs[p][5][c] - qs[p][4][c] for c in range(4)]
+               for p in range(n_sub)]
+        span_s = [sum(e_s[p][c] * e_s[p][c] for c in range(4)).astype(
+            jnp.float32) for p in range(n_sub)]
+        e_px = [sel([e_s[p][c] for p in range(n_sub)]) for c in range(4)]
+        span_px = sel(span_s)
+        idx, dist = _project_assign_px(xs, u0px, u1px, e_px, span_px,
+                                       iprec, aw=aw)
+        errs = [msum(dist, p) for p in range(n_sub)]
+        return qs, idx, errs
 
-
-def _k_eval_passA(xs, xf, masks, mode_id: int, axes=None, aw: float = 1.0):
-    """Pass A of the candidate search: axis fit + quantize + fused
-    projection assignment, NO refit (bc67._eval_subset_passA). The refit
-    + second evaluation run once, on the fold winners (_k_refine_subsets)
-    — the staged search of the reference's own GPU encoder
-    (BCDirectCompute.cpp:373+: rank with the cheap pass, refine
-    survivors).
-
-    masks: list of [16, T] bool partition masks, or [None].
-    axes: optional precomputed _k_axis_multi result — the axis fit
-    depends only on (masks, with_alpha), so modes sharing both (e.g.
-    BC7 modes 1 and 3) can reuse one fit.
-    Returns (errs per-subset, e0_s, e1_s per-subset float endpoint lists,
-    idxA [16, T])."""
-    with_alpha = _BC7_MODE_STATICS[mode_id][4]
+    # axes: optional precomputed _k_axis_multi result — the axis fit
+    # depends only on (masks, with_alpha), so modes sharing both (e.g.
+    # BC7 modes 1 and 3) can reuse one fit
     e0_s, e1_s = _k_axis_multi(xf, masks, with_alpha) if axes is None \
         else axes
-    _, idxA, errsA = _k_qpal(xs, masks, e0_s, e1_s, mode_id, aw=aw)
-    return errsA, e0_s, e1_s, idxA
-
-
-def _k_refine_subsets(xs, xf, masks, mode_id: int, errsA, e0_s, e1_s,
-                      idxA, aw: float = 1.0):
-    """Refine a fold winner: requantize its pass-A float endpoints, fused
-    LS refit from the pass-A indices, second evaluation, per-subset
-    keep-better (bc67._refine_subsets; anchor swaps happen on the caller's
-    cross-candidate winner). Returns (q0s, q1s, p0s, p1s, idx_full, errs)."""
-    n_sub = len(masks)
-    single = masks[0] is None
-
-    def msum(plane, p):
-        return jnp.sum(plane if masks[p] is None
-                       else jnp.where(masks[p], plane, 0.0), axis=0)
-
-    def sel(vals):
-        if single:
-            return vals[0][None, :]
-        return _k_sel_px(masks, vals)
-
-    rgba_prec, rgba_prec_p, iprec, shared_p, _ = _BC7_MODE_STATICS[mode_id]
-    # pass-A quantization is a pure function of the carried floats
-    qsA = [_k_quant_endpoints(e0_s[p], e1_s[p], rgba_prec, rgba_prec_p,
-                              shared_p) for p in range(n_sub)]
+    qsA, idxA, errsA = qpal(e0_s, e1_s)
 
     # fused least-squares refit: weight planes shared, moments masked
     x = _pal_weight(idxA, 1 << iprec).astype(jnp.float32) * jnp.float32(1 / 64)
@@ -592,7 +556,7 @@ def _k_refine_subsets(xs, xf, masks, mode_id: int, errsA, e0_s, e1_s,
         e0r_s.append(e0n)
         e1r_s.append(e1n)
 
-    qsB, idxB, errsB = _k_qpal(xs, masks, e0r_s, e1r_s, mode_id, aw=aw)
+    qsB, idxB, errsB = qpal(e0r_s, e1r_s)
 
     better = [errsB[p] < errsA[p] for p in range(n_sub)]
     # int select: mosaic can't broadcast/select i1 vectors
@@ -609,17 +573,6 @@ def _k_refine_subsets(xs, xf, masks, mode_id: int, errsA, e0_s, e1_s,
         p1s.append(jnp.where(bt, qsB[p][3], qsA[p][3]))
         errs.append(jnp.where(bt, errsB[p], errsA[p]))
     return q0s, q1s, p0s, p1s, idx_full, errs
-
-
-def _k_eval_subsets(xs, xf, masks, mode_id: int, axes=None,
-                    aw: float = 1.0):
-    """Full single-candidate evaluation: pass A + refine (used where there
-    is only one candidate, e.g. mode 6). Math identical to running
-    _k_eval_subset per subset (bc67._eval_subset_candidate)."""
-    errsA, e0_s, e1_s, idxA = _k_eval_passA(xs, xf, masks, mode_id,
-                                            axes=axes, aw=aw)
-    return _k_refine_subsets(xs, xf, masks, mode_id, errsA, e0_s, e1_s,
-                             idxA, aw=aw)
 
 
 def _packed_tables(partitions: int, n_shapes: int):
@@ -655,64 +608,43 @@ def _k_decode_cands(sb_rows, parts: int, n_shapes: int):
     return cands
 
 
-def _k_state_where(cond, a, b):
-    """Per-lane select between two state pytrees (lane axis last; mosaic
-    can't broadcast i1 vectors, so cond reshapes to [1..., T])."""
-    return jax.tree_util.tree_map(
-        lambda x, y: jnp.where(
-            cond.reshape((1,) * (x.ndim - 1) + cond.shape), x, y), a, b)
-
-
-def _k_fold_top2(top2, state):
-    """Streaming per-lane top-2 fold by state[0] (bc67._fold_top2)."""
-    best, second = top2
-    if best is None:
-        return [state, None]
-    bt = state[0] < best[0]
-    new_best = _k_state_where(bt, state, best)
-    demoted = _k_state_where(bt, best, state)
-    if second is None:
-        return [new_best, demoted]
-    st = demoted[0] < second[0]
-    return [new_best, _k_state_where(st, demoted, second)]
-
-
 def _k_partition_fold(xs, xf, cands, mode_id: int, axes_list=None,
                       aw: float = 1.0):
-    """One partition mode over decoded shape candidates: cheap pass A on
-    every candidate, LS refit + second evaluation only on the per-lane
-    top-2 (bc67._try_partition_mode), anchor-swap and emit the winner.
-    axes_list optionally supplies a precomputed axis fit per candidate
-    (shared between modes with the same with_alpha). Returns (err, words)."""
+    """One partition mode over decoded shape candidates: evaluate each,
+    keep the best, anchor-swap and emit the winner. axes_list optionally
+    supplies a precomputed axis fit per candidate (shared between modes
+    with the same with_alpha). Returns (err, words)."""
     parts = _BC7_FULL_STATICS[mode_id][0]
     iprec = _BC7_FULL_STATICS[mode_id][5]
     n_sub = parts + 1
     msb, maxi = 1 << (iprec - 1), (1 << iprec) - 1
 
-    top2 = [None, None]
+    best = None
     for ci, (s_blk, pp, pa, masks) in enumerate(cands):
-        errsA, e0_s, e1_s, idxA = _k_eval_passA(
+        q0s, q1s, p0s, p1s, idx_full, errs = _k_eval_subsets(
             xs, xf, masks, mode_id,
             axes=None if axes_list is None else axes_list[ci], aw=aw)
-        top2 = _k_fold_top2(top2, (sum(errsA), s_blk, pp, pa,
-                                   errsA, e0_s, e1_s, idxA))
-
-    best = None
-    for cand in top2:
-        if cand is None:
-            continue
-        _, s_blk, pp, pa, errsA, e0_s, e1_s, idxA = cand
-        pm_w = jnp.stack([((pp >> (2 * i)) & 3).astype(jnp.int32)
-                          for i in range(16)])
-        masks = [pm_w == p for p in range(n_sub)]
-        q0s, q1s, p0s, p1s, idx_full, errs = _k_refine_subsets(
-            xs, xf, masks, mode_id, errsA, e0_s, e1_s, idxA, aw=aw)
+        total_err = sum(errs)
         # anchor swaps happen once, on the fold winner, below
-        state = (sum(errs), s_blk, q0s, q1s, p0s, p1s, idx_full, pp, pa)
+        state = (total_err, s_blk, q0s, q1s, p0s, p1s, idx_full, pp, pa)
         if best is None:
             best = state
             continue
-        best = _k_state_where(state[0] < best[0], state, best)
+        bt = state[0] < best[0]
+        bt16 = bt[None, :]
+        best = (
+            jnp.where(bt, state[0], best[0]),
+            jnp.where(bt, state[1], best[1]),
+            [[jnp.where(bt, state[2][s][c], best[2][s][c])
+              for c in range(4)] for s in range(n_sub)],
+            [[jnp.where(bt, state[3][s][c], best[3][s][c])
+              for c in range(4)] for s in range(n_sub)],
+            [jnp.where(bt, state[4][s], best[4][s]) for s in range(n_sub)],
+            [jnp.where(bt, state[5][s], best[5][s]) for s in range(n_sub)],
+            jnp.where(bt16, state[6], best[6]),
+            jnp.where(bt, state[7], best[7]),
+            jnp.where(bt, state[8], best[8]),
+        )
 
     err, s_blk, q0s, q1s, p0s, p1s, idx_full, pp, pa = best
     # anchor swaps on the winner only (AssignIndices, BC6HBC7.cpp:3181-3194)
@@ -833,86 +765,70 @@ def _k_rot_data(xs0):
     return rot_data
 
 
-def _k_rot_sel(xs, rot):
-    """Per-lane rotation channel swap of 4 [16, T] planes
-    (bc67._rot_select_planes): rotation r swaps channel r-1 with alpha."""
-    r = rot[None, :]
-    c0 = jnp.where(r == 1, xs[3], xs[0])
-    c1 = jnp.where(r == 2, xs[3], xs[1])
-    c2 = jnp.where(r == 3, xs[3], xs[2])
-    c3 = jnp.where(r == 1, xs[0],
-                   jnp.where(r == 2, xs[1],
-                             jnp.where(r == 3, xs[2], xs[3])))
-    return [c0, c1, c2, c3]
-
-
 def _k_mode45(rot_data, mode_id: int, aw: float = 1.0):
-    """Mode 4 or 5: dual indices over rotation x index-mode combos.
-    Rotations fold per-lane on the cheap pass-A (no-refit) error; the LS
-    refit + second evaluation run only on each index mode's top-2
-    rotations (bc67._try_single_mode). Anchor fixes happen once, on the
-    overall winner. Returns (err, words)."""
+    """Mode 4 or 5: dual indices over rotation x index-mode combos,
+    keep-best, anchor fixes on the winner (bc67._try_single_mode).
+    Returns (err, words)."""
     (_, _, _, rot_bits, im_bits, prec1, prec2, rgba_prec,
      rgba_prec_p) = _BC7_FULL_STATICS[mode_id]
-    # first-pass endpoint quantization depends only on the rotation
-    quant_r = [_k_quant_endpoints(e0, e1, rgba_prec, rgba_prec_p, False)
-               for (_, _, e0, e1) in rot_data]
-
     best = None
-    for im in range(1 << im_bits):
-        cprec = prec2 if im else prec1
-        aprec = prec1 if im else prec2
+    for rot in range(1 << rot_bits):
+        xs, xf, e0, e1 = rot_data[rot]
+        alpha_ch = 3 if rot == 0 else rot - 1
+        # first-pass endpoint quantization depends only on the rotation
+        q0r, q1r, _, _, u0r, u1r = _k_quant_endpoints(
+            e0, e1, rgba_prec, rgba_prec_p, False)
+        for im in range(1 << im_bits):
+            cprec = prec2 if im else prec1
+            aprec = prec1 if im else prec2
 
-        # pass A per rotation: projection assignments at the two index
-        # precisions, fold the per-lane top-2 by pass-A error
-        top2 = [None, None]
-        for rot in range(1 << rot_bits):
-            xs, xf, e0, e1 = rot_data[rot]
-            alpha_ch = 3 if rot == 0 else rot - 1
-            _, _, _, _, u0r, u1r = quant_r[rot]
-            cidx, cdist = _project_assign(xs, u0r, u1r, cprec, 0, 3,
-                                          aw=aw, alpha_ch=alpha_ch)
-            aidx, adist = _project_assign(xs, u0r, u1r, aprec, 3, 4,
-                                          aw=aw, alpha_ch=alpha_ch)
-            err = jnp.sum(cdist, axis=0) + jnp.sum(adist, axis=0)
-            top2 = _k_fold_top2(
-                top2, (err, jnp.full_like(cidx[0], rot), e0, e1,
-                       cidx, aidx))
+            def qpal(e0l, e1l, pre=None):
+                if pre is None:
+                    q0l, q1l, _, _, u0l, u1l = _k_quant_endpoints(
+                        e0l, e1l, rgba_prec, rgba_prec_p, False)
+                else:
+                    q0l, q1l, u0l, u1l = pre
+                cidx, cdist = _project_assign(xs, u0l, u1l, cprec, 0, 3,
+                                              aw=aw, alpha_ch=alpha_ch)
+                aidx, adist = _project_assign(xs, u0l, u1l, aprec, 3, 4,
+                                              aw=aw, alpha_ch=alpha_ch)
+                return (q0l, q1l, cidx, aidx,
+                        jnp.sum(cdist, axis=0) + jnp.sum(adist, axis=0))
 
-        for cand in top2:
-            if cand is None:
-                continue
-            err_a, rot_w, e0, e1, cidx, aidx = cand
-            alpha_ch = jnp.where(rot_w == 0, 3, rot_w - 1)
-            xs = _k_rot_sel(rot_data[0][0], rot_w)
-            xf = [x.astype(jnp.float32) for x in xs]
-
-            # refine: requantize the carried floats, refit, second pass
-            q0a, q1a, _, _, _, _ = _k_quant_endpoints(
-                e0, e1, rgba_prec, rgba_prec_p, False)
+            q0, q1, cidx, aidx, err = qpal(e0, e1,
+                                           pre=(q0r, q1r, u0r, u1r))
             e0c, e1c = _k_refit(xf, cidx, None, cprec, e0, e1, 0, 3)
             e0c, e1c = _k_refit(xf, aidx, None, aprec, e0c, e1c, 3, 4)
-            q0b, q1b, _, _, u0b, u1b = _k_quant_endpoints(
-                e0c, e1c, rgba_prec, rgba_prec_p, False)
-            cidx_b, cdist_b = _project_assign(xs, u0b, u1b, cprec, 0, 3,
-                                              aw=aw, alpha_ch=alpha_ch)
-            aidx_b, adist_b = _project_assign(xs, u0b, u1b, aprec, 3, 4,
-                                              aw=aw, alpha_ch=alpha_ch)
-            err_b = jnp.sum(cdist_b, axis=0) + jnp.sum(adist_b, axis=0)
-            bt = err_b < err_a
+            q0b, q1b, cidx_b, aidx_b, err_b = qpal(e0c, e1c)
+            bt = err_b < err
             bt16 = bt[None, :]
-            q0 = [jnp.where(bt, q0b[c], q0a[c]) for c in range(4)]
-            q1 = [jnp.where(bt, q1b[c], q1a[c]) for c in range(4)]
+            q0 = [jnp.where(bt, q0b[c], q0[c]) for c in range(4)]
+            q1 = [jnp.where(bt, q1b[c], q1[c]) for c in range(4)]
             cidx = jnp.where(bt16, cidx_b, cidx)
             aidx = jnp.where(bt16, aidx_b, aidx)
-            err = jnp.minimum(err_b, err_a)
+            err = jnp.minimum(err_b, err)
 
-            state = (err, rot_w.astype(jnp.float32),
-                     jnp.full_like(err, im), q0, q1, cidx, aidx)
+            # anchor fixes happen once, on the fold winner, below
+            state = (err,
+                     jnp.full_like(err, rot),
+                     jnp.full_like(err, im),
+                     q0, q1, cidx, aidx)
             if best is None:
                 best = state
                 continue
-            best = _k_state_where(state[0] < best[0], state, best)
+            bt = state[0] < best[0]
+            bt16 = bt[None, :]
+            best = (
+                jnp.where(bt, state[0], best[0]),
+                jnp.where(bt, state[1], best[1]),
+                jnp.where(bt, state[2], best[2]),
+                [jnp.where(bt, state[3][c], best[3][c])
+                 for c in range(4)],
+                [jnp.where(bt, state[4][c], best[4][c])
+                 for c in range(4)],
+                jnp.where(bt16, state[5], best[5]),
+                jnp.where(bt16, state[6], best[6]),
+            )
     err, rot_d, im_d, q0, q1, cidx, aidx = best
     # independent anchor fixes on the winner (BC6HBC7.cpp:3196-3216).
     # int broadcasts + full-shape compares: mosaic can't broadcast i1
