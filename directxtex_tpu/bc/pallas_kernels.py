@@ -58,15 +58,10 @@ def _k_sel_px(masks, vals):
     return out
 
 
-def _project_assign(xs, u0l, u1l, prec: int, lo: int, hi: int,
-                    aw: float = 1.0, alpha_ch: int = 3):
-    """Projection index assignment (same math as bc67._assign_indices_t):
-    snap each pixel's 0..64 axis projection to the nearest interpolation
-    weight, then exact integer-palette distance for the chosen index.
-
-    xs: per-channel [16, T] int32 pixel planes; u0l/u1l: per-channel [T]
-    int32 endpoints. Returns (idx [16, T] int32, dist [16, T] f32)."""
-    K = 1 << prec
+def _proj_p64(xs, u0l, u1l, lo: int, hi: int):
+    """Axis projection planes for _project_assign: depends only on the
+    endpoints, NOT the index precision, so modes-4/5 index-mode pairs can
+    share one projection. Returns (d0, e, p64)."""
     d0 = [xs[c] - u0l[c][None, :] for c in range(lo, hi)]
     e = [u1l[c] - u0l[c] for c in range(lo, hi)]
     dot = sum((d * ee[None, :] for d, ee in zip(d0, e)),
@@ -75,6 +70,13 @@ def _project_assign(xs, u0l, u1l, prec: int, lo: int, hi: int,
                start=jnp.zeros_like(e[0])).astype(jnp.float32)
     p64 = jnp.clip(dot * (64.0 / jnp.where(span > 0, span, 1.0))[None, :],
                    0.0, 64.0)
+    return d0, e, p64
+
+
+def _snap_dist(d0, e, p64, prec: int, lo: int,
+               aw: float = 1.0, alpha_ch: int = 3):
+    """Snap projections to palette weights + exact integer distance."""
+    K = 1 << prec
     kf = jnp.round(p64 * ((K - 1) / 64.0)).astype(jnp.int32)
     kf = jnp.clip(kf, 0, K - 1)
     wk = _pal_weight(kf, K)
@@ -92,6 +94,18 @@ def _project_assign(xs, u0l, u1l, prec: int, lo: int, hi: int,
         dist = dist + (r * r if (c != alpha_ch or aw == 1.0)
                        else r * r * aw)
     return idx, dist
+
+
+def _project_assign(xs, u0l, u1l, prec: int, lo: int, hi: int,
+                    aw: float = 1.0, alpha_ch: int = 3):
+    """Projection index assignment (same math as bc67._assign_indices_t):
+    snap each pixel's 0..64 axis projection to the nearest interpolation
+    weight, then exact integer-palette distance for the chosen index.
+
+    xs: per-channel [16, T] int32 pixel planes; u0l/u1l: per-channel [T]
+    int32 endpoints. Returns (idx [16, T] int32, dist [16, T] f32)."""
+    d0, e, p64 = _proj_p64(xs, u0l, u1l, lo, hi)
+    return _snap_dist(d0, e, p64, prec, lo, aw=aw, alpha_ch=alpha_ch)
 
 
 def _project_assign_px(xs, u0px, u1px, e_px, span_px, prec: int,
@@ -298,50 +312,66 @@ def _k_axis_multi(xf, masks, with_alpha: bool):
 
 def _k_quant_endpoints(e0l, e1l, rgba_prec, rgba_prec_p, shared_p: bool):
     """Quantize float endpoints with p-bit majority vote
-    (bc67._quantize_endpoints_t). Returns q0l, q1l, p0, p1, u0l, u1l."""
-    ei0 = [jnp.clip(jnp.round(v), 0, 255).astype(jnp.int32) for v in e0l]
-    ei1 = [jnp.clip(jnp.round(v), 0, 255).astype(jnp.int32) for v in e1l]
-    q0l, q1l = [], []
-    vote0 = jnp.zeros_like(ei0[0])
-    vote1 = jnp.zeros_like(ei1[0])
-    nvote = 0
-    for ch in range(4):
-        prec, prec_p = rgba_prec[ch], rgba_prec_p[ch]
-        if prec == 0:
-            q0l.append(jnp.zeros_like(vote0))
-            q1l.append(jnp.zeros_like(vote1))
-            continue
-        if prec != prec_p:
-            f0 = _k_quant_u8(ei0[ch], prec_p)
-            f1 = _k_quant_u8(ei1[ch], prec_p)
-            vote0 = vote0 + (f0 & 1)
-            vote1 = vote1 + (f1 & 1)
-            nvote += 1
-            q0l.append(f0 >> 1)
-            q1l.append(f1 >> 1)
-        else:
-            q0l.append(_k_quant_u8(ei0[ch], prec))
-            q1l.append(_k_quant_u8(ei1[ch], prec))
+    (bc67._quantize_endpoints_t). Returns q0l, q1l, p0, p1, u0l, u1l.
+
+    Packed implementation: 1D [T] rows occupy 1/8 of each vreg
+    (CLAUDE.md), so the 16 endpoint-channel rows run as one [8, T] plane
+    with per-row (sublane) constants; identical integer math to the
+    per-row version."""
+    x = jnp.stack(list(e0l) + list(e1l))             # [8, T] f32
+    xi = jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
+
+    prec = list(rgba_prec) * 2
+    prec_p = list(rgba_prec_p) * 2
+    vote = [0 < p != pp for p, pp in zip(prec, prec_p)]
+    zero = [p == 0 for p in prec]
+    tq = [pp if v else p for p, pp, v in zip(prec, prec_p, vote)]
+
+    def col(vals):
+        # built in-kernel from scalars (pallas rejects captured jnp
+        # constants); the where-chain folds to a constant vector
+        rows = jax.lax.broadcasted_iota(jnp.int32, (len(vals), 1), 0)
+        out = jnp.full((len(vals), 1), int(vals[0]), jnp.int32)
+        for i, v in enumerate(vals[1:], 1):
+            out = jnp.where(rows == i, int(v), out)
+        return out
+
+    bias = col([(1 << (7 - t)) if 0 < t < 8 else 0 for t in tq])
+    shift = col([(8 - t) if 0 < t < 8 else 0 for t in tq])
+    f = jnp.minimum(xi + bias, 255) >> shift
+
+    nvote = sum(vote[:4])
     if nvote:
+        vmask = col([1 if v else 0 for v in vote])
+        vbits = (f & 1) * vmask
+        vote0 = jnp.sum(vbits[:4], axis=0)
+        vote1 = jnp.sum(vbits[4:], axis=0)
         p0 = (vote0 > (nvote >> 1)).astype(jnp.int32)
         p1 = (vote1 > (nvote >> 1)).astype(jnp.int32)
     else:
-        p0 = jnp.zeros_like(ei0[0])
+        p0 = jnp.zeros_like(f[0])
         p1 = p0
     p1u = p0 if shared_p else p1
-    u0l, u1l = [], []
-    for ch in range(4):
-        prec, prec_p = rgba_prec[ch], rgba_prec_p[ch]
-        if prec == 0:
-            u0l.append(jnp.full_like(p0, 255))
-            u1l.append(jnp.full_like(p0, 255))
-            continue
-        if prec != prec_p:
-            u0l.append(_k_unquant((q0l[ch] << 1) | p0, prec_p))
-            u1l.append(_k_unquant((q1l[ch] << 1) | p1u, prec_p))
-        else:
-            u0l.append(_k_unquant(q0l[ch], prec))
-            u1l.append(_k_unquant(q1l[ch], prec))
+
+    vsel = col([1 if v else 0 for v in vote]) != 0
+    q = jnp.where(vsel, f >> 1, f)
+    zsel = col([1 if z else 0 for z in zero]) != 0
+    q = jnp.where(zsel, 0, q)
+
+    # unquantize at prec_p (== prec when no vote bit)
+    p_pl = jnp.concatenate([jnp.broadcast_to(p0[None, :], (4,) + p0.shape),
+                            jnp.broadcast_to(p1u[None, :], (4,) + p0.shape)])
+    val = jnp.where(vsel, (q << 1) | p_pl, q)
+    ls = col([(8 - pp) if 0 < pp < 8 else 0 for pp in prec_p])
+    rs = col([pp if 0 < pp < 8 else 16 for pp in prec_p])
+    c2 = (val << ls) & 0xFF
+    u = c2 | (c2 >> rs)
+    u = jnp.where(zsel, 255, u)
+
+    q0l = [q[ch] for ch in range(4)]
+    q1l = [q[4 + ch] for ch in range(4)]
+    u0l = [u[ch] for ch in range(4)]
+    u1l = [u[4 + ch] for ch in range(4)]
     return q0l, q1l, p0, p1, u0l, u1l
 
 
@@ -775,9 +805,12 @@ def _k_mode45(rot_data, mode_id: int, aw: float = 1.0):
     for rot in range(1 << rot_bits):
         xs, xf, e0, e1 = rot_data[rot]
         alpha_ch = 3 if rot == 0 else rot - 1
-        # first-pass endpoint quantization depends only on the rotation
+        # first-pass endpoint quantization AND axis projections depend
+        # only on the rotation — both index modes share them
         q0r, q1r, _, _, u0r, u1r = _k_quant_endpoints(
             e0, e1, rgba_prec, rgba_prec_p, False)
+        projc_r = _proj_p64(xs, u0r, u1r, 0, 3)
+        proja_r = _proj_p64(xs, u0r, u1r, 3, 4)
         for im in range(1 << im_bits):
             cprec = prec2 if im else prec1
             aprec = prec1 if im else prec2
@@ -786,17 +819,20 @@ def _k_mode45(rot_data, mode_id: int, aw: float = 1.0):
                 if pre is None:
                     q0l, q1l, _, _, u0l, u1l = _k_quant_endpoints(
                         e0l, e1l, rgba_prec, rgba_prec_p, False)
+                    projc = _proj_p64(xs, u0l, u1l, 0, 3)
+                    proja = _proj_p64(xs, u0l, u1l, 3, 4)
                 else:
-                    q0l, q1l, u0l, u1l = pre
-                cidx, cdist = _project_assign(xs, u0l, u1l, cprec, 0, 3,
-                                              aw=aw, alpha_ch=alpha_ch)
-                aidx, adist = _project_assign(xs, u0l, u1l, aprec, 3, 4,
-                                              aw=aw, alpha_ch=alpha_ch)
+                    q0l, q1l, projc, proja = pre
+                cidx, cdist = _snap_dist(*projc, cprec, 0,
+                                         aw=aw, alpha_ch=alpha_ch)
+                aidx, adist = _snap_dist(*proja, aprec, 3,
+                                         aw=aw, alpha_ch=alpha_ch)
                 return (q0l, q1l, cidx, aidx,
                         jnp.sum(cdist, axis=0) + jnp.sum(adist, axis=0))
 
             q0, q1, cidx, aidx, err = qpal(e0, e1,
-                                           pre=(q0r, q1r, u0r, u1r))
+                                           pre=(q0r, q1r, projc_r,
+                                                proja_r))
             e0c, e1c = _k_refit(xf, cidx, None, cprec, e0, e1, 0, 3)
             e0c, e1c = _k_refit(xf, aidx, None, aprec, e0c, e1c, 3, 4)
             q0b, q1b, cidx_b, aidx_b, err_b = qpal(e0c, e1c)

@@ -73,7 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-nmapamp", type=float, default=1.0,
                    help="normal map amplitude")
     p.add_argument("-bc", default="", metavar="FLAGS",
-                   help="BC flags: d=dither, u=uniform, q=quick, x=3subsets")
+                   help="BC flags: d=dither, u=uniform, q=quick, "
+                        "x=3subsets, m=max quality (endpoint ladder)")
     p.add_argument("-at", "--alpha-threshold", type=float, default=0.5,
                    help="BC1 alpha threshold")
     p.add_argument("-aw", "--alpha-weight", type=float, default=1.0,
@@ -429,6 +430,8 @@ def process_file(path: str, args, log=print) -> str:
             cflags |= TC.BC7_QUICK
         if "x" in args.bc:
             cflags |= TC.BC7_USE_3SUBSETS
+        if "m" in args.bc:
+            cflags |= TC.BC7_MAXQUALITY
         tex = compress(tex, target_fmt, cflags, args.alpha_threshold,
                        alpha_weight=args.alpha_weight)
         st.mark("compress", tex)

@@ -197,6 +197,23 @@ def test_encode_bc7_full_beats_quick():
     assert q_full > 36, q_full
 
 
+def test_encode_bc7_maxquality_tier():
+    """TEX_COMPRESS_BC7_MAXQUALITY (the OptimizeEndPoints-analog ladder,
+    BC6HBC7.cpp:2926-3044) must not lose to the default search on either
+    opaque or alpha content, and its bitstreams must stay valid."""
+    for with_alpha in (False, True):
+        blocks = img_blocks(with_alpha=with_alpha)
+        base = rgba_psnr(np.asarray(bc67.decode_bc7(
+            np.asarray(bc67.encode_bc7(blocks)))), blocks)
+        enc = np.asarray(bc67.encode_bc7(blocks, flags=0x200000))
+        dec = np.asarray(bc67.decode_bc7(enc))
+        hq = rgba_psnr(dec, blocks)
+        assert hq >= base - 1e-3, (with_alpha, hq, base)
+        for i in range(0, len(enc), 29):
+            np.testing.assert_array_equal(
+                dec[i], scalar_decode_bc7(enc[i].tobytes()))
+
+
 def test_encode_bc7_alpha_content():
     blocks = img_blocks(with_alpha=True)
     enc = np.asarray(bc67.encode_bc7(blocks))

@@ -316,3 +316,47 @@ def test_texconv_swizzle_literals(png, tmp_path):
     np.testing.assert_allclose(out[..., 0], ident[..., 0], atol=1 / 255)
     np.testing.assert_allclose(out[..., 1], 0.0, atol=1e-6)
     np.testing.assert_allclose(out[..., 2], 1.0, atol=1e-6)
+
+
+def test_ddsview_cube_cross_and_navigation(tmp_path, monkeypatch):
+    """ddsview renders a cubemap as the reference's horizontal cross
+    (ddsview.cpp:578) and navigates items/mips like its key handling
+    (ddsview.cpp:364-386)."""
+    from directxtex_tpu.tools import ddsview, texassemble
+
+    paths = []
+    for i in range(6):
+        img = np.full((8, 8, 4), (i + 1) / 8.0, np.float32)
+        img[..., 3] = 1.0
+        p = str(tmp_path / f"f{i}.png")
+        save_texture(Texture.from_array(img), p)
+        paths.append(p)
+    cube = str(tmp_path / "cube.dds")
+    assert texassemble.main(["-nologo", "cube", "-o", cube, "-y"] + paths) == 0
+
+    out = str(tmp_path / "v.png")
+    assert ddsview.main(["-nologo", "-o", out, cube]) == 0
+    img = load_texture(out)
+    assert (img.metadata.width, img.metadata.height) == (32, 24)  # 4x3 cross
+
+    # single-item view (one face)
+    assert ddsview.main(["-nologo", "-o", out, "-i", "2", cube]) == 0
+    img2 = load_texture(out)
+    assert (img2.metadata.width, img2.metadata.height) == (8, 8)
+    np.testing.assert_allclose(img2.to_numpy()[0, ..., 0], 3 / 8.0,
+                               atol=1 / 255)
+
+    # mip strip of a mipped 2D texture
+    rng = np.random.default_rng(3)
+    t = Texture.from_array(rng.random((16, 16, 4)).astype(np.float32))
+    from directxtex_tpu.ops.mipmaps import generate_mipmaps
+    src = str(tmp_path / "m.dds")
+    save_texture(generate_mipmaps(t), src)
+    assert ddsview.main(["-nologo", "-o", out, "--mips", src]) == 0
+    strip = load_texture(out)
+    assert strip.metadata.width == 16 + 8 + 4 + 2 + 1
+
+    # interactive loop: next, jump, mip-cycle, quit
+    feed = iter(["n", "3", "m", "q"])
+    monkeypatch.setattr("builtins.input", lambda: next(feed))
+    assert ddsview.main(["-nologo", "-o", out, "--interactive", cube]) == 0
