@@ -1139,7 +1139,7 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
     except Exception:
         pass
 
-    if use_pallas and all(m in (1, 3, 4, 5, 6, 7) for m in modes):
+    if use_pallas:
         # the whole encode (shape ranking, every mode, cross-mode fold,
         # mode-7 opaque masking) as ONE pallas dispatch
         _, best_words = bc7_encode_pallas(px_i, tuple(modes),

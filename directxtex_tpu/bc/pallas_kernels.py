@@ -50,6 +50,15 @@ def _pal_weight(k, K: int):
     return ((128 * k + (K - 1)) * m) >> 16
 
 
+def _pal_weight_f(kf, K: int):
+    """_pal_weight on an f32 index plane, staying in f32: floor(64k/(K-1)
+    + 1/2) with k in 0..15 — the f32 quotient error (~2^-22) never crosses
+    a rounding boundary since exact quotients sit on a 1/(K-1) grid,
+    >= 1/30 away from any .5. Keeps the hot palette math on native f32
+    multiplies instead of (emulated) 32-bit integer multiplies."""
+    return jnp.floor(kf * (64.0 / (K - 1)) + 0.5)
+
+
 def _k_sel_px(masks, vals):
     """Per-pixel [16, T] select of per-subset [T] rows (masks disjoint)."""
     out = jnp.broadcast_to(vals[0][None, :], masks[0].shape)
@@ -310,19 +319,24 @@ def _k_axis_multi(xf, masks, with_alpha: bool):
     return e0_s, e1_s
 
 
-def _k_quant_endpoints(e0l, e1l, rgba_prec, rgba_prec_p, shared_p: bool):
-    """Quantize float endpoints with p-bit majority vote
-    (bc67._quantize_endpoints_t). Returns q0l, q1l, p0, p1, u0l, u1l.
-
-    Packed implementation: 1D [T] rows occupy 1/8 of each vreg
-    (CLAUDE.md), so the 16 endpoint-channel rows run as one [8, T] plane
-    with per-row (sublane) constants; identical integer math to the
-    per-row version."""
-    x = jnp.stack(list(e0l) + list(e1l))             # [8, T] f32
+def _k_quant_endpoints_multi(e0_s, e1_s, rgba_prec, rgba_prec_p,
+                             shared_p: bool):
+    """Quantize every subset's float endpoints with p-bit majority vote
+    (bc67._quantize_endpoints_t), all subsets packed into ONE
+    [8*n_sub, T] plane: 1D [T] rows occupy 1/8 of each vreg (CLAUDE.md),
+    so the per-channel quantize/vote/unquantize arithmetic runs once on
+    the packed plane with per-row (sublane) constants — identical integer
+    math to the per-row version. e0_s/e1_s: per-subset lists of 4 [T]
+    rows. Returns a per-subset list of (q0l, q1l, p0, p1, u0l, u1l)."""
+    n_sub = len(e0_s)
+    rows = []
+    for p in range(n_sub):
+        rows += list(e0_s[p]) + list(e1_s[p])
+    x = jnp.stack(rows)                              # [8n, T] f32
     xi = jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
 
-    prec = list(rgba_prec) * 2
-    prec_p = list(rgba_prec_p) * 2
+    prec = list(rgba_prec) * 2 * n_sub
+    prec_p = list(rgba_prec_p) * 2 * n_sub
     vote = [0 < p != pp for p, pp in zip(prec, prec_p)]
     zero = [p == 0 for p in prec]
     tq = [pp if v else p for p, pp, v in zip(prec, prec_p, vote)]
@@ -330,10 +344,10 @@ def _k_quant_endpoints(e0l, e1l, rgba_prec, rgba_prec_p, shared_p: bool):
     def col(vals):
         # built in-kernel from scalars (pallas rejects captured jnp
         # constants); the where-chain folds to a constant vector
-        rows = jax.lax.broadcasted_iota(jnp.int32, (len(vals), 1), 0)
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (len(vals), 1), 0)
         out = jnp.full((len(vals), 1), int(vals[0]), jnp.int32)
         for i, v in enumerate(vals[1:], 1):
-            out = jnp.where(rows == i, int(v), out)
+            out = jnp.where(rows_i == i, int(v), out)
         return out
 
     bias = col([(1 << (7 - t)) if 0 < t < 8 else 0 for t in tq])
@@ -341,17 +355,21 @@ def _k_quant_endpoints(e0l, e1l, rgba_prec, rgba_prec_p, shared_p: bool):
     f = jnp.minimum(xi + bias, 255) >> shift
 
     nvote = sum(vote[:4])
+    p0_s, p1_s, p1u_s = [], [], []
     if nvote:
         vmask = col([1 if v else 0 for v in vote])
         vbits = (f & 1) * vmask
-        vote0 = jnp.sum(vbits[:4], axis=0)
-        vote1 = jnp.sum(vbits[4:], axis=0)
-        p0 = (vote0 > (nvote >> 1)).astype(jnp.int32)
-        p1 = (vote1 > (nvote >> 1)).astype(jnp.int32)
+        for p in range(n_sub):
+            vote0 = jnp.sum(vbits[8 * p:8 * p + 4], axis=0)
+            vote1 = jnp.sum(vbits[8 * p + 4:8 * p + 8], axis=0)
+            p0 = (vote0 > (nvote >> 1)).astype(jnp.int32)
+            p1 = (vote1 > (nvote >> 1)).astype(jnp.int32)
+            p0_s.append(p0)
+            p1_s.append(p1)
+            p1u_s.append(p0 if shared_p else p1)
     else:
-        p0 = jnp.zeros_like(f[0])
-        p1 = p0
-    p1u = p0 if shared_p else p1
+        z = jnp.zeros_like(f[0])
+        p0_s = p1_s = p1u_s = [z] * n_sub
 
     vsel = col([1 if v else 0 for v in vote]) != 0
     q = jnp.where(vsel, f >> 1, f)
@@ -359,8 +377,10 @@ def _k_quant_endpoints(e0l, e1l, rgba_prec, rgba_prec_p, shared_p: bool):
     q = jnp.where(zsel, 0, q)
 
     # unquantize at prec_p (== prec when no vote bit)
-    p_pl = jnp.concatenate([jnp.broadcast_to(p0[None, :], (4,) + p0.shape),
-                            jnp.broadcast_to(p1u[None, :], (4,) + p0.shape)])
+    sh4 = (4,) + q.shape[1:]
+    p_pl = jnp.concatenate(
+        [jnp.broadcast_to(r[None, :], sh4)
+         for p in range(n_sub) for r in (p0_s[p], p1u_s[p])])
     val = jnp.where(vsel, (q << 1) | p_pl, q)
     ls = col([(8 - pp) if 0 < pp < 8 else 0 for pp in prec_p])
     rs = col([pp if 0 < pp < 8 else 16 for pp in prec_p])
@@ -368,11 +388,22 @@ def _k_quant_endpoints(e0l, e1l, rgba_prec, rgba_prec_p, shared_p: bool):
     u = c2 | (c2 >> rs)
     u = jnp.where(zsel, 255, u)
 
-    q0l = [q[ch] for ch in range(4)]
-    q1l = [q[4 + ch] for ch in range(4)]
-    u0l = [u[ch] for ch in range(4)]
-    u1l = [u[4 + ch] for ch in range(4)]
-    return q0l, q1l, p0, p1, u0l, u1l
+    out = []
+    for p in range(n_sub):
+        b = 8 * p
+        out.append(([q[b + ch] for ch in range(4)],
+                    [q[b + 4 + ch] for ch in range(4)],
+                    p0_s[p], p1_s[p],
+                    [u[b + ch] for ch in range(4)],
+                    [u[b + 4 + ch] for ch in range(4)]))
+    return out
+
+
+def _k_quant_endpoints(e0l, e1l, rgba_prec, rgba_prec_p, shared_p: bool):
+    """Single-subset _k_quant_endpoints_multi.
+    Returns q0l, q1l, p0, p1, u0l, u1l."""
+    return _k_quant_endpoints_multi([e0l], [e1l], rgba_prec, rgba_prec_p,
+                                    shared_p)[0]
 
 
 def _k_refit(xf, idx, mf, prec: int, e0l, e1l, ch_start=0, ch_end=4):
@@ -412,12 +443,18 @@ def _k_anchor_index(idx, anchor):
 
 
 class _KWords:
-    """Accumulates a 128-bit block as 4 u32 lanes with static-offset and
-    per-pixel dynamic-offset fields (bc67._scatter_bits semantics)."""
+    """Accumulates a 128-bit block as 4 u32 words with static-offset and
+    per-pixel dynamic-offset fields (bc67._scatter_bits semantics).
+    Static puts hit exactly one word row (1 row op each); dynamic puts
+    accumulate on a [4, T] plane, where one packed where-chain replaces
+    4 per-row chains (a [4, T] plane op costs the same vregs as a single
+    [T] row). stack() ORs the two halves together."""
 
     def __init__(self, t):
         z = jnp.zeros_like(t, dtype=jnp.uint32)
         self.w = [z, z, z, z]
+        self.wp = None                               # [4, T] dyn plane
+        self._rows = jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
 
     def put(self, value, offset: int, nbits: int):
         v = value.astype(jnp.uint32)
@@ -428,17 +465,17 @@ class _KWords:
 
     def put_dyn(self, value, offset, lo_word: int):
         """value/offset [T]; offset >= 32*lo_word (static lower bound)."""
-        v = value.astype(jnp.uint32)
-        wi = offset >> 5
-        sh = (offset & 31).astype(jnp.uint32)
-        for wd in range(lo_word, 4):
-            lo = jnp.where(wi == wd, v << sh, jnp.uint32(0))
-            hi = jnp.where((wi == wd - 1) & (sh != 0),
-                           v >> ((32 - sh) & 31), jnp.uint32(0))
-            self.w[wd] = self.w[wd] | lo | hi
+        v = value.astype(jnp.uint32)[None, :]
+        wi = (offset >> 5)[None, :]
+        sh = (offset & 31).astype(jnp.uint32)[None, :]
+        lo = jnp.where(self._rows == wi, v << sh, jnp.uint32(0))
+        hi = jnp.where((self._rows == wi + 1) & (sh != 0),
+                       v >> ((32 - sh) & 31), jnp.uint32(0))
+        self.wp = (lo | hi) if self.wp is None else (self.wp | lo | hi)
 
     def stack(self):
-        return jnp.stack(self.w)
+        out = jnp.stack(self.w)
+        return out if self.wp is None else out | self.wp
 
 
 def _k_emit(mode_id: int, t, s_blk, rot, im, q0s, q1s, p0s, p1s,
@@ -537,8 +574,8 @@ def _k_eval_subsets(xs, xf, masks, mode_id: int, axes=None,
         return _k_sel_px(masks, vals)
 
     def qpal(e0_s, e1_s):
-        qs = [_k_quant_endpoints(e0_s[p], e1_s[p], rgba_prec, rgba_prec_p,
-                                 shared_p) for p in range(n_sub)]
+        qs = _k_quant_endpoints_multi(e0_s, e1_s, rgba_prec, rgba_prec_p,
+                                      shared_p)
         u0px = [sel([qs[p][4][c] for p in range(n_sub)]) for c in range(4)]
         u1px = [sel([qs[p][5][c] for p in range(n_sub)]) for c in range(4)]
         # axis direction and span are per-subset scalars, selected per-pixel
@@ -1037,17 +1074,37 @@ def partition_shapes_pallas(px_i: jnp.ndarray, partitions: int,
     return sb[:, :nb]
 
 
-def _bc7_all_kernel(px_ref, m_ref, err_ref, w_ref, *, modes: tuple,
+def _bc7_all_kernel(px_ref, m_ref, *refs, modes: tuple,
                     n_cand: int, aw: float = 1.0):
     """The whole BC7 encode in one dispatch: shape ranking, every mode's
     candidate evaluation, anchor swaps, emit, and the cross-mode fold all
     happen in VMEM — HBM sees the pixel planes in and one (err, words)
     pair out. Shape decode and the no-alpha axis fits are shared across
     the partition modes (modes 1 and 3 share with_alpha=False fits).
-    `modes` is the fold order (encode_bc7's mode list)."""
+    `modes` is the fold order (encode_bc7's mode list). When modes 0/2
+    (3-subset, BC_FLAGS_USE_3SUBSETS) are present an extra [192, 16]
+    3-subset mask matrix ref precedes the two output refs in *refs."""
+    if len(refs) == 3:
+        m3_ref, err_ref, w_ref = refs
+    else:
+        m3_ref = None
+        err_ref, w_ref = refs
     xs = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
     xf = [x.astype(jnp.float32) for x in xs]
     results = {}
+
+    part3_modes = [m for m in modes if m in (0, 2)]
+    if part3_modes:
+        m3 = m3_ref[...]
+        for m in part3_modes:
+            n_sh = 1 << _BC7_FULL_STATICS[m][1]       # 16 for mode 0
+            mm = m3 if n_sh == 64 else jnp.concatenate(
+                [m3[0:n_sh], m3[64:64 + n_sh], m3[128:128 + n_sh]])
+            sb_rows = _k_shape_topk(xf, mm, 2, n_sh, 4, n_cand)
+            cands3 = _k_decode_cands(sb_rows, 2, n_sh)
+            ax3 = [_k_axis_multi(xf, masks, False)
+                   for (_, _, _, masks) in cands3]
+            results[m] = _k_partition_fold(xs, xf, cands3, m, ax3, aw=aw)
 
     part_modes = [m for m in modes if m in (1, 3, 7)]
     if part_modes:
@@ -1102,10 +1159,10 @@ _BC7_ALL_TILE = 256
 def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
                       interpret: bool = False, tile: int = _BC7_ALL_TILE,
                       aw: float = 1.0):
-    """Full BC7 encode as ONE pallas dispatch over modes ⊆ {1,3,4,5,6,7}
+    """Full BC7 encode as ONE pallas dispatch over modes ⊆ {0..7}
     folded in `modes` order (mode-7 errors are inf-masked for opaque
-    blocks in-kernel). px_i [16, 4, NB] i32.
-    Returns (err [NB] f32, words [NB, 4] u32)."""
+    blocks in-kernel; modes 0/2 ride a second 3-subset mask matrix).
+    px_i [16, 4, NB] i32. Returns (err [NB] f32, words [NB, 4] u32)."""
     from jax.experimental import pallas as pl
 
     from .bc67_tables import PARTITIONS
@@ -1121,18 +1178,27 @@ def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
     m_host = np.concatenate(
         [(parts == p).astype(np.float32) for p in range(2)], axis=0)
 
+    inputs = [px_cm, jnp.asarray(m_host)]
+    in_specs = [pl.BlockSpec((64, tile), lambda i: (0, i)),
+                pl.BlockSpec((128, 16), lambda i: (0, 0))]
+    if any(m in (0, 2) for m in modes):
+        parts3 = PARTITIONS[2]
+        m3_host = np.concatenate(
+            [(parts3 == p).astype(np.float32) for p in range(3)], axis=0)
+        inputs.append(jnp.asarray(m3_host))
+        in_specs.append(pl.BlockSpec((192, 16), lambda i: (0, 0)))
+
     err8, words = pl.pallas_call(
         functools.partial(_bc7_all_kernel, modes=modes, n_cand=n_cand,
                           aw=aw),
         grid=(nb_pad // tile,),
-        in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i)),
-                  pl.BlockSpec((128, 16), lambda i: (0, 0))],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((8, tile), lambda i: (0, i)),
                    pl.BlockSpec((4, tile), lambda i: (0, i))],
         out_shape=[jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
                    jax.ShapeDtypeStruct((4, nb_pad), jnp.uint32)],
         interpret=interpret,
-    )(px_cm, jnp.asarray(m_host))
+    )(*inputs)
     return err8[0, :nb], words[:, :nb].T
 
 

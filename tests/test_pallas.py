@@ -199,6 +199,42 @@ def _assert_equivalent_bc6h(err_p, err_r, words_p, words_r):
                                atol=2.0)
 
 
+def test_bc7_single_dispatch_3subset_matches_jnp():
+    """Modes 0/2 (BC_FLAGS_USE_3SUBSETS) inside the one-dispatch kernel:
+    3-region content so the 3-subset modes actually win some blocks."""
+    from directxtex_tpu.bc.pallas_kernels import bc7_encode_pallas
+
+    rng = np.random.default_rng(41)
+    nb = 64
+    blocks = rng.random((nb, 16, 4)).astype(np.float32)
+    # three flat regions per block (partition-shaped): rows 0-1 / 2 / 3
+    lv = rng.random((nb, 3, 1, 4)).astype(np.float32)
+    b4 = blocks.reshape(nb, 4, 4, 4)
+    b4[:, :2] = lv[:, 0:1]
+    b4[:, 2] = lv[:, 1]
+    b4[:, 3] = lv[:, 2]
+    blocks = np.clip(b4.reshape(nb, 16, 4), 0, 1)
+    blocks[..., 3] = 1.0
+    bj = jnp.asarray(blocks)
+    px_i = jnp.clip(jnp.transpose(bj, (1, 2, 0)) * 255.0 + 0.01,
+                    0.0, 255.0).astype(jnp.int32)
+
+    ref = np.asarray(bc67.encode_bc7(bj, flags=0x80000, opaque=True))
+    modes = (0, 2, 1, 3, 5, 6, 4)
+    err_p, words_p = bc7_encode_pallas(px_i, modes, interpret=True)
+    got = np.asarray(words_p).view(np.uint8).reshape(nb, 16)
+
+    differ = np.any(got != ref, axis=1)
+    assert differ.sum() <= max(2, nb // 25), f"{differ.sum()}/{nb}"
+    if differ.any():
+        src = np.transpose(np.asarray(px_i), (2, 0, 1)).astype(np.float32)
+        dec_p = np.asarray(bc67.decode_bc7(got[differ])) * 255.0
+        dec_r = np.asarray(bc67.decode_bc7(ref[differ])) * 255.0
+        mse_p = ((dec_p - src[differ]) ** 2).sum(axis=(1, 2))
+        mse_r = ((dec_r - src[differ]) ** 2).sum(axis=(1, 2))
+        np.testing.assert_allclose(mse_p, mse_r, rtol=2e-2, atol=4.0)
+
+
 @pytest.mark.parametrize("opaque", [False, True])
 def test_bc7_single_dispatch_matches_jnp(opaque):
     """bc7_encode_pallas (one-dispatch full encode) vs the full jnp
