@@ -18,7 +18,9 @@ from ..formats.dxgi import FMT
 from ..texture import TexDimension, TexMetadata, Texture
 
 __all__ = ["WIC_FLAGS", "load_from_wic_memory", "save_to_wic_memory",
-           "load_from_wic_file", "save_to_wic_file", "WIC_CODEC"]
+           "load_from_wic_file", "save_to_wic_file", "WIC_CODEC",
+           "get_metadata_queries_from_wic_memory",
+           "get_metadata_queries_from_wic_file"]
 
 
 class WIC_FLAGS(enum.IntFlag):
@@ -107,6 +109,47 @@ def load_from_wic_memory(data: bytes,
                                dimension=TexDimension.TEXTURE2D)
             return Texture(meta, [stacked])
         return _to_texture(im.copy(), flags)
+
+
+def get_metadata_queries_from_wic_memory(data: bytes) -> dict:
+    """Metadata-query analog of the reference's getMQR hook
+    (GetMetadataFromWICMemoryEx's IWICMetadataQueryReader callback,
+    DirectXTexWIC.cpp:1213-1575): returns the container's queryable
+    metadata as a flat dict — codec name, size, mode, EXIF tags (by
+    decoded tag name), ICC-profile presence, and any codec-specific
+    info keys Pillow surfaces (dpi, gamma, chromaticity, ...).
+
+    JXR and HEIF have no codec in this environment and are reported via
+    ValueError, matching an unsupported-container WIC failure."""
+    from PIL import Image
+    out: dict = {}
+    with Image.open(_io.BytesIO(data)) as im:
+        out["codec"] = (im.format or "").lower()
+        out["width"], out["height"] = im.size
+        out["mode"] = im.mode
+        out["n_frames"] = getattr(im, "n_frames", 1)
+        for k, v in im.info.items():
+            if k in ("exif", "icc_profile"):
+                continue
+            if isinstance(v, (int, float, str, tuple)):
+                out[k] = v
+        out["has_icc_profile"] = "icc_profile" in im.info
+        try:
+            exif = im.getexif()
+            if exif:
+                from PIL import ExifTags
+                out["exif"] = {
+                    ExifTags.TAGS.get(tag, str(tag)): val
+                    for tag, val in exif.items()
+                    if isinstance(val, (int, float, str, tuple))}
+        except Exception:
+            pass
+    return out
+
+
+def get_metadata_queries_from_wic_file(path) -> dict:
+    with open(path, "rb") as f:
+        return get_metadata_queries_from_wic_memory(f.read())
 
 
 def _to_pil(tex: Texture, codec: WIC_CODEC, mip: int, item: int):

@@ -393,3 +393,26 @@ def test_phm_round_trip(tmp_path):
     assert back.metadata.format == FMT.R16G16B16A16_FLOAT
     np.testing.assert_allclose(back.to_numpy()[..., :3],
                                img[..., :3].astype(np.float16), atol=1e-3)
+
+
+def test_wic_metadata_query(tmp_path):
+    """getMQR analog (DirectXTexWIC.cpp:1213-1575): queryable container
+    metadata incl. decoded EXIF tags."""
+    import io as _io
+
+    from PIL import Image
+
+    from directxtex_tpu.io import wic
+
+    img = Image.fromarray(
+        (np.linspace(0, 255, 20 * 30 * 3) % 256).astype(np.uint8)
+        .reshape(20, 30, 3))
+    buf = _io.BytesIO()
+    exif = Image.Exif()
+    exif[0x010F] = "directxtex_tpu"  # Make
+    img.save(buf, format="JPEG", exif=exif, dpi=(96, 96))
+    md = wic.get_metadata_queries_from_wic_memory(buf.getvalue())
+    assert md["codec"] == "jpeg"
+    assert (md["width"], md["height"]) == (30, 20)
+    assert md["exif"]["Make"] == "directxtex_tpu"
+    assert md["dpi"][0] == 96
