@@ -67,16 +67,22 @@ def _k_sel_px(masks, vals):
     return out
 
 
-def _proj_p64(xs, u0l, u1l, lo: int, hi: int):
+def _proj_p64(xf, u0l, u1l, lo: int, hi: int):
     """Axis projection planes for _project_assign: depends only on the
     endpoints, NOT the index precision, so modes-4/5 index-mode pairs can
-    share one projection. Returns (d0, e, p64)."""
-    d0 = [xs[c] - u0l[c][None, :] for c in range(lo, hi)]
-    e = [u1l[c] - u0l[c] for c in range(lo, hi)]
+    share one projection. All math in f32: pixel values, endpoints, and
+    their products stay < 2^24, so every intermediate is exact while the
+    multiplies run native on the VPU (a 32-bit integer multiply is
+    emulated, ~1.6x slower; see benchmarks/micro_intvsf32.py).
+    xf: per-channel [16, T] f32 planes; u0l/u1l: per-channel [T] i32 or
+    f32 endpoint rows. Returns (d0, e, p64), all f32."""
+    u0f = [u0l[c].astype(jnp.float32) for c in range(lo, hi)]
+    u1f = [u1l[c].astype(jnp.float32) for c in range(lo, hi)]
+    d0 = [x - u[None, :] for x, u in zip(xf[lo:hi], u0f)]
+    e = [b - a for a, b in zip(u0f, u1f)]
     dot = sum((d * ee[None, :] for d, ee in zip(d0, e)),
-              start=jnp.zeros_like(d0[0])).astype(jnp.float32)
-    span = sum((ee * ee for ee in e),
-               start=jnp.zeros_like(e[0])).astype(jnp.float32)
+              start=jnp.zeros_like(d0[0]))
+    span = sum((ee * ee for ee in e), start=jnp.zeros_like(e[0]))
     p64 = jnp.clip(dot * (64.0 / jnp.where(span > 0, span, 1.0))[None, :],
                    0.0, 64.0)
     return d0, e, p64
@@ -84,20 +90,22 @@ def _proj_p64(xs, u0l, u1l, lo: int, hi: int):
 
 def _snap_dist(d0, e, p64, prec: int, lo: int,
                aw: float = 1.0, alpha_ch: int = 3):
-    """Snap projections to palette weights + exact integer distance."""
+    """Snap projections to palette weights + exact palette distance.
+    f32 throughout (exact: products < 2^24; floor(v/64 + .5) reproduces
+    the integer (v + 32) >> 6 for both signs). Returns idx as an
+    integer-valued f32 plane — emit converts once at the end."""
     K = 1 << prec
-    kf = jnp.round(p64 * ((K - 1) / 64.0)).astype(jnp.int32)
-    kf = jnp.clip(kf, 0, K - 1)
-    wk = _pal_weight(kf, K)
-    wkp = _pal_weight(jnp.minimum(kf + 1, K - 1), K)
-    wkm = _pal_weight(jnp.maximum(kf - 1, 0), K)
-    up = (kf < K - 1) & (2.0 * p64 > (wk + wkp).astype(jnp.float32))
-    dn = (kf > 0) & (2.0 * p64 < (wk + wkm).astype(jnp.float32))
-    idx = jnp.where(up, kf + 1, jnp.where(dn, kf - 1, kf))
-    wk = _pal_weight(idx, K)
+    kf = jnp.clip(jnp.round(p64 * ((K - 1) / 64.0)), 0.0, K - 1.0)
+    wk = _pal_weight_f(kf, K)
+    wkp = _pal_weight_f(jnp.minimum(kf + 1.0, K - 1.0), K)
+    wkm = _pal_weight_f(jnp.maximum(kf - 1.0, 0.0), K)
+    up = (kf < K - 1) & (2.0 * p64 > wk + wkp)
+    dn = (kf > 0) & (2.0 * p64 < wk + wkm)
+    idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    wk = _pal_weight_f(idx, K)
     dist = jnp.zeros_like(p64)
     for c, (d, ee) in enumerate(zip(d0, e), start=lo):
-        r = (d - ((wk * ee[None, :] + 32) >> 6)).astype(jnp.float32)
+        r = d - jnp.floor(wk * ee[None, :] * jnp.float32(1 / 64) + 0.5)
         # alpha weighting hits the scoring only, like the projection-
         # unweighted reference shader (BC7Encode.hlsl:239-241)
         dist = dist + (r * r if (c != alpha_ch or aw == 1.0)
@@ -105,42 +113,41 @@ def _snap_dist(d0, e, p64, prec: int, lo: int,
     return idx, dist
 
 
-def _project_assign(xs, u0l, u1l, prec: int, lo: int, hi: int,
+def _project_assign(xf, u0l, u1l, prec: int, lo: int, hi: int,
                     aw: float = 1.0, alpha_ch: int = 3):
     """Projection index assignment (same math as bc67._assign_indices_t):
     snap each pixel's 0..64 axis projection to the nearest interpolation
-    weight, then exact integer-palette distance for the chosen index.
+    weight, then exact palette distance for the chosen index.
 
-    xs: per-channel [16, T] int32 pixel planes; u0l/u1l: per-channel [T]
-    int32 endpoints. Returns (idx [16, T] int32, dist [16, T] f32)."""
-    d0, e, p64 = _proj_p64(xs, u0l, u1l, lo, hi)
+    xf: per-channel [16, T] f32 pixel planes; u0l/u1l: per-channel [T]
+    endpoint rows. Returns (idx [16, T] f32, dist [16, T] f32)."""
+    d0, e, p64 = _proj_p64(xf, u0l, u1l, lo, hi)
     return _snap_dist(d0, e, p64, prec, lo, aw=aw, alpha_ch=alpha_ch)
 
 
-def _project_assign_px(xs, u0px, u1px, e_px, span_px, prec: int,
+def _project_assign_px(xf, u0px, u1px, e_px, span_px, prec: int,
                        lo: int = 0, hi: int = 4, aw: float = 1.0):
     """_project_assign with per-pixel endpoint planes: u0px/u1px/e_px are
-    per-channel [16, T] (or [1, T]-broadcast) int32, span_px [16, T] f32.
+    per-channel [16, T] (or [1, T]-broadcast) f32, span_px [16, T] f32.
     One pass serves every subset of a shape candidate simultaneously —
     identical math to running _project_assign per subset and masking."""
     K = 1 << prec
-    d0 = [xs[c] - u0px[c] for c in range(lo, hi)]
+    d0 = [xf[c] - u0px[c] for c in range(lo, hi)]
     dot = sum((d * e for d, e in zip(d0, (e_px[c] for c in range(lo, hi)))),
-              start=jnp.zeros_like(d0[0])).astype(jnp.float32)
+              start=jnp.zeros_like(d0[0]))
     p64 = jnp.clip(dot * (64.0 / jnp.where(span_px > 0, span_px, 1.0)),
                    0.0, 64.0)
-    kf = jnp.round(p64 * ((K - 1) / 64.0)).astype(jnp.int32)
-    kf = jnp.clip(kf, 0, K - 1)
-    wk = _pal_weight(kf, K)
-    wkp = _pal_weight(jnp.minimum(kf + 1, K - 1), K)
-    wkm = _pal_weight(jnp.maximum(kf - 1, 0), K)
-    up = (kf < K - 1) & (2.0 * p64 > (wk + wkp).astype(jnp.float32))
-    dn = (kf > 0) & (2.0 * p64 < (wk + wkm).astype(jnp.float32))
-    idx = jnp.where(up, kf + 1, jnp.where(dn, kf - 1, kf))
-    wk = _pal_weight(idx, K)
+    kf = jnp.clip(jnp.round(p64 * ((K - 1) / 64.0)), 0.0, K - 1.0)
+    wk = _pal_weight_f(kf, K)
+    wkp = _pal_weight_f(jnp.minimum(kf + 1.0, K - 1.0), K)
+    wkm = _pal_weight_f(jnp.maximum(kf - 1.0, 0.0), K)
+    up = (kf < K - 1) & (2.0 * p64 > wk + wkp)
+    dn = (kf > 0) & (2.0 * p64 < wk + wkm)
+    idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    wk = _pal_weight_f(idx, K)
     dist = jnp.zeros_like(p64)
     for c, d in zip(range(lo, hi), d0):
-        r = (d - ((wk * e_px[c] + 32) >> 6)).astype(jnp.float32)
+        r = d - jnp.floor(wk * e_px[c] * jnp.float32(1 / 64) + 0.5)
         dist = dist + (r * r if (c != 3 or aw == 1.0) else r * r * aw)
     return idx, dist
 
@@ -409,7 +416,7 @@ def _k_quant_endpoints(e0l, e1l, rgba_prec, rgba_prec_p, shared_p: bool):
 def _k_refit(xf, idx, mf, prec: int, e0l, e1l, ch_start=0, ch_end=4):
     """Least-squares endpoint refit (bc67._ls_refit_t)."""
     # w[idx]/64 in closed form (exact: 1/64 is a power of two)
-    x = _pal_weight(idx, 1 << prec).astype(jnp.float32) * jnp.float32(1 / 64)
+    x = _pal_weight_f(idx, 1 << prec) * jnp.float32(1 / 64)
     if mf is None:
         av = 1.0 - x
         bv = x
@@ -489,6 +496,12 @@ def _k_emit(mode_id: int, t, s_blk, rot, im, q0s, q1s, p0s, p1s,
     (parts, part_bits, p_bits, rot_bits, im_bits, iprec, iprec2,
      rgba_prec, _) = _BC7_FULL_STATICS[mode_id]
     n_sub = parts + 1
+    # the search carries indices as integer-valued f32 planes (native VPU
+    # multiplies); bit packing needs ints — one cast per winner here
+    if idx1 is not None and jnp.issubdtype(idx1.dtype, jnp.floating):
+        idx1 = idx1.astype(jnp.int32)
+    if idx2 is not None and jnp.issubdtype(idx2.dtype, jnp.floating):
+        idx2 = idx2.astype(jnp.int32)
     kw = _KWords(t)
     kw.put(jnp.full_like(t, 1 << mode_id, dtype=jnp.uint32), 0, mode_id + 1)
     bit = mode_id + 1
@@ -547,7 +560,7 @@ def _k_emit(mode_id: int, t, s_blk, rot, im, q0s, q1s, p0s, p1s,
     return kw.stack()
 
 
-def _k_eval_subsets(xs, xf, masks, mode_id: int, axes=None,
+def _k_eval_subsets(xf, masks, mode_id: int, axes=None,
                     aw: float = 1.0):
     """Every subset of one shape candidate in a single fused pass:
     axis fit -> quantize -> projection assign -> LS refit -> second pass ->
@@ -557,8 +570,9 @@ def _k_eval_subsets(xs, xf, masks, mode_id: int, axes=None,
     to running _k_eval_subset per subset (bc67._eval_subset_candidate).
 
     masks: list of [16, T] bool partition masks, or [None] (single subset).
-    Returns (q0s, q1s, p0s, p1s, idx_full, errs): per-subset endpoint
-    lists, combined per-pixel indices, per-subset errors."""
+    xf: per-channel [16, T] f32 pixel planes. Returns (q0s, q1s, p0s,
+    p1s, idx_full, errs): per-subset endpoint lists, combined per-pixel
+    f32 indices, per-subset errors."""
     rgba_prec, rgba_prec_p, iprec, shared_p, with_alpha = \
         _BC7_MODE_STATICS[mode_id]
     n_sub = len(masks)
@@ -576,16 +590,21 @@ def _k_eval_subsets(xs, xf, masks, mode_id: int, axes=None,
     def qpal(e0_s, e1_s):
         qs = _k_quant_endpoints_multi(e0_s, e1_s, rgba_prec, rgba_prec_p,
                                       shared_p)
-        u0px = [sel([qs[p][4][c] for p in range(n_sub)]) for c in range(4)]
-        u1px = [sel([qs[p][5][c] for p in range(n_sub)]) for c in range(4)]
+        # unquantized endpoint/axis rows as f32 (values <= 255, exact) so
+        # the per-pixel plane math below runs on native f32 multiplies
+        u0_s = [[qs[p][4][c].astype(jnp.float32) for c in range(4)]
+                for p in range(n_sub)]
+        u1_s = [[qs[p][5][c].astype(jnp.float32) for c in range(4)]
+                for p in range(n_sub)]
+        u0px = [sel([u0_s[p][c] for p in range(n_sub)]) for c in range(4)]
         # axis direction and span are per-subset scalars, selected per-pixel
-        e_s = [[qs[p][5][c] - qs[p][4][c] for c in range(4)]
+        e_s = [[u1_s[p][c] - u0_s[p][c] for c in range(4)]
                for p in range(n_sub)]
-        span_s = [sum(e_s[p][c] * e_s[p][c] for c in range(4)).astype(
-            jnp.float32) for p in range(n_sub)]
+        span_s = [sum(e_s[p][c] * e_s[p][c] for c in range(4))
+                  for p in range(n_sub)]
         e_px = [sel([e_s[p][c] for p in range(n_sub)]) for c in range(4)]
         span_px = sel(span_s)
-        idx, dist = _project_assign_px(xs, u0px, u1px, e_px, span_px,
+        idx, dist = _project_assign_px(xf, u0px, None, e_px, span_px,
                                        iprec, aw=aw)
         errs = [msum(dist, p) for p in range(n_sub)]
         return qs, idx, errs
@@ -598,7 +617,7 @@ def _k_eval_subsets(xs, xf, masks, mode_id: int, axes=None,
     qsA, idxA, errsA = qpal(e0_s, e1_s)
 
     # fused least-squares refit: weight planes shared, moments masked
-    x = _pal_weight(idxA, 1 << iprec).astype(jnp.float32) * jnp.float32(1 / 64)
+    x = _pal_weight_f(idxA, 1 << iprec) * jnp.float32(1 / 64)
     av = 1.0 - x
     bv = x
     aa, ab_, bb = av * av, av * bv, bv * bv
@@ -675,7 +694,7 @@ def _k_decode_cands(sb_rows, parts: int, n_shapes: int):
     return cands
 
 
-def _k_partition_fold(xs, xf, cands, mode_id: int, axes_list=None,
+def _k_partition_fold(xf, cands, mode_id: int, axes_list=None,
                       aw: float = 1.0):
     """One partition mode over decoded shape candidates: evaluate each,
     keep the best, anchor-swap and emit the winner. axes_list optionally
@@ -689,7 +708,7 @@ def _k_partition_fold(xs, xf, cands, mode_id: int, axes_list=None,
     best = None
     for ci, (s_blk, pp, pa, masks) in enumerate(cands):
         q0s, q1s, p0s, p1s, idx_full, errs = _k_eval_subsets(
-            xs, xf, masks, mode_id,
+            xf, masks, mode_id,
             axes=None if axes_list is None else axes_list[ci], aw=aw)
         total_err = sum(errs)
         # anchor swaps happen once, on the fold winner, below
@@ -723,7 +742,7 @@ def _k_partition_fold(xs, xf, cands, mode_id: int, axes_list=None,
             a_idx = idx_full[0]
         else:
             a_idx = _k_anchor_index(idx_full, anch[p])
-        swap = (a_idx & msb) != 0
+        swap = a_idx >= msb                      # f32 idx: msb set test
         sw16 = swap[None, :]
         q0s[p], q1s[p] = (
             [jnp.where(swap, q1s[p][c], q0s[p][c]) for c in range(4)],
@@ -744,11 +763,11 @@ def _partition_mode_kernel(px_ref, sb_ref, err_ref, w_ref,
     emit its block. Partition masks and anchors derive in-kernel from the
     shape id via packed constant tables."""
     parts = _BC7_FULL_STATICS[mode_id][0]
-    xs = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
-    xf = [x.astype(jnp.float32) for x in xs]
+    xf = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
+          for c in range(4)]
     cands = _k_decode_cands([sb_ref[cand, :] for cand in range(n_cand)],
                             parts, n_shapes)
-    err, words = _k_partition_fold(xs, xf, cands, mode_id, aw=aw)
+    err, words = _k_partition_fold(xf, cands, mode_id, aw=aw)
     err_ref[...] = jnp.broadcast_to(err[None, :], err_ref.shape)
     w_ref[...] = words
 
@@ -797,12 +816,12 @@ def partition_mode_pallas(px_i: jnp.ndarray, s_blks: jnp.ndarray,
     return err8[0, :nb], words[:, :nb].T
 
 
-def _k_mode6(xs0, xf0, aw: float = 1.0):
+def _k_mode6(xf0, aw: float = 1.0):
     """Mode 6: one subset, joint RGBA indices. Returns (err, words)."""
-    q0s6, q1s6, p0s6, p1s6, idx, errs6 = _k_eval_subsets(xs0, xf0, [None],
+    q0s6, q1s6, p0s6, p1s6, idx, errs6 = _k_eval_subsets(xf0, [None],
                                                          6, aw=aw)
     q0, q1, p0, p1, err6 = q0s6[0], q1s6[0], p0s6[0], p1s6[0], errs6[0]
-    swap = (idx[0] & 0x8) != 0
+    swap = idx[0] >= 8.0                         # f32 idx: msb set test
     q0f = [jnp.where(swap, q1[c], q0[c]) for c in range(4)]
     q1f = [jnp.where(swap, q0[c], q1[c]) for c in range(4)]
     p0f = jnp.where(swap, p1, p0)
@@ -813,22 +832,21 @@ def _k_mode6(xs0, xf0, aw: float = 1.0):
     return err6, w6
 
 
-def _k_rot_data(xs0):
+def _k_rot_data(xf0):
     """Rotation-dependent data for modes 4/5 (channel permutation, axis
     fit, alpha min/max) — identical for both modes, computed once."""
     rot_data = []
     for rot in range(4):
         if rot == 0:
-            xs = xs0
+            xf = xf0
         else:
             perm = list(range(4))
             perm[rot - 1], perm[3] = 3, rot - 1
-            xs = [xs0[perm[c]] for c in range(4)]
-        xf = [x.astype(jnp.float32) for x in xs]
+            xf = [xf0[perm[c]] for c in range(4)]
         e0, e1 = _k_axis(xf, None, False)
         e0[3] = jnp.min(xf[3], axis=0)
         e1[3] = jnp.max(xf[3], axis=0)
-        rot_data.append((xs, xf, e0, e1))
+        rot_data.append((xf, e0, e1))
     return rot_data
 
 
@@ -840,14 +858,14 @@ def _k_mode45(rot_data, mode_id: int, aw: float = 1.0):
      rgba_prec_p) = _BC7_FULL_STATICS[mode_id]
     best = None
     for rot in range(1 << rot_bits):
-        xs, xf, e0, e1 = rot_data[rot]
+        xf, e0, e1 = rot_data[rot]
         alpha_ch = 3 if rot == 0 else rot - 1
         # first-pass endpoint quantization AND axis projections depend
         # only on the rotation — both index modes share them
         q0r, q1r, _, _, u0r, u1r = _k_quant_endpoints(
             e0, e1, rgba_prec, rgba_prec_p, False)
-        projc_r = _proj_p64(xs, u0r, u1r, 0, 3)
-        proja_r = _proj_p64(xs, u0r, u1r, 3, 4)
+        projc_r = _proj_p64(xf, u0r, u1r, 0, 3)
+        proja_r = _proj_p64(xf, u0r, u1r, 3, 4)
         for im in range(1 << im_bits):
             cprec = prec2 if im else prec1
             aprec = prec1 if im else prec2
@@ -856,8 +874,8 @@ def _k_mode45(rot_data, mode_id: int, aw: float = 1.0):
                 if pre is None:
                     q0l, q1l, _, _, u0l, u1l = _k_quant_endpoints(
                         e0l, e1l, rgba_prec, rgba_prec_p, False)
-                    projc = _proj_p64(xs, u0l, u1l, 0, 3)
-                    proja = _proj_p64(xs, u0l, u1l, 3, 4)
+                    projc = _proj_p64(xf, u0l, u1l, 0, 3)
+                    proja = _proj_p64(xf, u0l, u1l, 3, 4)
                 else:
                     q0l, q1l, projc, proja = pre
                 cidx, cdist = _snap_dist(*projc, cprec, 0,
@@ -913,9 +931,9 @@ def _k_mode45(rot_data, mode_id: int, aw: float = 1.0):
     w2 = jnp.where(im16, aidx, cidx)
     msb1, maxi1 = 1 << (prec1 - 1), (1 << prec1) - 1
     msb2, maxi2 = 1 << (prec2 - 1), (1 << prec2) - 1
-    swap1 = (w1[0] & msb1) != 0
+    swap1 = w1[0] >= msb1                        # f32 idx: msb set test
     w1 = jnp.where(swap1[None, :], maxi1 - w1, w1)
-    swap2 = (w2[0] & msb2) != 0
+    swap2 = w2[0] >= msb2
     w2 = jnp.where(swap2[None, :], maxi2 - w2, w2)
     swap_rgb = (im_is0 & swap1) | (~im_is0 & swap2)
     swap_a = (im_is0 & swap2) | (~im_is0 & swap1)
@@ -932,14 +950,14 @@ def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
                          e6_ref, w6_ref, *, aw: float = 1.0):
     """Modes 4/5/6 in one pass: all rotation x index-mode combos, keep-best
     per mode, emit each mode's winner (bc67._try_single_mode)."""
-    xs0 = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
-    xf0 = [x.astype(jnp.float32) for x in xs0]
+    xf0 = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
+           for c in range(4)]
 
-    err6, w6 = _k_mode6(xs0, xf0, aw=aw)
+    err6, w6 = _k_mode6(xf0, aw=aw)
     e6_ref[...] = jnp.broadcast_to(err6[None, :], e6_ref.shape)
     w6_ref[...] = w6
 
-    rot_data = _k_rot_data(xs0)
+    rot_data = _k_rot_data(xf0)
     for mode_id, out_e, out_w in ((4, e4_ref, w4_ref), (5, e5_ref, w5_ref)):
         err, words = _k_mode45(rot_data, mode_id, aw=aw)
         out_e[...] = jnp.broadcast_to(err[None, :], out_e.shape)
@@ -1089,8 +1107,8 @@ def _bc7_all_kernel(px_ref, m_ref, *refs, modes: tuple,
     else:
         m3_ref = None
         err_ref, w_ref = refs
-    xs = [px_ref[c * 16:(c + 1) * 16, :] for c in range(4)]
-    xf = [x.astype(jnp.float32) for x in xs]
+    xf = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
+          for c in range(4)]
     results = {}
 
     part3_modes = [m for m in modes if m in (0, 2)]
@@ -1104,7 +1122,7 @@ def _bc7_all_kernel(px_ref, m_ref, *refs, modes: tuple,
             cands3 = _k_decode_cands(sb_rows, 2, n_sh)
             ax3 = [_k_axis_multi(xf, masks, False)
                    for (_, _, _, masks) in cands3]
-            results[m] = _k_partition_fold(xs, xf, cands3, m, ax3, aw=aw)
+            results[m] = _k_partition_fold(xf, cands3, m, ax3, aw=aw)
 
     part_modes = [m for m in modes if m in (1, 3, 7)]
     if part_modes:
@@ -1119,19 +1137,19 @@ def _bc7_all_kernel(px_ref, m_ref, *refs, modes: tuple,
             ax_a = [_k_axis_multi(xf, masks, True)
                     for (_, _, _, masks) in cands]
         for m in part_modes:
-            results[m] = _k_partition_fold(xs, xf, cands, m,
+            results[m] = _k_partition_fold(xf, cands, m,
                                            ax_a if m == 7 else ax_na,
                                            aw=aw)
         if 7 in results:
             # no value for opaque blocks (reference skip, BC6HBC7.cpp:2818)
-            opaque_blk = jnp.min(xs[3], axis=0) == 255
+            opaque_blk = jnp.min(xf[3], axis=0) == 255.0
             e7, w7 = results[7]
             results[7] = (jnp.where(opaque_blk, jnp.inf, e7), w7)
 
     if 6 in modes:
-        results[6] = _k_mode6(xs, xf, aw=aw)
+        results[6] = _k_mode6(xf, aw=aw)
     if 4 in modes or 5 in modes:
-        rot_data = _k_rot_data(xs)
+        rot_data = _k_rot_data(xf)
         for m in (4, 5):
             if m in modes:
                 results[m] = _k_mode45(rot_data, m, aw=aw)
@@ -1355,11 +1373,22 @@ def _k_bc6h_finish(c, signed: bool):
     return (c * 31) >> 6
 
 
-def _k_bc6h_palette_err_px(xs3, masks, q0_s, q1_s, precW, iprec: int,
+def _k_bc6h_finish_f(c, signed: bool):
+    """_k_bc6h_finish on integer-valued f32 (exact: |c|*31 < 2^24 and
+    /32, /64 are power-of-two scales)."""
+    if signed:
+        return jnp.sign(c) * jnp.floor(jnp.abs(c) * 31.0 * jnp.float32(1 / 32))
+    return jnp.floor(c * 31.0 * jnp.float32(1 / 64))
+
+
+def _k_bc6h_palette_err_px(xf3, masks, q0_s, q1_s, precW, iprec: int,
                            signed: bool):
     """_k_bc6h_palette_err for every subset in one fused pass: projection
     and palette distance planes computed once with per-pixel endpoint
-    selection, per-subset masked error reductions. Returns (idx, errs)."""
+    selection, per-subset masked error reductions. The palette and weight
+    arithmetic runs on integer-valued f32 (all products < 2^24, exact;
+    native VPU multiplies instead of emulated i32). Returns (idx [16, T]
+    f32, errs)."""
     K = 1 << iprec
     n_sub = len(masks)
     single = masks[0] is None
@@ -1369,40 +1398,39 @@ def _k_bc6h_palette_err_px(xs3, masks, q0_s, q1_s, precW, iprec: int,
             return vals[0][None, :]
         return _k_sel_px(masks, vals)
 
-    u0_s = [[_k_bc6h_unquant(q0_s[p][c], precW[c], signed) for c in range(3)]
+    u0_s = [[_k_bc6h_unquant(q0_s[p][c], precW[c], signed)
+             .astype(jnp.float32) for c in range(3)] for p in range(n_sub)]
+    u1_s = [[_k_bc6h_unquant(q1_s[p][c], precW[c], signed)
+             .astype(jnp.float32) for c in range(3)] for p in range(n_sub)]
+    f0_s = [[_k_bc6h_finish_f(u0_s[p][c], signed) for c in range(3)]
             for p in range(n_sub)]
-    u1_s = [[_k_bc6h_unquant(q1_s[p][c], precW[c], signed) for c in range(3)]
-            for p in range(n_sub)]
-    f0_s = [[_k_bc6h_finish(u0_s[p][c], signed).astype(jnp.float32)
-             for c in range(3)] for p in range(n_sub)]
-    e_s = [[_k_bc6h_finish(u1_s[p][c], signed).astype(jnp.float32)
-            - f0_s[p][c] for c in range(3)] for p in range(n_sub)]
+    e_s = [[_k_bc6h_finish_f(u1_s[p][c], signed) - f0_s[p][c]
+            for c in range(3)] for p in range(n_sub)]
     span_s = [sum(e_s[p][c] * e_s[p][c] for c in range(3))
               for p in range(n_sub)]
     f0_px = [sel([f0_s[p][c] for p in range(n_sub)]) for c in range(3)]
     e_px = [sel([e_s[p][c] for p in range(n_sub)]) for c in range(3)]
     span_px = sel(span_s)
 
-    dot = sum((xs3[c].astype(jnp.float32) - f0_px[c]) * e_px[c]
-              for c in range(3))
+    dot = sum((xf3[c] - f0_px[c]) * e_px[c] for c in range(3))
     p64 = jnp.clip(dot * (64.0 / jnp.where(span_px > 0, span_px, 1.0)),
                    0.0, 64.0)
-    kf = jnp.round(p64 * ((K - 1) / 64.0)).astype(jnp.int32)
-    kf = jnp.clip(kf, 0, K - 1)
-    wk = _pal_weight(kf, K)
-    wkp = _pal_weight(jnp.minimum(kf + 1, K - 1), K)
-    wkm = _pal_weight(jnp.maximum(kf - 1, 0), K)
-    up = (kf < K - 1) & (2.0 * p64 > (wk + wkp).astype(jnp.float32))
-    dn = (kf > 0) & (2.0 * p64 < (wk + wkm).astype(jnp.float32))
-    idx = jnp.where(up, kf + 1, jnp.where(dn, kf - 1, kf))
-    wk = _pal_weight(idx, K)
+    kf = jnp.clip(jnp.round(p64 * ((K - 1) / 64.0)), 0.0, K - 1.0)
+    wk = _pal_weight_f(kf, K)
+    wkp = _pal_weight_f(jnp.minimum(kf + 1.0, K - 1.0), K)
+    wkm = _pal_weight_f(jnp.maximum(kf - 1.0, 0.0), K)
+    up = (kf < K - 1) & (2.0 * p64 > wk + wkp)
+    dn = (kf > 0) & (2.0 * p64 < wk + wkm)
+    idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    wk = _pal_weight_f(idx, K)
     u0_px = [sel([u0_s[p][c] for p in range(n_sub)]) for c in range(3)]
     u1_px = [sel([u1_s[p][c] for p in range(n_sub)]) for c in range(3)]
     best = jnp.zeros_like(dot)
     for c in range(3):
-        pal = _k_bc6h_finish((u0_px[c] * (64 - wk) + u1_px[c] * wk + 32)
-                             >> 6, signed)
-        d = (xs3[c] - pal).astype(jnp.float32)
+        pal = _k_bc6h_finish_f(
+            jnp.floor((u0_px[c] * (64.0 - wk) + u1_px[c] * wk)
+                      * jnp.float32(1 / 64) + 0.5), signed)
+        d = xf3[c] - pal
         best = best + d * d
     errs = [jnp.sum(best if masks[p] is None
                     else jnp.where(masks[p], best, 0.0), axis=0)
@@ -1410,7 +1438,7 @@ def _k_bc6h_palette_err_px(xs3, masks, q0_s, q1_s, precW, iprec: int,
     return idx, errs
 
 
-def _k_bc6h_subsets(xs3, xf3, masks, row: int, signed: bool):
+def _k_bc6h_subsets(xf3, masks, row: int, signed: bool):
     """Every BC6H subset of one shape candidate in a single fused pass:
     min/max endpoints, quantize, projection assign, two least-squares refit
     rounds, keep better — per-pixel plane work shared across subsets
@@ -1447,7 +1475,7 @@ def _k_bc6h_subsets(xs3, xf3, masks, row: int, signed: bool):
                 for p in range(n_sub)]
 
     q0_s, q1_s = quant(mi_s), quant(ma_s)
-    idx, errs = _k_bc6h_palette_err_px(xs3, masks, q0_s, q1_s, precW,
+    idx, errs = _k_bc6h_palette_err_px(xf3, masks, q0_s, q1_s, precW,
                                        iprec, signed)
 
     lim = float(_BC6H_F16MAX)
@@ -1455,8 +1483,7 @@ def _k_bc6h_subsets(xs3, xf3, masks, row: int, signed: bool):
     e0f_s, e1f_s = mi_s, ma_s
     q0b_s, q1b_s, idx_b, errs_b = q0_s, q1_s, idx, errs
     for _ in range(2):
-        x = _pal_weight(idx_b, 1 << iprec).astype(jnp.float32) \
-            * jnp.float32(1 / 64)
+        x = _pal_weight_f(idx_b, 1 << iprec) * jnp.float32(1 / 64)
         av = 1.0 - x
         bv = x
         aa, ab_, bb = av * av, av * bv, bv * bv
@@ -1482,7 +1509,7 @@ def _k_bc6h_subsets(xs3, xf3, masks, row: int, signed: bool):
             e1n_s.append(r1l)
         e0f_s, e1f_s = e0n_s, e1n_s
         q0b_s, q1b_s = quant(e0f_s), quant(e1f_s)
-        idx_b, errs_b = _k_bc6h_palette_err_px(xs3, masks, q0b_s, q1b_s,
+        idx_b, errs_b = _k_bc6h_palette_err_px(xf3, masks, q0b_s, q1b_s,
                                                precW, iprec, signed)
 
     better = [errs_b[p] < errs[p] for p in range(n_sub)]
@@ -1523,7 +1550,7 @@ def _bc6h_header_runs(row: int):
     return runs, header_bits
 
 
-def _k_bc6h_eval(xs3, xf3, row: int, signed: bool, pm, a2):
+def _k_bc6h_eval(xf3, row: int, signed: bool, pm, a2):
     """Subset evaluation + anchor swaps for one shape candidate; shared by
     every row with the same endpoint precision (precW) and index precision.
     pm/a2 None for 1-region rows. Returns (total_err, q_pairs, idx_full)."""
@@ -1532,7 +1559,7 @@ def _k_bc6h_eval(xs3, xf3, row: int, signed: bool, pm, a2):
     n_sub = partitions + 1
 
     masks = [None] if pm is None else [pm == p for p in range(n_sub)]
-    q0_s, q1_s, idx_full, errs = _k_bc6h_subsets(xs3, xf3, masks, row,
+    q0_s, q1_s, idx_full, errs = _k_bc6h_subsets(xf3, masks, row,
                                                  signed)
     total_err = sum(errs)
     q_pairs = list(zip(q0_s, q1_s))
@@ -1543,7 +1570,7 @@ def _k_bc6h_eval(xs3, xf3, row: int, signed: bool, pm, a2):
             a_idx = idx_full[0]
         else:
             a_idx = _k_anchor_index(idx_full, a2)
-        swap = (a_idx & msb) != 0
+        swap = a_idx >= msb                      # f32 idx: msb set test
         q0, q1 = q_pairs[p]
         fixed.append(([jnp.where(swap, q1[c], q0[c]) for c in range(3)],
                       [jnp.where(swap, q0[c], q1[c]) for c in range(3)]))
@@ -1600,10 +1627,10 @@ def _k_bc6h_transform_fit(q_pairs, total_err, row: int, signed: bool):
     return jnp.where(fit, total_err, jnp.inf), emit_pairs
 
 
-def _k_bc6h_candidate(xs3, xf3, row: int, signed: bool, pm, a2):
+def _k_bc6h_candidate(xf3, row: int, signed: bool, pm, a2):
     """One (row, shape) candidate end to end (eval + transform/fit).
     Returns (err, emit_pairs, idx_full)."""
-    total_err, q_pairs, idx_full = _k_bc6h_eval(xs3, xf3, row, signed,
+    total_err, q_pairs, idx_full = _k_bc6h_eval(xf3, row, signed,
                                                 pm, a2)
     err, emit_pairs = _k_bc6h_transform_fit(q_pairs, total_err, row, signed)
     return err, emit_pairs, idx_full
@@ -1613,6 +1640,10 @@ def _k_bc6h_emit(row: int, t, s_blk, emit_pairs, idx_full, a2):
     """In-kernel BC6H EmitBlock (bc67._bc6h_emit). Returns [4, T] u32."""
     (mode_val, partitions, _, iprec, _, _, _, _) = BC6H_MODE_INFO[row]
     runs, header_bits = _bc6h_header_runs(row)
+    # the search carries indices as integer-valued f32 planes; bit
+    # packing needs ints — one cast per winner here
+    if jnp.issubdtype(idx_full.dtype, jnp.floating):
+        idx_full = idx_full.astype(jnp.int32)
     kw = _KWords(t)
 
     fields = {2: s_blk}
@@ -1653,13 +1684,13 @@ def _k_bc6h_emit(row: int, t, s_blk, emit_pairs, idx_full, a2):
 _BC6H_F16MAX = 0x7BFF
 
 
-def _k_bc6h_1region(xs3, xf3, signed: bool):
+def _k_bc6h_1region(xf3, signed: bool):
     """Rows 10-13 (single region), folded in row order.
     Returns (err, words)."""
-    zero = jnp.zeros_like(xs3[0][0])
+    zero = jnp.zeros_like(xf3[0][0], dtype=jnp.int32)
     best_e, best_w = None, None
     for row in range(10, 14):
-        err, pairs, idx = _k_bc6h_candidate(xs3, xf3, row, signed,
+        err, pairs, idx = _k_bc6h_candidate(xf3, row, signed,
                                             None, None)
         words = _k_bc6h_emit(row, err, zero, pairs, idx, None)
         if best_e is None:
@@ -1672,9 +1703,9 @@ def _k_bc6h_1region(xs3, xf3, signed: bool):
 
 
 def _bc6h_1region_kernel(px_ref, err_ref, w_ref, *, signed: bool):
-    xs3 = [px_ref[c * 16:(c + 1) * 16, :] for c in range(3)]
-    xf3 = [x.astype(jnp.float32) for x in xs3]
-    best_e, best_w = _k_bc6h_1region(xs3, xf3, signed)
+    xf3 = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
+           for c in range(3)]
+    best_e, best_w = _k_bc6h_1region(xf3, signed)
     err_ref[...] = jnp.broadcast_to(best_e[None, :], err_ref.shape)
     w_ref[...] = best_w
 
@@ -1696,7 +1727,7 @@ def _k_bc6h_decode_cands(sb_rows):
     return cands
 
 
-def _k_bc6h_group(xs3, xf3, cands, rows: tuple, signed: bool):
+def _k_bc6h_group(xf3, cands, rows: tuple, signed: bool):
     """2-region rows sharing endpoint/index precision: the expensive
     subset evaluation runs once per shape candidate, then each row applies
     its own delta transform + fit check and emit; rows fold in order
@@ -1704,7 +1735,7 @@ def _k_bc6h_group(xs3, xf3, cands, rows: tuple, signed: bool):
     delta field, ms_aInfo BC6HBC7.cpp:1051-1067). Returns (err, words)."""
     shared = []
     for s_blk, pm, a2 in cands:
-        terr, q_pairs, idx = _k_bc6h_eval(xs3, xf3, rows[0], signed, pm, a2)
+        terr, q_pairs, idx = _k_bc6h_eval(xf3, rows[0], signed, pm, a2)
         shared.append((s_blk, a2, terr, q_pairs, idx))
     n_cand = len(cands)
 
@@ -1743,11 +1774,11 @@ def _k_bc6h_group(xs3, xf3, cands, rows: tuple, signed: bool):
 
 def _bc6h_2region_kernel(px_ref, sb_ref, err_ref, w_ref, *, rows: tuple,
                          signed: bool, n_cand: int):
-    xs3 = [px_ref[c * 16:(c + 1) * 16, :] for c in range(3)]
-    xf3 = [x.astype(jnp.float32) for x in xs3]
+    xf3 = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
+           for c in range(3)]
     cands = _k_bc6h_decode_cands([sb_ref[cand, :]
                                   for cand in range(n_cand)])
-    best_e, best_w = _k_bc6h_group(xs3, xf3, cands, rows, signed)
+    best_e, best_w = _k_bc6h_group(xf3, cands, rows, signed)
     err_ref[...] = jnp.broadcast_to(best_e[None, :], err_ref.shape)
     w_ref[...] = best_w
 
@@ -1772,16 +1803,16 @@ def _bc6h_all_kernel(px_ref, m_ref, err_ref, w_ref, *, signed: bool,
     shared subset evaluation, per-row delta fits, emit, and the row fold
     all stay in VMEM. Fold order matches bc67.encode_bc6h: 1-region rows
     first, then 2-region rows 0-9."""
-    xs3 = [px_ref[c * 16:(c + 1) * 16, :] for c in range(3)]
-    xf3 = [x.astype(jnp.float32) for x in xs3]
+    xf3 = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
+           for c in range(3)]
 
-    best_e, best_w = _k_bc6h_1region(xs3, xf3, signed)
+    best_e, best_w = _k_bc6h_1region(xf3, signed)
 
     xf4 = xf3 + [jnp.zeros_like(xf3[0])]
     sb_rows = _k_shape_topk(xf4, m_ref[...], 1, 32, 3, n_cand)
     cands = _k_bc6h_decode_cands(sb_rows)
     for rows in _bc6h_row_groups():
-        err, words = _k_bc6h_group(xs3, xf3, cands, rows, signed)
+        err, words = _k_bc6h_group(xf3, cands, rows, signed)
         bt = err < best_e
         best_e = jnp.where(bt, err, best_e)
         best_w = jnp.where(bt[None, :], words, best_w)
