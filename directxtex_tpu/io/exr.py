@@ -4,10 +4,11 @@ Mirrors the reference's OpenEXR adapter (Auxiliary/DirectXTexEXR.cpp:
 LoadFromEXRFile/SaveToEXRFile work through RgbaInputFile/RgbaOutputFile as
 half RGBA <-> R16G16B16A16_FLOAT). This implementation reads/writes the EXR
 container directly: single-part scanline images, HALF/FLOAT/UINT channels,
-NONE / RLE / ZIPS / ZIP / PIZ compression for read and write plus PXR24
-read (the most common wire formats; B44/B44A/DWA raise). The PIZ
-wavelet+Huffman codec lives in exr_piz.py. Tiled, deep, and multi-part
-files are rejected like the adapter's RgbaInputFile would.
+NONE / RLE / ZIPS / ZIP / PIZ / B44 / B44A compression for read and
+write plus PXR24 read (DWA raises). The PIZ wavelet+Huffman codec lives
+in exr_piz.py; the B44 fixed-rate block codec in exr_b44.py. Tiled,
+deep, and multi-part files are rejected like the adapter's
+RgbaInputFile would.
 
 Load returns the framework-native f32 RGBA Texture with metadata format
 R16G16B16A16_FLOAT (matching Auxiliary/DirectXTexEXR.cpp:172-183); save
@@ -34,10 +35,12 @@ _MAGIC = 0x01312F76
 # compression ids (OpenEXR ImfCompression.h)
 _NONE, _RLE, _ZIPS, _ZIP, _PIZ, _PXR24, _B44, _B44A, _DWAA, _DWAB = range(10)
 _LINES_PER_BLOCK = {_NONE: 1, _RLE: 1, _ZIPS: 1, _ZIP: 16, _PIZ: 32,
-                    _PXR24: 16}
+                    _PXR24: 16, _B44: 32, _B44A: 32}
 # writer-supported subset (PXR24 is decode-only: it is lossy for float
-# channels, and the reference's adapter never writes it)
-_WRITE_COMPRESSIONS = (_NONE, _RLE, _ZIPS, _ZIP, _PIZ)
+# channels, and the reference's adapter never writes it; B44/B44A are
+# lossy too but write-supported since our half-RGBA writer matches
+# their HALF-only fast path)
+_WRITE_COMPRESSIONS = (_NONE, _RLE, _ZIPS, _ZIP, _PIZ, _B44, _B44A)
 _PIXEL_DTYPE = {0: np.dtype("<u4"), 1: np.dtype("<f2"), 2: np.dtype("<f4")}
 
 
@@ -296,8 +299,11 @@ def _decompress_chunk(raw: bytes, compression: int, expected: int,
         return out
     if compression == _PXR24:
         return _pxr24_uncompress(raw, layout, width, expected)
+    if compression in (_B44, _B44A):
+        from . import exr_b44
+        return exr_b44.uncompress(raw, layout, width, expected)
     raise ValueError(f"EXR: compression {compression} not supported "
-                     "(NONE/RLE/ZIPS/ZIP/PIZ/PXR24 only)")
+                     "(NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A only)")
 
 
 def get_metadata_from_exr_memory(data: bytes) -> TexMetadata:
@@ -319,7 +325,7 @@ def load_from_exr_memory(data: bytes) -> Texture:
     comp = h["compression"]
     if comp not in _LINES_PER_BLOCK:
         raise ValueError(f"EXR: compression {comp} not supported "
-                         "(NONE/RLE/ZIPS/ZIP only)")
+                         "(NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A only)")
     lpb = _LINES_PER_BLOCK[comp]
     nchunks = (height + lpb - 1) // lpb
 
@@ -437,6 +443,11 @@ def save_to_exr_memory(tex: Texture, mip: int = 0, item: int = 0,
             from . import exr_piz
             layout = [(n, 1, nlines) for n in chan_names]  # half channels
             packed = exr_piz.piz_compress(raw, layout, width)
+        elif compression in (_B44, _B44A):
+            from . import exr_b44
+            layout = [(n, 1, nlines) for n in chan_names]
+            packed = exr_b44.compress(raw, layout, width,
+                                      flat_ok=compression == _B44A)
         else:
             packed = raw.tobytes()
         if len(packed) >= len(raw):

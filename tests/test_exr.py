@@ -120,11 +120,11 @@ def test_truncated():
 def test_unsupported_compression_rejected():
     tex, _ = _tex()
     data = bytearray(exr.save_to_exr_memory(tex, compression=exr._NONE))
-    # find the compression attribute value and patch it to B44
+    # find the compression attribute value and patch it to DWAA
     i = bytes(data).find(b"compression\0compression\0")
     assert i > 0
     off = i + len(b"compression\0compression\0") + 4
-    data[off] = exr._B44
+    data[off] = exr._DWAA
     with pytest.raises(ValueError, match="not supported"):
         exr.load_from_exr_memory(bytes(data))
 
@@ -217,3 +217,93 @@ def test_pxr24_decode():
     tex = exr.load_from_exr_memory(bytes(out))
     got = np.asarray(tex.levels[0][0])
     np.testing.assert_array_equal(got[..., :3], img.astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# B44 / B44A codec (exr_b44; ImfB44Compressor wire format)
+# ---------------------------------------------------------------------------
+
+def _b44_ref_unpack14(b):
+    """Scalar transliteration of ImfB44Compressor unpack14: independent
+    oracle for the vectorized decoder's bit layout."""
+    b = [int(v) for v in b]
+    total = int.from_bytes(bytes(b), "big")  # 14 bytes = 112 bits
+    s = [0] * 16
+    s[0] = (b[0] << 8) | b[1]
+    shift = b[2] >> 2
+    bias = (0x20 << shift) & 0xFFFF
+    chain = [(4, 0), (8, 4), (12, 8),
+             (1, 0), (5, 4), (9, 8), (13, 12),
+             (2, 1), (6, 5), (10, 9), (14, 13),
+             (3, 2), (7, 6), (11, 10), (15, 14)]
+    for i, (dst, src) in enumerate(chain):
+        d = (total >> (84 - 6 * i)) & 0x3F
+        s[dst] = (s[src] + ((d << shift) & 0xFFFF) - bias) & 0xFFFF
+    # inverse monotonic transform
+    return [(v & 0x7FFF) if v & 0x8000 else (~v & 0xFFFF) for v in s]
+
+
+def test_b44_unpack_matches_scalar_oracle():
+    from directxtex_tpu.io import exr_b44 as B
+    rng = np.random.default_rng(21)
+    blocks = rng.integers(0, 256, (64, 14)).astype(np.uint8)
+    blocks[:, 2] = (rng.integers(0, 11, 64) << 2 | (blocks[:, 2] & 3)) \
+        .astype(np.uint8)
+    got = B.unpack_blocks(blocks)
+    for i in range(64):
+        assert list(got[i]) == _b44_ref_unpack14(blocks[i]), i
+
+
+def test_b44_roundtrip_bounded_error():
+    # B44 is lossy: reconstruction error < 2^shift in the monotonic u16
+    # domain. Smooth content keeps shift small; assert high PSNR.
+    h, w = 37, 61
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([np.sin(xx / 17) + 1, yy / h, xx / w,
+                    np.ones((h, w))], -1).astype(np.float32)
+    tex = Texture.from_array(img)
+    ref = img.astype(np.float16).astype(np.float32)
+    sizes = {}
+    for comp in (exr._B44, exr._B44A):
+        data = exr.save_to_exr_memory(tex, compression=comp)
+        out = np.asarray(exr.load_from_exr_memory(data).levels[0][0])
+        mse = np.mean((out - ref) ** 2)
+        assert 10 * np.log10(4.0 / max(mse, 1e-12)) > 55.0
+        sizes[comp] = len(data)
+    assert sizes[exr._B44A] <= sizes[exr._B44]
+
+
+def test_b44_block_constant_lossless():
+    # per-4x4-block constant data packs with shift 0: exact round-trip;
+    # B44A collapses the flat blocks to 3 bytes (strictly smaller file)
+    rng = np.random.default_rng(22)
+    img = np.repeat(np.repeat(rng.random((8, 8, 4)).astype(np.float32),
+                              4, 0), 4, 1)
+    tex = Texture.from_array(img)
+    want = img.astype(np.float16).astype(np.float32)
+    d44 = exr.save_to_exr_memory(tex, compression=exr._B44)
+    d44a = exr.save_to_exr_memory(tex, compression=exr._B44A)
+    for data in (d44, d44a):
+        out = np.asarray(exr.load_from_exr_memory(data).levels[0][0])
+        np.testing.assert_array_equal(out, want)
+    assert len(d44a) < len(d44)
+
+
+def test_b44_partial_blocks_and_chunks():
+    # 71x13: width/height not multiples of 4, several 32-line chunks
+    # including a short last one
+    rng = np.random.default_rng(23)
+    base = rng.random((1, 1, 4)).astype(np.float32)
+    img = np.broadcast_to(base, (71, 13, 4)).copy()
+    tex = Texture.from_array(img)
+    data = exr.save_to_exr_memory(tex, compression=exr._B44A)
+    out = np.asarray(exr.load_from_exr_memory(data).levels[0][0])
+    np.testing.assert_array_equal(
+        out, img.astype(np.float16).astype(np.float32))
+
+
+def test_b44_truncated_chunk_rejected():
+    tex, _ = _tex(h=16, w=16, seed=24)
+    data = exr.save_to_exr_memory(tex, compression=exr._B44)
+    with pytest.raises(ValueError):
+        exr.load_from_exr_memory(data[:-40])
