@@ -184,9 +184,21 @@ def _pack_enc_table(hcode: np.ndarray, im: int, iM: int) -> bytes:
 
 
 def huf_uncompress(data: bytes, n_raw: int) -> np.ndarray:
-    """Huffman stream -> u16[n_raw]."""
+    """Huffman stream -> u16[n_raw]. Native fast path when available."""
     if n_raw == 0:
         return np.zeros(0, np.uint16)
+    try:
+        from .. import native
+        fast = native.piz_huf_uncompress(bytes(data), n_raw)
+        if fast is not None:
+            return fast
+    except ImportError:
+        pass
+    return _huf_uncompress_py(data, n_raw)
+
+
+def _huf_uncompress_py(data: bytes, n_raw: int) -> np.ndarray:
+    """Pure-python decoder: portable fallback and format oracle."""
     if len(data) < 20:
         raise ValueError("EXR: PIZ huffman header truncated")
     im, iM, _tl, n_bits, _ = struct.unpack_from("<5I", data, 0)
@@ -294,7 +306,22 @@ def huf_uncompress(data: bytes, n_raw: int) -> np.ndarray:
 
 
 def huf_compress(raw: np.ndarray) -> bytes:
-    """u16 data -> Huffman stream (hufCompress layout)."""
+    """u16 data -> Huffman stream (hufCompress layout). Native fast path
+    when available (byte-identical stream; tests assert both ways)."""
+    if len(raw) == 0:
+        return b""
+    try:
+        from .. import native
+        fast = native.piz_huf_compress(raw)
+        if fast is not None:
+            return fast
+    except ImportError:
+        pass
+    return _huf_compress_py(raw)
+
+
+def _huf_compress_py(raw: np.ndarray) -> bytes:
+    """Pure-python encoder: portable fallback and format oracle."""
     if len(raw) == 0:
         return b""
     freq = np.bincount(raw, minlength=HUF_ENCSIZE).astype(np.int64)

@@ -14,7 +14,8 @@ import subprocess
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "rle_codec.cpp"),
-         os.path.join(_HERE, "dither.cpp")]
+         os.path.join(_HERE, "dither.cpp"),
+         os.path.join(_HERE, "piz.cpp")]
 _SO = os.path.join(_HERE, "librle_codec.so")
 
 _lib = None
@@ -60,6 +61,14 @@ def get_lib():
         lib.fs_dither.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.piz_huf_uncompress.restype = ctypes.c_int
+        lib.piz_huf_uncompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_longlong]
+        lib.piz_huf_compress.restype = ctypes.c_longlong
+        lib.piz_huf_compress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
         _lib = lib
     except OSError:
         _lib = None
@@ -107,6 +116,39 @@ def hdr_encode_rle_channel(ch) -> bytes | None:
     n = lib.hdr_encode_rle_channel(
         ch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(ch),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[:n].tobytes()
+
+
+def piz_huf_uncompress(data: bytes, n_raw: int):
+    """Native PIZ Huffman decode -> np.uint16[n_raw], or None."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(n_raw, np.uint16)
+    rc = lib.piz_huf_uncompress(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), n_raw)
+    if rc != 0:
+        raise ValueError(f"EXR: corrupt PIZ huffman stream ({rc})")
+    return out
+
+
+def piz_huf_compress(raw) -> bytes | None:
+    """Native PIZ Huffman encode of u16 data, or None."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, np.uint16)
+    # header + packed table + worst-case body (58-bit codes + rlc chains)
+    cap = 20 + (len(raw) + 65537) * 8 + 64
+    out = np.empty(cap, np.uint8)
+    n = lib.piz_huf_compress(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), len(raw),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise ValueError("EXR: PIZ huffman encode overflow")
     return out[:n].tobytes()
 
 

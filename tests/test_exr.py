@@ -307,3 +307,37 @@ def test_b44_truncated_chunk_rejected():
     data = exr.save_to_exr_memory(tex, compression=exr._B44)
     with pytest.raises(ValueError):
         exr.load_from_exr_memory(data[:-40])
+
+
+def test_piz_native_matches_oracle():
+    """native/piz.cpp must produce byte-identical Huffman streams to the
+    python oracle and decode them identically (skip without a compiler)."""
+    from directxtex_tpu import native
+    from directxtex_tpu.io import exr_piz as P
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(31)
+    cases = [rng.integers(0, 500, 4096).astype(np.uint16),
+             rng.integers(0, 1 << 16, 30000).astype(np.uint16),
+             np.full(1000, 1234, np.uint16),
+             np.zeros(300, np.uint16)]
+    cases[0][1000:2000] = 7  # rlc path
+    for raw in cases:
+        enc_py = P._huf_compress_py(raw)
+        assert native.piz_huf_compress(raw) == enc_py
+        assert np.array_equal(native.piz_huf_uncompress(enc_py, len(raw)),
+                              raw)
+        assert np.array_equal(P._huf_uncompress_py(enc_py, len(raw)), raw)
+
+
+def test_piz_native_rejects_corrupt():
+    from directxtex_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(32)
+    raw = rng.integers(0, 500, 1000).astype(np.uint16)
+    enc = bytearray(native.piz_huf_compress(raw))
+    with pytest.raises(ValueError):
+        native.piz_huf_uncompress(bytes(enc[:10]), 1000)  # truncated header
+    with pytest.raises(ValueError):
+        native.piz_huf_uncompress(bytes(enc), 2000)  # wrong output size
