@@ -36,13 +36,18 @@ def main() -> int:
     results = {}
     ok = True
     for name, argv, env_over in STEPS:
+        # inherited PYTHONPATH (/root/.axon_site) is what registers the
+        # axon TPU plugin — only the CPU steps override it (which also
+        # deliberately de-registers axon, per the CLAUDE.md recipe)
         env = dict(os.environ)
-        env.pop("PYTHONPATH", None)
         env.update(env_over)
         proc = subprocess.run(argv, cwd="/root/repo", env=env,
                               capture_output=True, text=True, timeout=3600)
         tail = (proc.stdout.strip().splitlines() or [""])[-6:]
         results[name] = {"rc": proc.returncode, "tail": tail}
+        if proc.returncode != 0:
+            results[name]["stderr_tail"] = \
+                (proc.stderr.strip().splitlines() or [""])[-8:]
         print(f"[{name}] rc={proc.returncode}")
         for line in tail:
             print(f"    {line}")

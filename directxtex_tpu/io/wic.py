@@ -5,6 +5,15 @@ formats with the OS imaging stack; the TPU-native equivalent bridges through
 Pillow. Format mapping follows WICToDXGI (DirectXTexUtil.cpp:135): 8-bit
 RGB(A) -> R8G8B8A8_UNORM, 16-bit -> R16G16B16A16_UNORM, grayscale -> R8/R16,
 float TIFF -> R32G32B32A32_FLOAT.
+
+Scope note: the reference enumerates whatever codecs the OS WIC runtime
+ships — on Windows that adds JPEG-XR (WIC_CODEC_WMP) and, with the OS
+extension installed, HEIF. Those two have no Pillow codec in this
+environment and are intentionally out of scope: `WIC_CODEC.WMP` /
+`.HEIF` raise a clear error rather than silently re-encoding. Every
+cross-platform codec the reference's own test matrix exercises
+(BMP/PNG/JPEG/TIFF/GIF, plus multiframe and metadata queries) is
+supported.
 """
 
 from __future__ import annotations
