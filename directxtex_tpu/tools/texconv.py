@@ -42,37 +42,37 @@ def build_parser() -> argparse.ArgumentParser:
                    help="overwrite existing files")
     p.add_argument("-w", "--width", type=int, default=0, help="target width")
     p.add_argument("-ht", "--height", type=int, default=0, help="target height")
-    p.add_argument("-m", "--mips", type=int, default=None,
+    p.add_argument("-m", "--mips", "--mip-levels", dest="mips", type=int, default=None,
                    help="mip count (0 = full chain, 1 = none)")
     p.add_argument("-if", "--image-filter", default="fant",
                    choices=["point", "linear", "cubic", "fant", "box", "triangle"],
                    help="resize/mip filter")
     p.add_argument("-srgb", action="store_true", help="sRGB in and out")
-    p.add_argument("-srgbi", action="store_true", help="sRGB input")
-    p.add_argument("-srgbo", action="store_true", help="sRGB output")
+    p.add_argument("-srgbi", "--srgb-in", dest="srgbi", action="store_true", help="sRGB input")
+    p.add_argument("-srgbo", "--srgb-out", dest="srgbo", action="store_true", help="sRGB output")
     p.add_argument("-wrap", action="store_true", help="wrap filtering")
     p.add_argument("-mirror", action="store_true", help="mirror filtering")
     p.add_argument("-dither", choices=["none", "ordered", "diffusion"],
                    default="none",
                    help="dither when converting to a lower-bit-depth format")
-    p.add_argument("-sepalpha", action="store_true",
+    p.add_argument("-sepalpha", "--separate-alpha", dest="sepalpha", action="store_true",
                    help="resize alpha separately")
-    p.add_argument("-keepcoverage", type=float, default=None, metavar="REF",
+    p.add_argument("-keepcoverage", "--keep-coverage", dest="keepcoverage", type=float, default=None, metavar="REF",
                    help="preserve alpha coverage for mips at reference")
-    p.add_argument("-pmalpha", action="store_true",
+    p.add_argument("-pmalpha", "--premultiplied-alpha", dest="pmalpha", action="store_true",
                    help="convert to premultiplied alpha")
     p.add_argument("-alpha", action="store_true",
                    help="convert from premultiplied to straight alpha")
-    p.add_argument("-hflip", action="store_true", help="horizontal flip")
-    p.add_argument("-vflip", action="store_true", help="vertical flip")
+    p.add_argument("-hflip", "--horizontal-flip", dest="hflip", action="store_true", help="horizontal flip")
+    p.add_argument("-vflip", "--vertical-flip", dest="vflip", action="store_true", help="vertical flip")
     p.add_argument("-rotate", type=int, default=0, choices=[0, 90, 180, 270],
                    help="rotation angle")
-    p.add_argument("-nmap", default=None, metavar="CHANNELS",
+    p.add_argument("-nmap", "--normal-map", dest="nmap", default=None, metavar="CHANNELS",
                    help="compute normal map (l=luminance, r/g/b/a channel, "
                         "m=mirror, i=invert, o=occlusion), e.g. 'lo'")
-    p.add_argument("-nmapamp", type=float, default=1.0,
+    p.add_argument("-nmapamp", "--normal-map-amplitude", dest="nmapamp", type=float, default=1.0,
                    help="normal map amplitude")
-    p.add_argument("-bc", default="", metavar="FLAGS",
+    p.add_argument("-bc", "--block-compress", dest="bc", default="", metavar="FLAGS",
                    help="BC flags: d=dither, u=uniform, q=quick, "
                         "x=3subsets, m=max quality (endpoint ladder)")
     p.add_argument("-at", "--alpha-threshold", type=float, default=0.5,
@@ -82,68 +82,70 @@ def build_parser() -> argparse.ArgumentParser:
                         "alphaWeight)")
     p.add_argument("-tonemap", action="store_true",
                    help="Reinhard tonemap HDR to LDR")
-    p.add_argument("-rotatecolor", default=None,
+    p.add_argument("-rotatecolor", "--rotate-color", dest="rotatecolor", default=None,
                    choices=["709to2020", "2020to709", "709toHDR10",
                             "HDR10to709", "P3D65toHDR10", "P3D65to2020",
                             "709toP3D65", "P3D65to709"],
                    help="rotate color primaries / HDR10 PQ transfer")
-    p.add_argument("-nits", type=float, default=200.0,
+    p.add_argument("-nits", "--paper-white-nits", dest="nits", type=float, default=200.0,
                    help="paper-white nits for HDR10 rotations")
-    p.add_argument("-pow2", action="store_true", dest="fit_pow2",
+    p.add_argument("-pow2", "--fit-power-of-2", action="store_true", dest="fit_pow2",
                    help="fit dimensions to powers of 2 (rounding down)")
-    p.add_argument("-x2bias", action="store_true",
+    p.add_argument("-x2bias", "--x2-bias", dest="x2bias", action="store_true",
                    help="x2 bias for UNORM<->FLOAT conversions")
-    p.add_argument("-tu", action="store_true", dest="typeless_unorm",
+    p.add_argument("-tu", "--typeless-unorm", action="store_true", dest="typeless_unorm",
                    help="treat TYPELESS input as UNORM")
-    p.add_argument("-tf", action="store_true", dest="typeless_float",
+    p.add_argument("-tf", "--typeless-float", action="store_true", dest="typeless_float",
                    help="treat TYPELESS input as FLOAT")
-    p.add_argument("-badtails", action="store_true",
+    p.add_argument("-badtails", "--bad-tails", dest="badtails", action="store_true",
                    help="accept DDS files with truncated DXTn mip tails")
     p.add_argument("-permissive", action="store_true",
                    help="relaxed DDS header validation")
-    p.add_argument("-ignoremips", action="store_true",
+    p.add_argument("-ignoremips", "--ignore-mips", dest="ignoremips", action="store_true",
                    help="ignore the DDS mip chain, load level 0 only")
     p.add_argument("-swizzle", default=None, metavar="RGBA",
                    help="channel swizzle mask, e.g. 'bgra' or 'rrra'")
-    p.add_argument("-c", "--colorkey", default=None, metavar="RRGGBB",
+    p.add_argument("-c", "--colorkey", "--color-key", dest="colorkey", default=None, metavar="RRGGBB",
                    help="hex colorkey to convert to transparent")
-    p.add_argument("-inverty", action="store_true",
+    p.add_argument("-inverty", "--invert-y", dest="inverty", action="store_true",
                    help="invert the green channel (normal map Y flip)")
-    p.add_argument("-reconstructz", action="store_true",
+    p.add_argument("-reconstructz", "--reconstruct-z", dest="reconstructz", action="store_true",
                    help="rebuild Z (blue) channel from X/Y for BC5 normals")
-    p.add_argument("-fixbc4x4", action="store_true",
+    p.add_argument("-fixbc4x4", "--fix-bc-4x4", dest="fixbc4x4", action="store_true",
                    help="round size down to multiple of 4 for BC")
-    p.add_argument("-wicq", type=float, default=None, metavar="Q",
+    p.add_argument("-wicq", "--wic-quality", dest="wicq", type=float, default=None, metavar="Q",
                    help="WIC codec quality 0.0-1.0 (JPEG quality / PNG "
                         "compression effort)")
-    p.add_argument("-wicmulti", action="store_true",
+    p.add_argument("-wicmulti", "--wic-multiframe", dest="wicmulti", action="store_true",
                    help="save texture arrays as multiframe GIF/TIFF")
     p.add_argument("-timing", action="store_true", help="print per-stage times")
     p.add_argument("-nologo", action="store_true", help="suppress banner")
+    p.add_argument("-version", action="store_true",
+                   help="print version and exit")
     p.add_argument("-dx9", action="store_true", help="force DX9 legacy DDS")
     p.add_argument("-dx10", action="store_true", help="force DX10 ext DDS")
-    p.add_argument("-l", action="store_true", dest="tolower",
+    p.add_argument("-l", "--to-lowercase", action="store_true", dest="tolower",
                    help="force output filename to lowercase")
-    p.add_argument("-flist", default=None, metavar="FILE",
+    p.add_argument("-flist", "--file-list", dest="flist", default=None, metavar="FILE",
                    help="read input file paths from a text file (one per "
                         "line, # comments)")
     p.add_argument("-tga20", action="store_true",
                    help="write TGA 2.0 extension area (always written by "
                         "this implementation; accepted for compatibility)")
-    p.add_argument("-tgazeroalpha", action="store_true",
+    p.add_argument("-tgazeroalpha", "--tga-zero-alpha", dest="tgazeroalpha", action="store_true",
                    help="allow all-zero-alpha TGA channel instead of "
                         "treating it as opaque")
-    p.add_argument("-xlum", action="store_true", dest="expand_luminance",
+    p.add_argument("-xlum", "--expand-luminance", action="store_true", dest="expand_luminance",
                    help="expand legacy L8/L16/A8L8 luminance to RGB on load")
-    p.add_argument("-dword", action="store_true", dest="dword_align",
+    p.add_argument("-dword", "--dword-alignment", action="store_true", dest="dword_align",
                    help="use legacy DWORD-aligned pitch for DDS save")
     p.add_argument("-fl", "--feature-level", default=None, metavar="LEVEL",
                    help="Direct3D feature level size limit to validate "
                         "against (9.1-12.2)")
-    p.add_argument("-wiclossless", action="store_true",
+    p.add_argument("-wiclossless", "--wic-lossless", dest="wiclossless", action="store_true",
                    help="use lossless encoding when the WIC-style codec "
                         "supports it")
-    p.add_argument("-ignoresrgb", action="store_true",
+    p.add_argument("-ignoresrgb", "--ignore-srgb", dest="ignoresrgb", action="store_true",
                    help="ignore sRGB metadata in the input image")
     # accepted for command-line compatibility; this implementation always
     # encodes on the accelerator (there is no WIC and no CPU/GPU split)
@@ -504,8 +506,19 @@ def read_file_list(path: str) -> list[str]:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.version:
+        from .. import __version__
+        print(f"texconv (directxtex_tpu) {__version__}")
+        return 0
     if not args.nologo:
         print("texconv (directxtex_tpu) — TPU-native texture converter")
+    # accepted-but-inapplicable options are reported, not swallowed:
+    # there is no WIC and no CPU/GPU split on the TPU path
+    ignored = [name for name, on in (
+        ("-nowic", args.nowic), ("-singleproc", args.singleproc),
+        ("-gpu", args.gpu is not None), ("-nogpu", args.nogpu)) if on]
+    if ignored:
+        print(f"  ignored (TPU path): {' '.join(ignored)}")
     patterns = list(args.files)
     if args.flist:
         patterns.extend(read_file_list(args.flist))

@@ -360,3 +360,38 @@ def test_ddsview_cube_cross_and_navigation(tmp_path, monkeypatch):
     feed = iter(["n", "3", "m", "q"])
     monkeypatch.setattr("builtins.input", lambda: next(feed))
     assert ddsview.main(["-nologo", "-o", out, "--interactive", cube]) == 0
+
+
+def test_texconv_long_form_aliases():
+    """Reference texconv accepts long option names (texconv.cpp option
+    table); aliases must map onto the same dests as the short forms."""
+    from directxtex_tpu.tools.texconv import build_parser
+    p = build_parser()
+    a = p.parse_args(["--format", "BC7_UNORM", "--mip-levels", "3",
+                      "--separate-alpha", "--premultiplied-alpha",
+                      "--normal-map", "lo", "--block-compress", "q",
+                      "--file-list", "x.txt", "--color-key", "00FF00",
+                      "--fit-power-of-2", "--wic-quality", "0.9", "in.png"])
+    assert a.format == "BC7_UNORM" and a.mips == 3
+    assert a.sepalpha and a.pmalpha and a.fit_pow2
+    assert a.nmap == "lo" and a.bc == "q" and a.flist == "x.txt"
+    assert a.colorkey == "00FF00" and a.wicq == 0.9
+
+
+def test_texconv_version(capsys):
+    from directxtex_tpu.tools import texconv
+    assert texconv.main(["-version"]) == 0
+    assert "texconv" in capsys.readouterr().out
+
+
+def test_texconv_ignored_options_reported(tmp_path, capsys):
+    import numpy as np
+    from PIL import Image
+    from directxtex_tpu.tools import texconv
+    src = tmp_path / "a.png"
+    Image.fromarray(np.zeros((8, 8, 4), np.uint8)).save(src)
+    rc = texconv.main(["-nogpu", "-singleproc", "-f", "R8G8B8A8_UNORM",
+                       "-o", str(tmp_path), str(src)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ignored (TPU path): -singleproc -nogpu" in out
