@@ -27,8 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     ])
     p.add_argument("files", nargs="*", help="input images (may be empty "
                    "with -flist)")
-    p.add_argument("-o", "--output", required=True, help="output file")
-    p.add_argument("-y", action="store_true", dest="overwrite")
+    p.add_argument("-o", "--output", default=None, help="output file")
+    p.add_argument("-y", "--overwrite", action="store_true", dest="overwrite")
     p.add_argument("-w", "--width", type=int, default=0)
     p.add_argument("-ht", "--height", type=int, default=0)
     p.add_argument("-f", "--format", default=None, help="output DXGI format")
@@ -39,30 +39,39 @@ def build_parser() -> argparse.ArgumentParser:
                             "triangle"],
                    help="resize filter (OPT_FILTER)")
     p.add_argument("-srgb", action="store_true", help="sRGB in and out")
-    p.add_argument("-srgbi", action="store_true", help="sRGB input")
-    p.add_argument("-srgbo", action="store_true", help="sRGB output")
+    p.add_argument("-srgbi", "--srgb-in", dest="srgbi", action="store_true", help="sRGB input")
+    p.add_argument("-srgbo", "--srgb-out", dest="srgbo", action="store_true", help="sRGB output")
     p.add_argument("-wrap", action="store_true", help="wrap filtering")
     p.add_argument("-mirror", action="store_true", help="mirror filtering")
-    p.add_argument("-sepalpha", action="store_true",
+    p.add_argument("-sepalpha", "--separate-alpha", dest="sepalpha", action="store_true",
                    help="resize alpha separately")
     p.add_argument("-alpha", action="store_true",
                    help="convert premultiplied input to straight alpha")
     p.add_argument("-tonemap", action="store_true",
                    help="Reinhard tonemap HDR inputs to LDR")
-    p.add_argument("-stripmips", action="store_true",
+    p.add_argument("-stripmips", "--strip-mips", dest="stripmips", action="store_true",
                    help="accept mipped inputs, using level 0 only "
                         "(always-on here; accepted for compatibility)")
-    p.add_argument("-l", action="store_true", dest="tolower",
+    p.add_argument("-l", "--to-lowercase", action="store_true", dest="tolower",
                    help="force output filename to lowercase")
-    p.add_argument("-flist", default=None, metavar="FILE",
+    p.add_argument("-flist", "--file-list", dest="flist", default=None, metavar="FILE",
                    help="read input paths from a text file")
     p.add_argument("-dx10", action="store_true",
                    help="force DX10 extended DDS header")
-    p.add_argument("-bgcolor", default=None, metavar="RRGGBB",
+    p.add_argument("-bgcolor", "--gif-bg-color", dest="bgcolor", default=None, metavar="RRGGBB",
                    help="gif: background color for transparent frames")
     p.add_argument("-fl", "--feature-level", default=None,
                    help="feature level size limit to validate against")
+    p.add_argument("-m", "--mip-levels", dest="mips", type=int, default=None,
+                   help="generate a mip chain on the assembled output "
+                        "(0 = full chain)")
+    p.add_argument("-r", action="store_true", dest="recursive",
+                   help="treat arguments as glob patterns, search "
+                        "recursively")
     p.add_argument("-nologo", action="store_true")
+    p.add_argument("-version", action="store_true",
+                   help="print version and exit")
+    p.add_argument("-nowic", action="store_true", help=argparse.SUPPRESS)
     return p
 
 
@@ -149,14 +158,26 @@ def main(argv=None) -> int:
     from ..io import save_texture as _raw_save
     from ..texture import TexDimension, TexMetadata, TexMiscFlag, Texture
 
+    if "-version" in (argv if argv is not None else sys.argv[1:]):
+        from .. import __version__
+        print(f"texassemble (directxtex_tpu) {__version__}")
+        return 0
     args = build_parser().parse_args(argv)
     if not args.nologo:
         print("texassemble (directxtex_tpu)")
+    if args.nowic:
+        print("  ignored (TPU path): -nowic")
+    if not args.output:
+        print("error: -o <output> is required", file=sys.stderr)
+        return 1
     cmd = args.command
 
     if args.flist:
         from .texconv import read_file_list
         args.files = list(args.files) + read_file_list(args.flist)
+    if args.recursive:
+        from .texconv import expand_files
+        args.files = expand_files(list(args.files), True)
     if not args.files:
         print("error: no input files", file=sys.stderr)
         return 1
@@ -168,6 +189,11 @@ def main(argv=None) -> int:
         return 1
 
     def save_texture(tex, path, **kw):
+        # -m: mip chain on the assembled output (OPT_MIPLEVELS)
+        if args.mips is not None and args.mips != 1 \
+                and getattr(tex, "mip_levels", 1) == 1:
+            from ..ops import generate_mipmaps
+            tex = generate_mipmaps(tex, _filter_flags(args), args.mips)
         if args.dx10 and str(path).lower().endswith(".dds"):
             from ..io import DDS_FLAGS
             kw.setdefault("flags", DDS_FLAGS.FORCE_DX10_EXT)

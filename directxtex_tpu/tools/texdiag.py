@@ -2,8 +2,9 @@
 
 Commands: info, analyze (per-channel min/max/mean/stddev, AnalyzeData :668),
 analyzebc (BC mode/partition/rotation histograms, AnalyzeBC :790),
-compare (MSE vs a second file), diff (write |a-b| image), dumpbc (print one
-block's encoding), dumpdds (extract raw surfaces).
+compare (MSE vs a second file), diff (write |a-b| image with optional
+threshold highlight), dumpbc (print block encodings — every block, or the
+one containing -targetx/-targety), dumpdds (extract raw surfaces).
 
 Usage: python -m directxtex_tpu.tools.texdiag <command> [options] <file> [file2]
 """
@@ -22,23 +23,87 @@ def build_parser() -> argparse.ArgumentParser:
                                 description=__doc__.split("\n")[0])
     p.add_argument("command", choices=["info", "analyze", "analyzebc",
                                        "compare", "diff", "dumpbc", "dumpdds"])
-    p.add_argument("file", help="input file")
-    p.add_argument("file2", nargs="?", help="second file (compare/diff)")
-    p.add_argument("-o", "--output", default=None, help="output file (diff/dumpdds)")
+    p.add_argument("files", nargs="*",
+                   help="input files (compare/diff take exactly two; other "
+                        "commands accept several, wildcards with -r)")
+    p.add_argument("-r", action="store_true", dest="recursive",
+                   help="treat arguments as glob patterns, search recursively")
+    p.add_argument("-flist", "--file-list", dest="flist", default=None,
+                   metavar="FILE",
+                   help="read input file paths from a text file")
+    p.add_argument("-o", "--output", default=None,
+                   help="output file (diff) / base name (dumpdds)")
     p.add_argument("-ft", "--file-type", default="png",
                    choices=["png", "dds", "tga", "hdr", "bmp", "jpg"],
                    help="dumpdds output container")
-    p.add_argument("-x", type=int, default=0, help="block x (dumpbc)")
-    p.add_argument("-y", type=int, default=0, help="block y (dumpbc)")
+    p.add_argument("-y", "--overwrite", dest="overwrite",
+                   action="store_true", help="overwrite existing files")
+    p.add_argument("-l", "--to-lowercase", dest="tolower",
+                   action="store_true",
+                   help="force output filenames to lowercase")
+    p.add_argument("-targetx", "--target-x", dest="targetx", type=int,
+                   default=-1, metavar="PX",
+                   help="dumpbc: pixel x — dump the block containing it "
+                        "(default: dump every block)")
+    p.add_argument("-targety", "--target-y", dest="targety", type=int,
+                   default=-1, metavar="PX", help="dumpbc: pixel y")
+    p.add_argument("-t", "--threshold", type=float, default=0.25,
+                   help="diff: highlight threshold")
+    p.add_argument("-c", "--diff-color", dest="diffcolor", default=None,
+                   metavar="RRGGBB",
+                   help="diff: hex highlight color for pixels whose rgb "
+                        "difference all exceed the threshold")
     p.add_argument("-m", "--mip", type=int, default=0, help="mip level")
     p.add_argument("-item", type=int, default=0, help="array item")
+    p.add_argument("-badtails", "--bad-tails", dest="badtails",
+                   action="store_true",
+                   help="accept DDS files with truncated DXTn mip tails")
+    p.add_argument("-permissive", action="store_true",
+                   help="relaxed DDS header validation")
+    p.add_argument("-ignoremips", "--ignore-mips", dest="ignoremips",
+                   action="store_true",
+                   help="ignore the DDS mip chain, load level 0 only")
+    p.add_argument("-xlum", "--expand-luminance", action="store_true",
+                   dest="expand_luminance",
+                   help="expand legacy L8/L16/A8L8 luminance to RGB on load")
+    p.add_argument("-tu", "--typeless-unorm", action="store_true",
+                   dest="typeless_unorm",
+                   help="treat TYPELESS input as UNORM")
+    p.add_argument("-tf", "--typeless-float", action="store_true",
+                   dest="typeless_float",
+                   help="treat TYPELESS input as FLOAT")
     p.add_argument("-nologo", action="store_true")
+    p.add_argument("-version", action="store_true",
+                   help="print version and exit")
     return p
 
 
-def _load(path):
-    from ..io import load_texture
-    return load_texture(path)
+def _load(path, args=None):
+    from ..formats import traits
+    from ..io import DDS_FLAGS, load_texture
+    kwargs = {}
+    if args is not None and str(path).lower().endswith(".dds"):
+        dflags = DDS_FLAGS.NONE
+        if args.badtails:
+            dflags |= DDS_FLAGS.BAD_DXTN_TAILS
+        if args.permissive:
+            dflags |= DDS_FLAGS.PERMISSIVE
+        if args.ignoremips:
+            dflags |= DDS_FLAGS.IGNORE_MIPS
+        if args.expand_luminance:
+            dflags |= DDS_FLAGS.EXPAND_LUMINANCE
+        if dflags:
+            kwargs["flags"] = dflags
+    tex = load_texture(path, **kwargs)
+    # TYPELESS promotion (-tu / -tf, texdiag.cpp loader options)
+    if args is not None and traits.is_typeless(tex.metadata.format):
+        if args.typeless_unorm:
+            tex = tex.replace_levels(tex.levels, tex.metadata.with_format(
+                traits.make_typeless_unorm(tex.metadata.format)))
+        elif args.typeless_float:
+            tex = tex.replace_levels(tex.levels, tex.metadata.with_format(
+                traits.make_typeless_float(tex.metadata.format)))
+    return tex
 
 
 def cmd_info(args, log=print) -> int:
@@ -46,7 +111,7 @@ def cmd_info(args, log=print) -> int:
     from ..io import get_metadata_from_dds_memory
     from ..texture import CompressedTexture
 
-    tex = _load(args.file)
+    tex = _load(args.file, args)
     m = tex.metadata
     log(f"        file: {args.file}")
     log(f"       width: {m.width}")
@@ -68,7 +133,7 @@ def cmd_analyze(args, log=print) -> int:
     from ..ops import decompress
     from ..texture import CompressedTexture
 
-    tex = _load(args.file)
+    tex = _load(args.file, args)
     if isinstance(tex, CompressedTexture):
         tex = decompress(tex)
     for mip, lvl in enumerate(tex.levels):
@@ -89,7 +154,7 @@ def cmd_analyzebc(args, log=print) -> int:
     from ..formats import FMT, traits
     from ..texture import CompressedTexture
 
-    tex = _load(args.file)
+    tex = _load(args.file, args)
     if not isinstance(tex, CompressedTexture):
         log("analyzebc requires a BC-compressed input", file=sys.stderr)
         return 1
@@ -157,8 +222,8 @@ def cmd_compare(args, log=print) -> int:
     from ..ops import compute_mse, compute_psnr, decompress
     from ..texture import CompressedTexture
 
-    a = _load(args.file)
-    b = _load(args.file2)
+    a = _load(args.file, args)
+    b = _load(args.file2, args)
     if isinstance(a, CompressedTexture):
         a = decompress(a)
     if isinstance(b, CompressedTexture):
@@ -177,20 +242,33 @@ def cmd_compare(args, log=print) -> int:
 
 
 def cmd_diff(args, log=print) -> int:
+    """|a-b| difference image; with -c, pixels whose r, g and b
+    differences all reach the -t threshold are painted the highlight
+    color instead (Texdiag/texdiag.cpp:1281-1305)."""
     from ..io import save_texture
     from ..ops import decompress
     from ..texture import CompressedTexture, Texture
 
-    a = _load(args.file)
-    b = _load(args.file2)
+    a = _load(args.file, args)
+    b = _load(args.file2, args)
     if isinstance(a, CompressedTexture):
         a = decompress(a)
     if isinstance(b, CompressedTexture):
         b = decompress(b)
     d = np.abs(a.to_numpy() - b.to_numpy())
     d[..., 3] = 1.0
-    out = args.output or "diff.png"
-    save_texture(Texture.from_array(np.clip(d, 0, 1)), out)
+    if args.diffcolor:
+        cv = int(args.diffcolor, 16)
+        color = np.array([(cv >> 16 & 0xFF) / 255.0,
+                          (cv >> 8 & 0xFF) / 255.0,
+                          (cv & 0xFF) / 255.0, 1.0], np.float32)
+        hit = (d[..., :3] >= args.threshold).all(axis=-1)
+        d = np.where(hit[..., None], color, d)
+    out = _out_path(args, args.output or "diff.png")
+    if out is None:
+        return 1
+    save_texture(Texture.from_array(np.clip(d, 0, 1)
+                                    .astype(np.float32)), out)
     log(f"  wrote {out}")
     return 0
 
@@ -199,29 +277,37 @@ def cmd_dumpbc(args, log=print) -> int:
     from ..formats import traits
     from ..texture import CompressedTexture
 
-    tex = _load(args.file)
+    tex = _load(args.file, args)
     if not isinstance(tex, CompressedTexture):
         log("dumpbc requires a BC-compressed input")
         return 1
     fmt = tex.metadata.format
     bpb = traits.bytes_per_block(fmt)
     w, h, _ = tex.metadata.mip_dims(args.mip)
-    nbw = (w + 3) // 4
+    nbw, nbh = (w + 3) // 4, (h + 3) // 4
     raw = tex.level_bytes(args.mip, args.item).reshape(-1, bpb)
-    bi = args.y * nbw + args.x
-    if bi >= len(raw):
-        log("block out of range")
-        return 1
-    block = raw[bi]
-    log(f"  block ({args.x},{args.y}) of {fmt.name}: "
-        + " ".join(f"{v:02x}" for v in block))
     from ..ops.compress import _DECODERS, _decode_blocks
-    texels = np.asarray(_decode_blocks(_DECODERS[fmt], block[None]))
-    for row in range(4):
-        log("   " + "  ".join(
-            "(" + ",".join(f"{texels[0, row * 4 + c_, ch]:.3f}"
-                           for ch in range(4)) + ")"
-            for c_ in range(4)))
+    if args.targetx >= 0 or args.targety >= 0:
+        # -targetx/-targety are pixel coordinates; dump the containing
+        # block (DumpBCImage, Texdiag/texdiag.cpp:1504-1552)
+        px = max(args.targetx, 0)
+        py = max(args.targety, 0)
+        if px >= w or py >= h:
+            log(f"WARNING: pixel ({px},{py}) out of range for {w}x{h}")
+            return 1
+        picks = [(px // 4, py // 4)]
+    else:
+        picks = [(bx, by) for by in range(nbh) for bx in range(nbw)]
+    for bx, by in picks:
+        block = raw[by * nbw + bx]
+        log(f"  block ({bx},{by}) of {fmt.name}: "
+            + " ".join(f"{v:02x}" for v in block))
+        texels = np.asarray(_decode_blocks(_DECODERS[fmt], block[None]))
+        for row in range(4):
+            log("   " + "  ".join(
+                "(" + ",".join(f"{texels[0, row * 4 + c_, ch]:.3f}"
+                               for ch in range(4)) + ")"
+                for c_ in range(4)))
     return 0
 
 
@@ -234,7 +320,7 @@ def cmd_dumpdds(args, log=print) -> int:
     from ..texture import CompressedTexture, Texture
     from ..ops import decompress
 
-    tex = _load(args.file)
+    tex = _load(args.file, args)
     if isinstance(tex, CompressedTexture):
         tex = decompress(tex)
     base = args.output or os.path.splitext(os.path.basename(args.file))[0]
@@ -250,24 +336,64 @@ def cmd_dumpdds(args, log=print) -> int:
             img = tex.to_numpy(mip, item)
             if ext in ("png", "bmp", "jpg", "tga"):
                 img = np.clip(img, 0, 1)
-            save_texture(Texture.from_array(img.astype(np.float32)),
-                         f"{name}.{ext}")
+            out = _out_path(args, f"{name}.{ext}")
+            if out is None:
+                return 1
+            save_texture(Texture.from_array(img.astype(np.float32)), out)
             count += 1
     log(f"  wrote {count} surfaces")
     return 0
 
 
+def _out_path(args, name):
+    """Apply -l lowercase and the -y overwrite guard to an output path."""
+    if args.tolower:
+        name = name.lower()
+    if os.path.exists(name) and not args.overwrite:
+        print(f"error: {name} exists (use -y to overwrite)",
+              file=sys.stderr)
+        return None
+    return name
+
+
 def main(argv=None) -> int:
+    if "-version" in (argv if argv is not None else sys.argv[1:]):
+        from .. import __version__
+        print(f"texdiag (directxtex_tpu) {__version__}")
+        return 0
     args = build_parser().parse_args(argv)
     if not args.nologo:
         print("texdiag (directxtex_tpu)")
     cmds = {"info": cmd_info, "analyze": cmd_analyze,
             "analyzebc": cmd_analyzebc, "compare": cmd_compare,
             "diff": cmd_diff, "dumpbc": cmd_dumpbc, "dumpdds": cmd_dumpdds}
-    if args.command in ("compare", "diff") and not args.file2:
-        print("error: command requires two files", file=sys.stderr)
+
+    from .texconv import expand_files, read_file_list
+    patterns = list(args.files)
+    if args.flist:
+        patterns.extend(read_file_list(args.flist))
+    if args.command in ("compare", "diff"):
+        if len(patterns) != 2:
+            print("error: command requires two files", file=sys.stderr)
+            return 1
+        args.file, args.file2 = patterns
+        return cmds[args.command](args)
+    files = expand_files(patterns, args.recursive)
+    if not files:
+        print("error: no input files matched", file=sys.stderr)
         return 1
-    return cmds[args.command](args)
+    failed = 0
+    for path in files:
+        if len(files) > 1:
+            print(f"  --- {path}")
+        args.file = path
+        try:
+            if cmds[args.command](args) != 0:
+                failed += 1
+        except Exception as e:  # keep going like the reference tool
+            print(f"  FAILED {path}: {e}", file=sys.stderr)
+            failed += 1
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -95,9 +95,15 @@ def test_texdiag_analyzebc_and_dumpbc(png, tmp_path, capsys):
     assert texdiag.main(["-nologo", "analyzebc", dds]) == 0
     out = capsys.readouterr().out
     assert "mode 6" in out
-    assert texdiag.main(["-nologo", "dumpbc", "-x", "1", "-y", "1", dds]) == 0
+    # -targetx/-targety are pixel coordinates (texdiag.cpp:1504)
+    assert texdiag.main(["-nologo", "dumpbc", "-targetx", "5",
+                         "-targety", "6", dds]) == 0
     out = capsys.readouterr().out
     assert "block (1,1)" in out
+    # no target: every block is dumped
+    assert texdiag.main(["-nologo", "dumpbc", dds]) == 0
+    out = capsys.readouterr().out
+    assert "block (0,0)" in out and "block (1,1)" in out
 
 
 def test_texdiag_diff(png, tmp_path):
@@ -105,6 +111,34 @@ def test_texdiag_diff(png, tmp_path):
     assert texdiag.main(["-nologo", "diff", png, png, "-o", out]) == 0
     d = load_texture(out).to_numpy()
     assert np.all(d[..., :3] == 0.0)
+    # existing output without -y is refused; -y overwrites
+    assert texdiag.main(["-nologo", "diff", png, png, "-o", out]) == 1
+    assert texdiag.main(["-nologo", "-y", "diff", png, png, "-o", out]) == 0
+
+
+def test_texdiag_diff_highlight(png, tmp_path):
+    """-c paints pixels whose rgb deltas all reach -t (texdiag.cpp:1300)."""
+    import numpy as np
+    from PIL import Image
+    a = np.zeros((8, 8, 4), np.uint8)
+    a[..., 3] = 255
+    b = a.copy()
+    b[2, 3, :3] = 255  # one fully-different pixel
+    pa, pb = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    Image.fromarray(a).save(pa)
+    Image.fromarray(b).save(pb)
+    out = str(tmp_path / "d.png")
+    assert texdiag.main(["-nologo", "diff", pa, pb, "-o", out,
+                         "-c", "00FF00", "-t", "0.5"]) == 0
+    d = load_texture(out).to_numpy()
+    assert np.allclose(d[2, 3, :3], [0, 1, 0], atol=1 / 255)
+    assert np.all(d[0, 0, :3] == 0.0)
+
+
+def test_texdiag_multifile_info(png, tmp_path, capsys):
+    assert texdiag.main(["-nologo", "info", png, png]) == 0
+    out = capsys.readouterr().out
+    assert out.count("width:") == 2
 
 
 def test_texassemble_cube_and_cross(tmp_path):
@@ -395,3 +429,20 @@ def test_texconv_ignored_options_reported(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "ignored (TPU path): -singleproc -nogpu" in out
+
+
+def test_texassemble_mips_and_version(png, tmp_path, capsys):
+    assert texassemble.main(["-version"]) == 0
+    assert "texassemble" in capsys.readouterr().out
+    out = str(tmp_path / "arr.dds")
+    # -m 0: full mip chain on the assembled array (OPT_MIPLEVELS)
+    assert texassemble.main(["-nologo", "array", "-o", out,
+                             "-m", "0", png, png]) == 0
+    t = load_texture(out)
+    assert t.metadata.array_size == 2
+    assert t.mip_levels > 1
+
+
+def test_texdiag_version(capsys):
+    assert texdiag.main(["-version"]) == 0
+    assert "texdiag" in capsys.readouterr().out
