@@ -41,11 +41,11 @@ def _box_reduce_2d(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def _point_reduce_2d(img: jnp.ndarray) -> jnp.ndarray:
-    n, h, w, c = img.shape
-    return img[:, :: max(1, h // max(1, h // 2)), :: 2 if w > 1 else 1][
-        :, : max(1, h // 2), : max(1, w // 2)] if False else (
-        img[:, ::2, ::2] if h > 1 and w > 1 else
-        (img[:, :, ::2] if w > 1 else img[:, ::2, :]))
+    """[N, H, W, 4] -> [N, H/2, W/2, 4] point sample; handles H==1/W==1."""
+    _, h, w, _ = img.shape
+    if h > 1 and w > 1:
+        return img[:, ::2, ::2]
+    return img[:, :, ::2] if w > 1 else img[:, ::2, :]
 
 
 def _reduce_level(img: jnp.ndarray, mode: int, wrap_mirror: TF) -> jnp.ndarray:
