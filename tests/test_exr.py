@@ -341,3 +341,20 @@ def test_piz_native_rejects_corrupt():
         native.piz_huf_uncompress(bytes(enc[:10]), 1000)  # truncated header
     with pytest.raises(ValueError):
         native.piz_huf_uncompress(bytes(enc), 2000)  # wrong output size
+
+
+def test_third_party_exr_fixture():
+    """A real OpenEXR-library-written file (CPython test data, PSF
+    license) must load: validates the container parser against an
+    external writer, not just our own round-trips."""
+    import pathlib
+    golden = pathlib.Path(__file__).parent / "golden"
+    data = (golden / "containers/cpython_testdata.exr").read_bytes()
+    md = exr.get_metadata_from_exr_memory(data)
+    assert (md.width, md.height) == (16, 16)
+    img = np.asarray(exr.load_from_exr_memory(data).levels[0][0])
+    np.testing.assert_allclose(img[8, 8], [1.0, 0.890137, 0.341064, 1.0],
+                               atol=1e-6)
+    np.testing.assert_allclose(img[3, 12], [0.0, 0.0, 0.0, 0.094116],
+                               atol=1e-6)
+    assert img[0, 0].sum() == 0.0 and img[15, 15].sum() == 0.0
