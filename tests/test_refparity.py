@@ -1,0 +1,172 @@
+"""Ground-truth parity against the COMPILED reference codec.
+
+benchmarks/refcodec builds the reference's own BC.cpp/BC4BC5.cpp/
+BC6HBC7.cpp (via an original scalar DirectXMath shim) so these tests
+compare against the actual reference implementation, not a re-derivation:
+
+- decode: bit-exact on random blocks and on the frozen golden vectors
+  (this is what upgrades `tests/golden` from spec-derived to
+  reference-verified);
+- encode: PSNR on the frozen corpus must match or beat the reference
+  CPU codec (BASELINE.md quality gate), within a pinned per-codec
+  margin. All numbers are deterministic CPU math — the pinned values
+  are exact measurements minus a small guard.
+
+Auto-skipped when the reference tree or a host compiler is unavailable.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+
+refcodec = pytest.importorskip("refcodec")
+
+if refcodec.get_lib() is None:
+    pytest.skip("reference tree or compiler unavailable",
+                allow_module_level=True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from directxtex_tpu.bc import bc123, bc45, bc67  # noqa: E402
+from directxtex_tpu.bc.common import image_to_blocks  # noqa: E402
+
+GOLDEN = os.path.join(REPO, "tests", "golden")
+
+
+def _rand_words(n, nbytes, seed):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (n, nbytes), dtype=np.int64).astype(np.uint8)
+
+
+DECODERS = [
+    ("bc1", refcodec.BC1, 8, bc123.decode_bc1),
+    ("bc2", refcodec.BC2, 16, bc123.decode_bc2),
+    ("bc3", refcodec.BC3, 16, bc123.decode_bc3),
+    ("bc4u", refcodec.BC4U, 8, bc45.decode_bc4u),
+    ("bc4s", refcodec.BC4S, 8, bc45.decode_bc4s),
+    ("bc5u", refcodec.BC5U, 16, bc45.decode_bc5u),
+    ("bc5s", refcodec.BC5S, 16, bc45.decode_bc5s),
+    ("bc6hu", refcodec.BC6HU, 16,
+     lambda w: bc67.decode_bc6h(w, signed=False)),
+    ("bc6hs", refcodec.BC6HS, 16,
+     lambda w: bc67.decode_bc6h(w, signed=True)),
+    ("bc7", refcodec.BC7, 16, bc67.decode_bc7),
+]
+
+
+@pytest.mark.parametrize("name,codec,nbytes,ours", DECODERS,
+                         ids=[d[0] for d in DECODERS])
+def test_decode_bitexact_vs_reference(name, codec, nbytes, ours):
+    words = _rand_words(512, nbytes, seed=hash(name) % 2**31)
+    got = np.asarray(ours(jnp.asarray(words)), np.float32)
+    want = refcodec.decode(codec, words)
+    if name.startswith("bc6h"):
+        got, want = got[..., :3], want[..., :3]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_golden_decode_vectors_match_reference():
+    """The frozen golden decode vectors are exactly what the reference's
+    compiled decoders produce (SURVEY §4(a): reference-generated)."""
+    z = np.load(os.path.join(GOLDEN, "decode_vectors.npz"))
+    # full RGBA vectors
+    for stem, codec in (("bc1", refcodec.BC1), ("bc2", refcodec.BC2),
+                        ("bc3", refcodec.BC3), ("bc7", refcodec.BC7)):
+        got = refcodec.decode(codec, z[f"{stem}_blocks"])
+        np.testing.assert_array_equal(got, z[f"{stem}_rgba"]), stem
+    # single/dual channel vectors
+    for key, codec, ch in (("bc4u_r", refcodec.BC4U, 0),
+                           ("bc4s_r", refcodec.BC4S, 0),
+                           ("bc5u_r", refcodec.BC5U, 0),
+                           ("bc5u_g", refcodec.BC5U, 1),
+                           ("bc5s_r", refcodec.BC5S, 0),
+                           ("bc5s_g", refcodec.BC5S, 1)):
+        blocks = z["bc4_blocks" if key.startswith("bc4") else "bc5_blocks"]
+        got = refcodec.decode(codec, blocks)[..., ch]
+        np.testing.assert_array_equal(got, z[key]), key
+    # BC6H vectors are stored as HALF bits; the reference decoder
+    # produces floats that convert back exactly
+    for key, codec in (("bc6h_uf_bits", refcodec.BC6HU),
+                       ("bc6h_sf_bits", refcodec.BC6HS)):
+        got = refcodec.decode(codec, z["bc6h_blocks"])
+        bits = got.astype(np.float16).view(np.uint16)
+        np.testing.assert_array_equal(bits[..., :3], z[key][..., :3]), key
+
+
+def _psnr(a, b, ch, peak=1.0):
+    mse = np.mean((a[..., :ch].astype(np.float64)
+                   - b[..., :ch].astype(np.float64)) ** 2)
+    return 10 * np.log10(peak * peak / max(mse, 1e-12))
+
+
+# (name, ref codec, corpus content, our encoder, channels,
+#  min dB delta ours-ref). Deltas pinned from deterministic CPU runs
+# minus a 0.02 guard; positive = we beat the reference full search.
+ENCODERS = [
+    ("bc1_albedo", refcodec.BC1, "albedo",
+     lambda b: bc123.encode_bc1(b, 0.5, 0), 3, -0.03),
+    ("bc1_tworegion", refcodec.BC1, "tworegion",
+     lambda b: bc123.encode_bc1(b, 0.5, 0), 3, 0.0),
+    ("bc2_alphagrad", refcodec.BC2, "alphagrad",
+     lambda b: bc123.encode_bc2(b, 0), 4, -0.03),
+    ("bc3_alphagrad", refcodec.BC3, "alphagrad",
+     lambda b: bc123.encode_bc3(b, 0), 4, -0.03),
+    ("bc4_normal", refcodec.BC4U, "normal",
+     lambda b: bc45.encode_bc4u(b), 1, -0.02),
+    ("bc5_normal", refcodec.BC5U, "normal",
+     lambda b: bc45.encode_bc5u(b), 2, -0.02),
+    ("bc7_albedo", refcodec.BC7, "albedo",
+     lambda b: bc67.encode_bc7(b), 4, -0.50),
+    ("bc7_tworegion", refcodec.BC7, "tworegion",
+     lambda b: bc67.encode_bc7(b), 4, 0.0),
+    ("bc7_normal", refcodec.BC7, "normal",
+     lambda b: bc67.encode_bc7(b), 4, 1.35),
+    ("bc7_alphagrad", refcodec.BC7, "alphagrad",
+     lambda b: bc67.encode_bc7(b), 4, 0.0),
+    ("bc7mq_albedo", refcodec.BC7, "albedo",
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, -0.15),
+    ("bc7mq_tworegion", refcodec.BC7, "tworegion",
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.45),
+]
+
+
+@pytest.mark.parametrize("name,codec,content,ours,ch,min_delta", ENCODERS,
+                         ids=[e[0] for e in ENCODERS])
+def test_encode_psnr_vs_reference(name, codec, content, ours, ch,
+                                  min_delta):
+    corpus = np.load(os.path.join(GOLDEN, "corpus.npz"))
+    img = corpus[content]
+    blocks = np.asarray(image_to_blocks(jnp.asarray(img))[0])
+    ref_bc = refcodec.encode(codec, blocks)
+    nbytes = ref_bc.shape[1]
+    our_bc = np.asarray(ours(jnp.asarray(blocks))).reshape(-1, nbytes)
+    # decode BOTH through the reference decoder: identical error metric
+    ref_psnr = _psnr(refcodec.decode(codec, ref_bc), blocks, ch)
+    our_psnr = _psnr(refcodec.decode(codec, our_bc), blocks, ch)
+    assert our_psnr - ref_psnr >= min_delta, (
+        f"{name}: ours {our_psnr:.2f} dB vs reference {ref_psnr:.2f} "
+        f"(delta {our_psnr - ref_psnr:+.2f} < {min_delta:+.2f})")
+
+
+def test_bc6h_encode_psnr_vs_reference():
+    corpus = np.load(os.path.join(GOLDEN, "corpus.npz"))
+    img = corpus["hdr"]
+    blocks = np.asarray(image_to_blocks(jnp.asarray(img))[0])
+    ref_bc = refcodec.encode(refcodec.BC6HU, blocks)
+    our_bc = np.asarray(
+        bc67.encode_bc6h(jnp.asarray(blocks), signed=False)).reshape(-1, 16)
+    peak = float(np.abs(img[..., :3]).max())
+    ref_psnr = _psnr(refcodec.decode(refcodec.BC6HU, ref_bc), blocks, 3,
+                     peak)
+    our_psnr = _psnr(refcodec.decode(refcodec.BC6HU, our_bc), blocks, 3,
+                     peak)
+    # measured gap -0.91 dB (the reference's per-channel exhaustive
+    # endpoint pass, BC6HBC7.cpp:2081-2226); tracked in BASELINE.md
+    assert our_psnr - ref_psnr >= -1.0, (
+        f"bc6h: ours {our_psnr:.2f} vs ref {ref_psnr:.2f}")
