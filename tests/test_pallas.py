@@ -90,14 +90,18 @@ def test_single_modes_megakernel_matches_jnp(mode_id):
     _assert_equivalent(err_p, err_r, words_p, words_r, px_i)
 
 
-@pytest.mark.parametrize("partitions,n_shapes", [(1, 64), (2, 64), (2, 16)])
-def test_shape_topk_kernel_matches_jnp(partitions, n_shapes):
+@pytest.mark.parametrize("partitions,n_shapes,off_axis",
+                         [(1, 64, False), (2, 64, False), (2, 16, False),
+                          (1, 32, True)])
+def test_shape_topk_kernel_matches_jnp(partitions, n_shapes, off_axis):
     from directxtex_tpu.bc.pallas_kernels import partition_shapes_pallas
     px_i, px_f = _mk_blocks(seed=21)
-    ests = bc67._shape_estimates_table(px_f, partitions, 4)[:n_shapes]
+    ests = bc67._shape_estimates_table(px_f, partitions, 4,
+                                       off_axis=off_axis)[:n_shapes]
     ref = np.stack([np.asarray(s) for s in bc67._top_k_shapes(ests, 4)])
     got = np.asarray(partition_shapes_pallas(px_i, partitions, n_shapes, 4,
-                                             4, interpret=True))
+                                             4, interpret=True,
+                                             off_axis=off_axis))
     # float associativity (XLA FMA contraction vs interpreter) may flip
     # near-tie rankings on a few blocks
     mismatch = (got != ref).any(axis=0)

@@ -129,10 +129,16 @@ ENCODERS = [
      lambda b: bc67.encode_bc7(b), 4, 1.35),
     ("bc7_alphagrad", refcodec.BC7, "alphagrad",
      lambda b: bc67.encode_bc7(b), 4, 0.0),
+    # max-quality tier (perturbation ladder + off-axis shape ranking):
+    # beats the reference full search on every corpus content
     ("bc7mq_albedo", refcodec.BC7, "albedo",
-     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, -0.15),
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.05),
     ("bc7mq_tworegion", refcodec.BC7, "tworegion",
-     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.45),
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.40),
+    ("bc7mq_normal", refcodec.BC7, "normal",
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 2.50),
+    ("bc7mq_alphagrad", refcodec.BC7, "alphagrad",
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.55),
 ]
 
 
@@ -166,7 +172,7 @@ def test_bc6h_encode_psnr_vs_reference():
                      peak)
     our_psnr = _psnr(refcodec.decode(refcodec.BC6HU, our_bc), blocks, 3,
                      peak)
-    # measured gap -0.91 dB (the reference's per-channel exhaustive
-    # endpoint pass, BC6HBC7.cpp:2081-2226); tracked in BASELINE.md
-    assert our_psnr - ref_psnr >= -1.0, (
+    # the off-axis shape ranking closed the r2 gap: 46.42 -> 47.37 vs
+    # the reference's 47.33 (see _shape_estimates_table)
+    assert our_psnr - ref_psnr >= 0.0, (
         f"bc6h: ours {our_psnr:.2f} vs ref {ref_psnr:.2f}")
