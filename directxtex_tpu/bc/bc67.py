@@ -1578,9 +1578,12 @@ def _bc6h_emit(row: int, shape, q_pairs, idx, nb) -> jnp.ndarray:
 # (OptimizeOne/PerturbOne analog, BC6HBC7.cpp:2081-2226 — the reference
 # sweeps step = 2^(prec-1) .. 1 per endpoint channel, alternating
 # endpoints). _BC6H_PERTURB_ROUNDS alternating A/B sweep rounds
-# approximate its do-until-no-improvement loop. Quality/cost vs the
-# compiled reference encoder: see BASELINE.md.
+# approximate its do-until-no-improvement loop; the start step is capped
+# at 2^_BC6H_PERTURB_MAXSTEP (the LS refit already places endpoints, so
+# half-range jumps on the 16-bit rows only bloat the unrolled graph).
+# Quality/cost vs the compiled reference encoder: see BASELINE.md.
 _BC6H_PERTURB_ROUNDS = 2
+_BC6H_PERTURB_MAXSTEP = 5
 
 
 def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed,
@@ -1658,7 +1661,8 @@ def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed,
             for _ in range(_BC6H_PERTURB_ROUNDS):
                 for side in (0, 1):
                     for c in range(3):
-                        step = 1 << (precW[c] - 1)
+                        step = 1 << min(precW[c] - 1,
+                                        _BC6H_PERTURB_MAXSTEP)
                         while step:
                             for sgn in (step, -step):
                                 t0, t1 = q0, q1

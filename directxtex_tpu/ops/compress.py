@@ -79,9 +79,9 @@ def _encode_blocks(kind: str, blocks: jnp.ndarray, threshold: float,
     if kind == "bc5s":
         return bc45.encode_bc5s(blocks)
     if kind == "bc6hu":
-        return bc67.encode_bc6h(blocks, signed=False)
+        return bc67.encode_bc6h(blocks, signed=False, flags=bcflags)
     if kind == "bc6hs":
-        return bc67.encode_bc6h(blocks, signed=True)
+        return bc67.encode_bc6h(blocks, signed=True, flags=bcflags)
     if kind == "bc7":
         return bc67.encode_bc7(blocks, bcflags, opaque=opaque,
                                alpha_weight=alpha_weight)
