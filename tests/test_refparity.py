@@ -176,3 +176,26 @@ def test_bc6h_encode_psnr_vs_reference():
     # the reference's 47.33 (see _shape_estimates_table)
     assert our_psnr - ref_psnr >= 0.0, (
         f"bc6h: ours {our_psnr:.2f} vs ref {ref_psnr:.2f}")
+
+
+def test_bc6hs_encode_psnr_vs_reference():
+    """Signed BC6H encode parity on smooth zero-crossing HDR content
+    (measured 28.90 vs the reference's 28.91). Per-pixel bipolar NOISE is
+    pathological for BOTH encoders — the shared sign-magnitude F16-int
+    error metric (INTColor norm / _bc6h_palette_err_t) diverges from
+    float error across sign changes, and the reference itself decodes
+    such blocks to values far outside the source range."""
+    yy, xx = np.mgrid[0:32, 0:32] / 32.0
+    img = np.stack([xx * 2 - 1, yy - 0.5, np.sin(xx * 6) * 0.8,
+                    np.ones((32, 32))], -1).astype(np.float32)
+    blocks = np.asarray(image_to_blocks(jnp.asarray(img))[0])
+    ref_bc = refcodec.encode(refcodec.BC6HS, blocks)
+    our_bc = np.asarray(
+        bc67.encode_bc6h(jnp.asarray(blocks), signed=True)).reshape(-1, 16)
+    peak = float(np.abs(img[..., :3]).max())
+    ref_psnr = _psnr(refcodec.decode(refcodec.BC6HS, ref_bc), blocks, 3,
+                     peak)
+    our_psnr = _psnr(refcodec.decode(refcodec.BC6HS, our_bc), blocks, 3,
+                     peak)
+    assert our_psnr - ref_psnr >= -0.05, (
+        f"bc6hs: ours {our_psnr:.2f} vs ref {ref_psnr:.2f}")
