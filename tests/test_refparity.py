@@ -199,3 +199,23 @@ def test_bc6hs_encode_psnr_vs_reference():
                      peak)
     assert our_psnr - ref_psnr >= -0.05, (
         f"bc6hs: ours {our_psnr:.2f} vs ref {ref_psnr:.2f}")
+
+
+@pytest.mark.parametrize("flags_name", ["uniform", "dither"])
+def test_bc1_flag_variants_vs_reference(flags_name):
+    """BC_FLAGS_UNIFORM / BC_FLAGS_DITHER_RGB parity (BC.h:30-48): the
+    flagged encodes must match or beat the reference under the same
+    flags. Dither is sequential error diffusion, so both sides are
+    compared by result quality, not bytes."""
+    flags = (bc123.BC_FLAGS_UNIFORM if flags_name == "uniform"
+             else bc123.BC_FLAGS_DITHER_RGB)
+    corpus = np.load(os.path.join(GOLDEN, "corpus.npz"))
+    img = corpus["albedo"]
+    blocks = np.asarray(image_to_blocks(jnp.asarray(img))[0])
+    ref_bc = refcodec.encode(refcodec.BC1, blocks, flags=flags)
+    our_bc = np.asarray(
+        bc123.encode_bc1(jnp.asarray(blocks), 0.5, flags)).reshape(-1, 8)
+    ref_psnr = _psnr(refcodec.decode(refcodec.BC1, ref_bc), blocks, 3)
+    our_psnr = _psnr(refcodec.decode(refcodec.BC1, our_bc), blocks, 3)
+    assert our_psnr - ref_psnr >= -0.10, (
+        f"bc1 {flags_name}: ours {our_psnr:.2f} vs ref {ref_psnr:.2f}")
