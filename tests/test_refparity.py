@@ -219,3 +219,22 @@ def test_bc1_flag_variants_vs_reference(flags_name):
     our_psnr = _psnr(refcodec.decode(refcodec.BC1, our_bc), blocks, 3)
     assert our_psnr - ref_psnr >= -0.10, (
         f"bc1 {flags_name}: ours {our_psnr:.2f} vs ref {ref_psnr:.2f}")
+
+
+@pytest.mark.parametrize("name,codec,ours,ch", [
+    ("bc4s", refcodec.BC4S, bc45.encode_bc4s, 1),
+    ("bc5s", refcodec.BC5S, bc45.encode_bc5s, 2),
+], ids=["bc4s", "bc5s"])
+def test_signed_bc45_encode_psnr_vs_reference(name, codec, ours, ch):
+    """SNORM BC4/BC5 encode parity on signed normal-map content
+    (measured exactly equal: 45.159 / 45.222 dB both sides)."""
+    corpus = np.load(os.path.join(GOLDEN, "corpus.npz"))
+    img = (corpus["normal"] * 2.0 - 1.0).astype(np.float32)
+    blocks = np.asarray(image_to_blocks(jnp.asarray(img))[0])
+    ref_bc = refcodec.encode(codec, blocks)
+    our_bc = np.asarray(ours(jnp.asarray(blocks))).reshape(
+        -1, ref_bc.shape[1])
+    ref_psnr = _psnr(refcodec.decode(codec, ref_bc), blocks, ch, 2.0)
+    our_psnr = _psnr(refcodec.decode(codec, our_bc), blocks, ch, 2.0)
+    assert our_psnr - ref_psnr >= -0.02, (
+        f"{name}: ours {our_psnr:.2f} vs ref {ref_psnr:.2f}")
