@@ -254,3 +254,19 @@ def test_bc7_3subsets_encode_psnr_vs_reference():
     our_psnr = _psnr(refcodec.decode(refcodec.BC7, our_bc), blocks, 4)
     assert our_psnr - ref_psnr >= 0.0, (
         f"bc7 3subsets: ours {our_psnr:.2f} vs ref {ref_psnr:.2f}")
+
+
+def test_frozen_ref_encodes_match_live_reference():
+    """tests/golden/ref_encodes.npz must be byte-identical to what the
+    compiled reference produces today — drift in the DirectXMath shim or
+    a silently regenerated fixture both fail here."""
+    z = np.load(os.path.join(GOLDEN, "ref_encodes.npz"))
+    corpus = np.load(os.path.join(GOLDEN, "corpus.npz"))
+    cases = [("bc1_albedo", refcodec.BC1, "albedo"),
+             ("bc7_tworegion", refcodec.BC7, "tworegion"),
+             ("bc6h_hdr", refcodec.BC6HU, "hdr")]
+    for name, codec, content in cases:
+        blocks = np.asarray(
+            image_to_blocks(jnp.asarray(corpus[content]))[0])
+        live = refcodec.encode(codec, blocks)
+        np.testing.assert_array_equal(live, z[f"{name}_bc"]), name
