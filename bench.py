@@ -106,4 +106,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # tunnel down / backend init failure: emit a
+        # parseable diagnostic line instead of a traceback
+        print(json.dumps({
+            "metric": "bc7_encode_2k_mtexels_per_sec_per_chip",
+            "value": 0.0, "unit": "Mtexels/s", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {str(e)[:300]}",
+        }))
+        sys.exit(1)
