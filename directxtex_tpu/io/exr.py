@@ -5,9 +5,12 @@ LoadFromEXRFile/SaveToEXRFile work through RgbaInputFile/RgbaOutputFile as
 half RGBA <-> R16G16B16A16_FLOAT). This implementation reads/writes the EXR
 container directly: single-part scanline images, HALF/FLOAT/UINT channels,
 NONE / RLE / ZIPS / ZIP / PIZ / B44 / B44A compression for read and
-write plus PXR24 read (DWA raises). The PIZ wavelet+Huffman codec lives
-in exr_piz.py; the B44 fixed-rate block codec in exr_b44.py. Tiled,
-deep, and multi-part files are rejected like the adapter's
+write plus PXR24 read. The PIZ wavelet+Huffman codec lives in
+exr_piz.py; the B44 fixed-rate block codec in exr_b44.py. DWAA/DWAB
+(lossy DCT) route through the official OpenEXR library via the native
+adapter shim when present (native/exr_openexr.cpp) — the same
+dependency the reference's whole EXR path has — and raise otherwise.
+Tiled, deep, and multi-part files are rejected like the adapter's
 RgbaInputFile would.
 
 Load returns the framework-native f32 RGBA Texture with metadata format
@@ -324,8 +327,12 @@ def load_from_exr_memory(data: bytes) -> Texture:
     width, height = h["width"], h["height"]
     comp = h["compression"]
     if comp not in _LINES_PER_BLOCK:
+        tex = _load_via_openexr(data, h)
+        if tex is not None:
+            return tex
         raise ValueError(f"EXR: compression {comp} not supported "
-                         "(NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A only)")
+                         "(NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A natively; "
+                         "DWAA/DWAB need the OpenEXR adapter shim)")
     lpb = _LINES_PER_BLOCK[comp]
     nchunks = (height + lpb - 1) // lpb
 
@@ -380,6 +387,27 @@ def load_from_exr_memory(data: bytes) -> Texture:
     return Texture(meta, [rgba[None]])
 
 
+def _load_via_openexr(data: bytes, h) -> Texture | None:
+    """Decode through the official OpenEXR library (native shim).
+
+    The reference's whole EXR path is this adapter
+    (Auxiliary/DirectXTexEXR.cpp:112-183, RgbaInputFile -> half RGBA);
+    here it only backs the lossy-DCT compressions (DWAA/DWAB) that the
+    pure-numpy reader does not implement. Returns None if the shim is
+    unavailable.
+    """
+    from .. import native
+    halves = native.openexr_read_half(data)
+    if halves is None:
+        return None
+    rgba = halves.view("<f2").astype(np.float32)
+    meta = TexMetadata(
+        width=h["width"], height=h["height"], depth=1, array_size=1,
+        mip_levels=1, format=FMT.R16G16B16A16_FLOAT,
+        dimension=TexDimension.TEXTURE2D)
+    return Texture(meta, [rgba[None]])
+
+
 def load_from_exr_file(path) -> Texture:
     with open(path, "rb") as f:
         return load_from_exr_memory(f.read())
@@ -394,6 +422,15 @@ def save_to_exr_memory(tex: Texture, mip: int = 0, item: int = 0,
                        compression: int = _ZIP) -> bytes:
     """SaveToEXRFile (Auxiliary/DirectXTexEXR.cpp:320+): half RGBA
     scanlines, ZIP compression by default."""
+    if compression in (_DWAA, _DWAB):
+        from .. import native
+        img = np.asarray(tex.levels[mip][item], np.float32)
+        data = native.openexr_write_half(img.astype("<f2").view(np.uint16),
+                                         compression)
+        if data is None:
+            raise ValueError("EXR: DWAA/DWAB save needs the OpenEXR "
+                             "adapter shim")
+        return data
     if compression not in _WRITE_COMPRESSIONS:
         raise ValueError("EXR: unsupported save compression")
     img = np.asarray(tex.levels[mip][item], np.float32)

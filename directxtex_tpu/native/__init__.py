@@ -18,8 +18,13 @@ _SRCS = [os.path.join(_HERE, "rle_codec.cpp"),
          os.path.join(_HERE, "piz.cpp")]
 _SO = os.path.join(_HERE, "librle_codec.so")
 
+_EXR_SRC = os.path.join(_HERE, "exr_openexr.cpp")
+_EXR_SO = os.path.join(_HERE, "libexr_openexr.so")
+
 _lib = None
 _tried = False
+_exr_lib = None
+_exr_tried = False
 
 
 def _build() -> bool:
@@ -73,6 +78,102 @@ def get_lib():
     except OSError:
         _lib = None
     return _lib
+
+
+def _build_exr() -> bool:
+    """Compile the optional OpenEXR adapter shim (needs libopenexr-dev)."""
+    try:
+        if (os.path.exists(_EXR_SO)
+                and os.path.getmtime(_EXR_SO) >= os.path.getmtime(_EXR_SRC)):
+            return True
+        if not os.path.isdir("/usr/include/OpenEXR"):
+            return False
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", _EXR_SRC, "-o", _EXR_SO,
+             "-I/usr/include/OpenEXR", "-I/usr/include/Imath",
+             "-lOpenEXR", "-lIlmThread", "-lIex", "-lImath"],
+            check=True, capture_output=True, timeout=180)
+        return True
+    except Exception:
+        return False
+
+
+def get_openexr_lib():
+    """The official-OpenEXR adapter shim, or None if unavailable.
+
+    Mirrors the reference's own optional dependency: its EXR adapter
+    (Auxiliary/DirectXTexEXR.cpp) is a thin RgbaInputFile/RgbaOutputFile
+    bridge over this same library.
+    """
+    global _exr_lib, _exr_tried
+    if _exr_lib is not None or _exr_tried:
+        return _exr_lib
+    _exr_tried = True
+    if not _build_exr():
+        return None
+    try:
+        lib = ctypes.CDLL(_EXR_SO)
+        lib.exr_openexr_read_dims.restype = ctypes.c_int
+        lib.exr_openexr_read_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.exr_openexr_read_half.restype = ctypes.c_int
+        lib.exr_openexr_read_half.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint16)]
+        lib.exr_openexr_write_half.restype = ctypes.c_longlong
+        lib.exr_openexr_write_half.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_char), ctypes.c_longlong]
+        _exr_lib = lib
+    except OSError:
+        _exr_lib = None
+    return _exr_lib
+
+
+def openexr_read_half(data: bytes):
+    """Decode an EXR byte stream via the official library.
+
+    Returns [H, W, 4] uint16 half bits, or None if the shim is
+    unavailable. Raises ValueError on decode failure.
+    """
+    import numpy as np
+    lib = get_openexr_lib()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.exr_openexr_read_dims(data, len(data),
+                                 ctypes.byref(w), ctypes.byref(h)) != 0:
+        raise ValueError("EXR: OpenEXR could not parse the stream")
+    out = np.empty((h.value, w.value, 4), np.uint16)
+    if lib.exr_openexr_read_half(
+            data, len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))) != 0:
+        raise ValueError("EXR: OpenEXR decode failed")
+    return out
+
+
+def openexr_write_half(halves, compression: int,
+                       dwa_level: float = 0.0) -> bytes | None:
+    """Encode [H, W, 4] half bits via the official library, or None."""
+    import numpy as np
+    lib = get_openexr_lib()
+    if lib is None:
+        return None
+    halves = np.ascontiguousarray(halves, np.uint16)
+    h, w = halves.shape[:2]
+    cap = halves.nbytes * 2 + (1 << 16)
+    out = ctypes.create_string_buffer(cap)
+    n = lib.exr_openexr_write_half(
+        halves.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        w, h, compression, dwa_level, out, cap)
+    if n == 0:
+        raise ValueError("EXR: OpenEXR encode failed")
+    if n < 0:
+        raise ValueError("EXR: OpenEXR encode overflow")
+    return out.raw[:n]
 
 
 def tga_rle_decode(data: bytes, count: int, bytes_pp: int):

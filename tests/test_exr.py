@@ -120,12 +120,14 @@ def test_truncated():
 def test_unsupported_compression_rejected():
     tex, _ = _tex()
     data = bytearray(exr.save_to_exr_memory(tex, compression=exr._NONE))
-    # find the compression attribute value and patch it to DWAA
+    # find the compression attribute value and patch it to DWAA: the pure
+    # reader refuses; if the OpenEXR adapter shim is present it rejects
+    # the bogus chunk structure instead. ValueError either way.
     i = bytes(data).find(b"compression\0compression\0")
     assert i > 0
     off = i + len(b"compression\0compression\0") + 4
     data[off] = exr._DWAA
-    with pytest.raises(ValueError, match="not supported"):
+    with pytest.raises(ValueError):
         exr.load_from_exr_memory(bytes(data))
 
 
@@ -358,3 +360,77 @@ def test_third_party_exr_fixture():
     np.testing.assert_allclose(img[3, 12], [0.0, 0.0, 0.0, 0.094116],
                                atol=1e-6)
     assert img[0, 0].sum() == 0.0 and img[15, 15].sum() == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Official-library fixtures: files written by libOpenEXR itself
+# (tests/golden/generate_exr_official.py), decode pinned to the library's
+# own readback frozen in decoded.npz. This is the same ground truth the
+# reference uses — its EXR adapter IS OpenEXR (Auxiliary/DirectXTexEXR.cpp).
+# ---------------------------------------------------------------------------
+
+def _exr_official():
+    import pathlib
+    d = pathlib.Path(__file__).parent / "golden" / "exr_official"
+    return d, np.load(d / "decoded.npz")
+
+
+_NATIVE_COMPS = ["none", "rle", "zips", "zip", "piz", "pxr24", "b44", "b44a"]
+
+
+@pytest.mark.parametrize("name", _NATIVE_COMPS)
+def test_official_fixture_pure_reader(name):
+    """Pure-numpy reader vs the official library's decode, bit-exact,
+    for every compression the reader implements natively."""
+    d, gold = _exr_official()
+    tex = exr.load_from_exr_memory((d / f"{name}.exr").read_bytes())
+    got = np.asarray(tex.levels[0][0])
+    want = gold[name].view("<f2").astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("name", ["dwaa", "dwab"])
+def test_official_fixture_dwa(name):
+    """DWAA/DWAB decode via the OpenEXR adapter shim matches the frozen
+    official decode."""
+    from directxtex_tpu import native
+    if native.get_openexr_lib() is None:
+        pytest.skip("OpenEXR adapter shim unavailable")
+    d, gold = _exr_official()
+    tex = exr.load_from_exr_memory((d / f"{name}.exr").read_bytes())
+    got = np.asarray(tex.levels[0][0])
+    want = gold[name].view("<f2").astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("compression",
+                         [exr._NONE, exr._RLE, exr._ZIPS, exr._ZIP,
+                          exr._PIZ, exr._B44, exr._B44A])
+def test_our_writer_read_by_official_library(compression):
+    """Every stream our writer emits must decode identically through the
+    official library and through our reader (external conformance for
+    the writer, not just self round-trip)."""
+    from directxtex_tpu import native
+    if native.get_openexr_lib() is None:
+        pytest.skip("OpenEXR adapter shim unavailable")
+    tex, _ = _tex(h=41, w=53, seed=7)
+    data = exr.save_to_exr_memory(tex, compression=compression)
+    official = native.openexr_read_half(data).view("<f2").astype(np.float32)
+    ours = np.asarray(exr.load_from_exr_memory(data).levels[0][0])
+    np.testing.assert_array_equal(official, ours)
+
+
+def test_dwa_save_roundtrip():
+    """DWAA/DWAB save (adapter) -> load: lossy but high-fidelity on LDR
+    content (quantization error bounded by the default level-45 tables)."""
+    from directxtex_tpu import native
+    if native.get_openexr_lib() is None:
+        pytest.skip("OpenEXR adapter shim unavailable")
+    rng = np.random.default_rng(3)
+    img = (rng.random((40, 48, 4)).astype(np.float32) * 0.2
+           + np.linspace(0, 0.8, 48, dtype=np.float32)[None, :, None])
+    tex = Texture.from_array(img)
+    for comp in (exr._DWAA, exr._DWAB):
+        data = exr.save_to_exr_memory(tex, compression=comp)
+        out = np.asarray(exr.load_from_exr_memory(data).levels[0][0])
+        assert np.abs(out - img).max() < 0.05
