@@ -8,10 +8,12 @@ float TIFF -> R32G32B32A32_FLOAT.
 
 Scope note: the reference enumerates whatever codecs the OS WIC runtime
 ships — on Windows that adds JPEG-XR (WIC_CODEC_WMP) and, with the OS
-extension installed, HEIF. Those two have no Pillow codec in this
-environment and are intentionally out of scope: `WIC_CODEC.WMP` /
-`.HEIF` raise a clear error rather than silently re-encoding. Every
-cross-platform codec the reference's own test matrix exercises
+extension installed, HEIF (whose Windows codec also fronts AVIF).
+HEIF/HEIC/AVIF are supported here through the system libheif binding
+(io/heif.py), mirroring that optional OS dependency. JPEG-XR has no
+codec in this environment and is intentionally out of scope:
+`WIC_CODEC.WMP` raises a clear error rather than silently re-encoding.
+Every cross-platform codec the reference's own test matrix exercises
 (BMP/PNG/JPEG/TIFF/GIF, plus multiframe and metadata queries) is
 supported.
 """
@@ -100,9 +102,25 @@ def _to_texture(im, flags: WIC_FLAGS) -> Texture:
     return Texture.from_array(jnp.asarray(arr), fmt=fmt)
 
 
+def _sniff_heif(data: bytes) -> bool:
+    """ISOBMFF ftyp brand check for HEIF-family containers."""
+    return (len(data) >= 12 and data[4:8] == b"ftyp"
+            and data[8:12] in (b"heic", b"heix", b"hevc", b"heim", b"heis",
+                               b"hevm", b"hevs", b"mif1", b"msf1", b"avif",
+                               b"avis"))
+
+
 def load_from_wic_memory(data: bytes,
                          flags: WIC_FLAGS = WIC_FLAGS.NONE) -> Texture:
     from PIL import Image
+    if _sniff_heif(bytes(data[:12])):
+        try:
+            Image.open(_io.BytesIO(data)).close()
+        except Exception:
+            from . import heif
+            return heif.load_from_heif_memory(
+                data, all_frames=bool(flags & WIC_FLAGS.ALL_FRAMES),
+                srgb=not (flags & WIC_FLAGS.FORCE_LINEAR))
     with Image.open(_io.BytesIO(data)) as im:
         if (flags & WIC_FLAGS.ALL_FRAMES) and getattr(im, "n_frames", 1) > 1:
             frames = []
@@ -128,10 +146,21 @@ def get_metadata_queries_from_wic_memory(data: bytes) -> dict:
     decoded tag name), ICC-profile presence, and any codec-specific
     info keys Pillow surfaces (dpi, gamma, chromaticity, ...).
 
-    JXR and HEIF have no codec in this environment and are reported via
-    ValueError, matching an unsupported-container WIC failure."""
+    JXR has no codec in this environment and is reported via ValueError,
+    matching an unsupported-container WIC failure. HEIC containers that
+    Pillow cannot identify fall back to basic libheif-derived fields."""
     from PIL import Image
     out: dict = {}
+    if _sniff_heif(bytes(data[:12])):
+        try:
+            Image.open(_io.BytesIO(data)).close()
+        except Exception:
+            from . import heif
+            tex = heif.load_from_heif_memory(data, all_frames=True)
+            return {"codec": "heif", "width": tex.metadata.width,
+                    "height": tex.metadata.height, "mode": "RGBA",
+                    "n_frames": tex.metadata.array_size,
+                    "has_icc_profile": False}
     with Image.open(_io.BytesIO(data)) as im:
         out["codec"] = (im.format or "").lower()
         out["width"], out["height"] = im.size
@@ -178,6 +207,10 @@ def save_to_wic_memory(tex: Texture, codec: WIC_CODEC,
     target, every array item as a frame). `quality` in [0, 1] maps to the
     codec's quality property (IPropertyBag2 "ImageQuality",
     DirectXTexWIC.cpp:1404)."""
+    if codec == WIC_CODEC.HEIF:
+        from . import heif
+        return heif.save_to_heif_memory(tex, mip=mip, item=item,
+                                        quality=quality, **save_kwargs)
     if quality is not None:
         if codec == WIC_CODEC.JPEG:
             save_kwargs.setdefault("quality", int(round(quality * 100)))
@@ -202,6 +235,8 @@ _EXT_CODEC = {
     ".bmp": WIC_CODEC.BMP, ".jpg": WIC_CODEC.JPEG, ".jpeg": WIC_CODEC.JPEG,
     ".png": WIC_CODEC.PNG, ".tif": WIC_CODEC.TIFF, ".tiff": WIC_CODEC.TIFF,
     ".gif": WIC_CODEC.GIF, ".ico": WIC_CODEC.ICO,
+    ".heic": WIC_CODEC.HEIF, ".heif": WIC_CODEC.HEIF,
+    ".avif": WIC_CODEC.HEIF,
 }
 
 
@@ -217,5 +252,7 @@ def save_to_wic_file(tex: Texture, path,
     codec = _EXT_CODEC.get(ext)
     if codec is None:
         raise ValueError(f"unknown image extension {ext!r}")
+    if codec == WIC_CODEC.HEIF:
+        kw.setdefault("compression", "av1" if ext == ".avif" else "hevc")
     with open(path, "wb") as f:
         f.write(save_to_wic_memory(tex, codec, flags, **kw))

@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="target DXGI format name (e.g. BC7_UNORM)")
     p.add_argument("-ft", "--file-type", default="dds",
                    choices=["dds", "tga", "hdr", "exr", "png", "jpg", "bmp",
-                            "tiff", "ppm", "pfm", "phm"],
+                            "tiff", "ppm", "pfm", "phm", "heic", "avif"],
                    help="output container")
     p.add_argument("-o", "--outdir", default=".", help="output directory")
     p.add_argument("-px", "--prefix", default="", help="output name prefix")
@@ -458,7 +458,7 @@ def process_file(path: str, args, log=print) -> str:
         if args.dword_align:
             flags |= DDS_FLAGS.LEGACY_DWORD
         kwargs["flags"] = flags
-    elif ext in ("png", "jpg", "bmp", "tiff"):
+    elif ext in ("png", "jpg", "bmp", "tiff", "heic", "avif"):
         from ..io.wic import WIC_FLAGS
         if args.wicq is not None:
             kwargs["quality"] = args.wicq

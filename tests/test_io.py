@@ -416,3 +416,38 @@ def test_wic_metadata_query(tmp_path):
     assert (md["width"], md["height"]) == (30, 20)
     assert md["exif"]["Make"] == "directxtex_tpu"
     assert md["dpi"][0] == 96
+
+
+def test_heif_roundtrip(tmp_path):
+    """HEIC/AVIF through the libheif bridge (WIC_CODEC_HEIF analog —
+    the Windows HEIF codec fronts both; DirectXTexWIC.cpp scope note).
+    Lossy: gate on close reconstruction, exact shape/metadata."""
+    from directxtex_tpu.io import heif
+    if not heif.is_available():
+        pytest.skip("libheif unavailable")
+    from directxtex_tpu.io import load_texture, save_texture
+    h, w = 48, 64
+    img = np.zeros((h, w, 4), np.float32)
+    img[..., 0] = np.linspace(0, 1, w, dtype=np.float32)[None, :]
+    img[..., 1] = np.linspace(0, 1, h, dtype=np.float32)[:, None]
+    img[..., 2] = 0.5
+    img[..., 3] = 1.0
+    tex = Texture.from_array(img)
+    for name in ("t.heic", "t.avif"):
+        p = tmp_path / name
+        save_texture(tex, p, quality=0.95)
+        back = load_texture(p)
+        assert (back.metadata.width, back.metadata.height) == (w, h)
+        got = np.asarray(back.levels[0][0])
+        assert np.abs(got - img).mean() < 0.02, name
+
+
+def test_heif_metadata_query(tmp_path):
+    from directxtex_tpu.io import heif, wic
+    if not heif.is_available():
+        pytest.skip("libheif unavailable")
+    tex = Texture.from_array(np.full((16, 24, 4), 0.25, np.float32))
+    blob = heif.save_to_heif_memory(tex, compression="hevc")
+    md = wic.get_metadata_queries_from_wic_memory(blob)
+    assert md["width"] == 24 and md["height"] == 16
+    assert md["codec"] in ("heif", "avif")
