@@ -35,6 +35,17 @@ _TILE = 512
 _DEC_TILE = 256
 
 
+def _compiler_params(interpret: bool):
+    """Mark the (only) grid dimension parallel: every tile is independent,
+    so Mosaic may split the grid across TensorCores on multi-core chips
+    (v5p has 2 per chip; neutral on the 1-core v5e). Interpret mode takes
+    no TPU params."""
+    if interpret:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.CompilerParams(dimension_semantics=("parallel",))
+
+
 def _use_pallas() -> bool:
     """Pallas path only on real TPUs (tests/CPU use the jnp reference)."""
     try:
@@ -815,6 +826,7 @@ def partition_mode_pallas(px_i: jnp.ndarray, s_blks: jnp.ndarray,
             jax.ShapeDtypeStruct((4, nb_pad), jnp.uint32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(px_cm, sb)
     return err8[0, :nb], words[:, :nb].T
 
@@ -991,6 +1003,7 @@ def single_modes_pallas(px_i: jnp.ndarray, interpret: bool = False,
         out_shape=[jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
                    jax.ShapeDtypeStruct((4, nb_pad), jnp.uint32)] * 3,
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(px_cm)
     e4, w4, e5, w5, e6, w6 = outs
     return {4: (e4[0, :nb], w4[:, :nb].T),
@@ -1126,6 +1139,7 @@ def partition_shapes_pallas(px_i: jnp.ndarray, partitions: int,
         out_specs=pl.BlockSpec((n_cand, _TILE), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((n_cand, nb_pad), jnp.int32),
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(px_cm, jnp.asarray(m_host))
     return sb[:, :nb]
 
@@ -1254,6 +1268,7 @@ def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
         out_shape=[jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
                    jax.ShapeDtypeStruct((4, nb_pad), jnp.uint32)],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(*inputs)
     return err8[0, :nb], words[:, :nb].T
 
@@ -1308,6 +1323,7 @@ def bc7_decode_pallas(words: jnp.ndarray, interpret: bool = False,
         out_specs=pl.BlockSpec((64, tile), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((64, nb_pad), jnp.int32),
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(words)
     return out[:, :nb]
 
@@ -1356,6 +1372,7 @@ def bc6h_decode_pallas(words: jnp.ndarray, signed: bool,
         out_specs=pl.BlockSpec((48, tile), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((48, nb_pad), jnp.int32),
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(words)
     return out[:, :nb]
 
@@ -1893,6 +1910,7 @@ def bc6h_encode_pallas(px_int: jnp.ndarray, signed: bool, n_cand: int = 4,
         out_shape=[jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
                    jax.ShapeDtypeStruct((4, nb_pad), jnp.uint32)],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(px_cm, jnp.asarray(m_host))
     return err8[0, :nb], words[:, :nb].T
 
@@ -1924,6 +1942,7 @@ def bc6h_1region_pallas(px_int: jnp.ndarray, signed: bool,
         out_shape=[jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
                    jax.ShapeDtypeStruct((4, nb_pad), jnp.uint32)],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(px_cm)
     return err8[0, :nb], words[:, :nb].T
 
@@ -1952,5 +1971,6 @@ def bc6h_2region_pallas(px_int: jnp.ndarray, s_blks: jnp.ndarray,
         out_shape=[jax.ShapeDtypeStruct((8, nb_pad), jnp.float32),
                    jax.ShapeDtypeStruct((4, nb_pad), jnp.uint32)],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(px_cm, sb)
     return err8[0, :nb], words[:, :nb].T

@@ -119,6 +119,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-wicmulti", "--wic-multiframe", dest="wicmulti", action="store_true",
                    help="save texture arrays as multiframe GIF/TIFF")
     p.add_argument("-timing", action="store_true", help="print per-stage times")
+    p.add_argument("-profile", dest="profile", default=None, metavar="DIR",
+                   help="write a JAX profiler (XPlane) trace of the whole "
+                        "run to DIR, viewable in TensorBoard/xprof "
+                        "(SURVEY §5 tracing analog of ENABLE_CODE_PROFILING)")
     p.add_argument("-nologo", action="store_true", help="suppress banner")
     p.add_argument("-version", action="store_true",
                    help="print version and exit")
@@ -526,14 +530,24 @@ def main(argv=None) -> int:
     if not files:
         print("error: no input files matched", file=sys.stderr)
         return 1
+    profile_cm = None
+    if args.profile:
+        from ..utils.timing import profile_trace
+        profile_cm = profile_trace(args.profile)
+        profile_cm.__enter__()
     failed = 0
-    for path in files:
-        try:
-            out = process_file(path, args)
-            print(f"  {path} -> {out}")
-        except Exception as e:  # keep going like the reference tool
-            print(f"  FAILED {path}: {e}", file=sys.stderr)
-            failed += 1
+    try:
+        for path in files:
+            try:
+                out = process_file(path, args)
+                print(f"  {path} -> {out}")
+            except Exception as e:  # keep going like the reference tool
+                print(f"  FAILED {path}: {e}", file=sys.stderr)
+                failed += 1
+    finally:
+        if profile_cm is not None:
+            profile_cm.__exit__(None, None, None)
+            print(f"  profiler trace written to {args.profile}")
     return 1 if failed else 0
 
 

@@ -446,3 +446,14 @@ def test_texassemble_mips_and_version(png, tmp_path, capsys):
 def test_texdiag_version(capsys):
     assert texdiag.main(["-version"]) == 0
     assert "texdiag" in capsys.readouterr().out
+
+
+def test_texconv_profile_trace(png, tmp_path):
+    """-profile writes a JAX profiler (XPlane) trace dir (SURVEY §5)."""
+    logdir = tmp_path / "xprof"
+    rc = texconv.main(["-nologo", "-y", "-f", "R8G8B8A8_UNORM",
+                       "-m", "1", "-profile", str(logdir),
+                       "-o", str(tmp_path), png])
+    assert rc == 0
+    prof = logdir / "plugins" / "profile"
+    assert prof.is_dir() and any(prof.iterdir())
