@@ -87,13 +87,17 @@ def main():
     float(trivial(s))
     rtt = time.perf_counter() - t0
 
+    # best-of-3 chains: the tunnel adds run-to-run jitter (~±2%) on top of
+    # device time; the minimum is the repeatable sustained-throughput figure
     n_iter = 20
-    s = jnp.float32(0.0)
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        s = chained(s)
-    float(s)
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n_iter
+    dt = float("inf")
+    for _ in range(3):
+        s = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            s = chained(s)
+        float(s)
+        dt = min(dt, max(time.perf_counter() - t0 - rtt, 1e-9) / n_iter)
 
     mtexels = size * size / dt / 1e6
     result = {
