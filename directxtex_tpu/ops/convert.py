@@ -373,19 +373,24 @@ def convert(tex: Texture, out_fmt: DXGIFormat,
     if in_fmt == out_fmt:
         return tex
 
+    new_levels = [_convert_level(lvl, in_fmt, out_fmt, filter_flags,
+                                 threshold) for lvl in tex.levels]
+    return tex.replace_levels(new_levels, tex.metadata.with_format(out_fmt))
+
+
+def _convert_level(lvl, in_fmt, out_fmt, filter_flags, threshold):
+    """One mip level of convert(): value transform + dither + requantize
+    through the target wire format."""
     from .dither import apply_dither
 
-    new_levels = []
-    for lvl in tex.levels:
-        vals = convert_values(lvl, in_fmt, out_fmt, filter_flags)
-        # TEX_FILTER_DITHER / _DITHER_DIFFUSION quantize here; pack() then
-        # stores the pre-quantized values losslessly
-        vals = apply_dither(vals, out_fmt, filter_flags)
-        n, h, w, _ = vals.shape
-        flat = vals.reshape(-1, 4)
-        requant = unpack(out_fmt, pack(out_fmt, flat, threshold), flat.shape[0])
-        new_levels.append(requant.reshape(n, h, w, 4))
-    return tex.replace_levels(new_levels, tex.metadata.with_format(out_fmt))
+    vals = convert_values(lvl, in_fmt, out_fmt, filter_flags)
+    # TEX_FILTER_DITHER / _DITHER_DIFFUSION quantize here; pack() then
+    # stores the pre-quantized values losslessly
+    vals = apply_dither(vals, out_fmt, filter_flags)
+    n, h, w, _ = vals.shape
+    flat = vals.reshape(-1, 4)
+    requant = unpack(out_fmt, pack(out_fmt, flat, threshold), flat.shape[0])
+    return requant.reshape(n, h, w, 4)
 
 
 def convert_to_single_plane(tex_or_bytes, metadata=None) -> Texture:
@@ -427,11 +432,34 @@ def convert_ex(tex: Texture, out_fmt: DXGIFormat,
 
     if status_callback is None:
         return convert(tex, out_fmt, filter_flags, threshold)
+
+    # validate exactly like convert() before reporting any progress
+    in_fmt = tex.metadata.format
+    if traits.is_compressed(in_fmt) or traits.is_compressed(out_fmt):
+        raise ValueError("convert: use compress/decompress for BC formats")
+    if traits.is_planar(out_fmt) or traits.is_palettized(out_fmt) or \
+            traits.is_typeless(out_fmt):
+        raise ValueError(f"convert: invalid target {out_fmt!r}")
+    if not is_packable(out_fmt):
+        raise ValueError(f"convert: cannot store format {out_fmt!r}")
+
     total = len(tex.levels)
     if status_callback(0, total) is False:
         raise TexAbortError("convert aborted by status callback")
-    out = convert(tex, out_fmt, filter_flags, threshold)
-    for i in range(total):
+    if in_fmt == out_fmt:
+        for i in range(total):
+            if status_callback(i + 1, total) is False:
+                raise TexAbortError("convert aborted by status callback")
+        return tex
+
+    # convert level-by-level so a False return actually skips the
+    # remaining device work (reference statusCallBack contract,
+    # DirectXTex.h:828 — HRESULT_E_ABORT mid-op; same real-abort
+    # semantics as compress_ex)
+    new_levels = []
+    for i, lvl in enumerate(tex.levels):
+        new_levels.append(_convert_level(lvl, in_fmt, out_fmt,
+                                         filter_flags, threshold))
         if status_callback(i + 1, total) is False:
             raise TexAbortError("convert aborted by status callback")
-    return out
+    return tex.replace_levels(new_levels, tex.metadata.with_format(out_fmt))

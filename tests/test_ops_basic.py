@@ -279,3 +279,44 @@ def test_compress_ex_status_callback():
                                   np.asarray(ref.levels[0]))
     with pytest.raises(TexAbortError):
         compress_ex(tex, FMT.BC1_UNORM, status_callback=lambda d, t: False)
+
+
+def test_convert_ex_status_callback(monkeypatch):
+    import pytest
+    from directxtex_tpu.formats import FMT
+    import importlib
+    # ops.__init__ re-exports a `convert` function that shadows the
+    # submodule attribute; resolve the module itself for monkeypatching
+    convert_mod = importlib.import_module("directxtex_tpu.ops.convert")
+    convert, convert_ex = convert_mod.convert, convert_mod.convert_ex
+    from directxtex_tpu.ops.mipmaps import generate_mipmaps
+    from directxtex_tpu.texture import Texture
+    from directxtex_tpu.utils.errors import TexAbortError
+
+    img = np.random.default_rng(1).random((16, 16, 4)).astype(np.float32)
+    tex = generate_mipmaps(Texture.from_array(img))       # 5 mip levels
+    total = len(tex.levels)
+    assert total > 2
+
+    calls = []
+    ct = convert_ex(tex, FMT.B8G8R8A8_UNORM,
+                    status_callback=lambda d, t: calls.append((d, t)) or True)
+    assert calls == [(i, total) for i in range(total + 1)]
+    ref = convert(tex, FMT.B8G8R8A8_UNORM)
+    for got, want in zip(ct.levels, ref.levels):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # a False return must actually SKIP the remaining per-level work
+    # (reference statusCallBack contract, DirectXTex.h:828)
+    done = []
+    orig = convert_mod._convert_level
+
+    def counting(*a, **kw):
+        done.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(convert_mod, "_convert_level", counting)
+    with pytest.raises(TexAbortError):
+        convert_ex(tex, FMT.B8G8R8A8_UNORM,
+                   status_callback=lambda d, t: d < 2)
+    assert len(done) == 2, done
