@@ -9,8 +9,8 @@ from .flags import (
     CMSE_FLAGS, CNMAP_FLAGS, TEX_COMPRESS_FLAGS, TEX_FILTER_FLAGS,
     TEX_FR_FLAGS, TEX_PMALPHA_FLAGS, TEX_THRESHOLD_DEFAULT,
 )
-from .compress import (compress, compress_ex, decompress,
-                       default_decompress_format)
+from .compress import (compress, compress_ex, compress_many,
+                       decompress, default_decompress_format)
 from .fliprotate import flip_rotate
 from .mipmaps import (
     calculate_alpha_coverage, generate_mipmaps, generate_mipmaps_3d,
@@ -28,7 +28,8 @@ __all__ = [
     "TEX_FILTER_FLAGS", "TEX_FR_FLAGS", "TEX_PMALPHA_FLAGS",
     "TEX_THRESHOLD_DEFAULT",
     "apply_linear_to_srgb", "apply_srgb_to_linear",
-    "calculate_alpha_coverage", "compress", "compress_ex", "compute_mse",
+    "calculate_alpha_coverage", "compress", "compress_ex",
+    "compress_many", "compute_mse",
     "compute_normal_map", "compute_psnr", "convert", "convert_ex",
     "convert_to_single_plane", "convert_values", "copy_rectangle",
     "demultiply_values", "evaluate_image", "flip_rotate",

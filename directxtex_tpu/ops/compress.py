@@ -23,7 +23,7 @@ from .convert import convert_values
 from .flags import TEX_COMPRESS_FLAGS as TC
 from .flags import TEX_FILTER_FLAGS as TF
 
-__all__ = ["compress", "compress_ex", "decompress",
+__all__ = ["compress", "compress_ex", "compress_many", "decompress",
            "default_decompress_format"]
 
 
@@ -159,50 +159,72 @@ def compress(tex: Texture, fmt: DXGIFormat,
     reference GPU encoder's CompressOptions.alphaWeight
     (DirectXTex.h:926, BC7Encode.hlsl:241).
     """
+    return compress_many([tex], fmt, flags, threshold, alpha_weight)[0]
+
+
+def compress_many(texs, fmt: DXGIFormat, flags: TC = TC.DEFAULT,
+                  threshold: float = 0.5,
+                  alpha_weight: float = 1.0) -> list[CompressedTexture]:
+    """Batch Compress across textures: blocks from every (texture, level,
+    item) concatenate into ONE encode dispatch — SURVEY §2.4's TPU-native
+    texconv batch design ("many files -> one batched device call"; the
+    reference batch loop runs files serially, Texconv/texconv.cpp:2034+).
+    Textures need not share dimensions; blocks are flat along the block
+    axis. Returns one CompressedTexture per input, in order."""
     flags = TC(flags)
     if fmt not in _ENCODERS:
         raise ValueError(f"compress: target must be a BC format, got {fmt!r}")
-    src_fmt = tex.metadata.format
-    if traits.is_compressed(src_fmt):
-        raise ValueError("compress: source is already compressed")
     kind, bpb = _ENCODERS[fmt]
     bcflags = _bc_flags(flags)
     srgb = _srgb_flags(flags)
 
-    # IsAlphaAllOpaque-style host check specializes BC7 to skip mode 7
+    # IsAlphaAllOpaque-style host check specializes BC7 to skip mode 7;
+    # for a batch the hint must hold for EVERY texture (mode 7 stays
+    # inf-masked per-block in-kernel either way)
     opaque = kind == "bc7" and all(
-        bool(jnp.all(lvl[..., 3] >= 1.0)) for lvl in tex.levels)
+        bool(jnp.all(lvl[..., 3] >= 1.0))
+        for tex in texs for lvl in tex.levels)
 
-    # blocks from every (level, item) concatenate into ONE encode dispatch
-    # (the reference's OpenMP flat-block-index idea, DirectXTexCompress.cpp
-    # :209-373, applied across subresources): small mip tails ride along
-    # with the base level instead of paying per-dispatch overhead
+    # blocks from every (texture, level, item) concatenate into ONE encode
+    # dispatch (the reference's OpenMP flat-block-index idea,
+    # DirectXTexCompress.cpp:209-373, applied across subresources): small
+    # mip tails ride along with the base level instead of paying
+    # per-dispatch overhead
     all_blocks = []
-    counts = []  # (n_items, blocks_per_item)
-    for lvl in tex.levels:
-        n, h, w, _ = lvl.shape
-        vals = convert_values(lvl, src_fmt, fmt,
-                              srgb | _CHANNEL_CFLAGS.get(kind, TF(0)))
-        per_item = None
-        for i in range(n):
-            blocks, nbh, nbw = image_to_blocks(vals[i])
-            per_item = blocks.shape[0]
-            all_blocks.append(blocks)
-        counts.append((n, per_item))
+    tex_counts = []  # per texture: [(n_items, blocks_per_item)]
+    for tex in texs:
+        src_fmt = tex.metadata.format
+        if traits.is_compressed(src_fmt):
+            raise ValueError("compress: source is already compressed")
+        counts = []
+        for lvl in tex.levels:
+            n, h, w, _ = lvl.shape
+            vals = convert_values(lvl, src_fmt, fmt,
+                                  srgb | _CHANNEL_CFLAGS.get(kind, TF(0)))
+            per_item = None
+            for i in range(n):
+                blocks, nbh, nbw = image_to_blocks(vals[i])
+                per_item = blocks.shape[0]
+                all_blocks.append(blocks)
+            counts.append((n, per_item))
+        tex_counts.append(counts)
     packed = _encode_blocks(kind, jnp.concatenate(all_blocks, axis=0),
                             threshold, bcflags, opaque, alpha_weight)
 
-    levels = []
+    out = []
     off = 0
-    for n, per_item in counts:
-        outs = []
-        for i in range(n):
-            outs.append(packed[off:off + per_item].reshape(-1))
-            off += per_item
-        levels.append(jnp.stack(outs))
-    meta = tex.metadata.with_format(fmt)
-    meta = dataclasses.replace(meta, mip_levels=len(levels))
-    return CompressedTexture(meta, levels)
+    for tex, counts in zip(texs, tex_counts):
+        levels = []
+        for n, per_item in counts:
+            outs = []
+            for i in range(n):
+                outs.append(packed[off:off + per_item].reshape(-1))
+                off += per_item
+            levels.append(jnp.stack(outs))
+        meta = tex.metadata.with_format(fmt)
+        meta = dataclasses.replace(meta, mip_levels=len(levels))
+        out.append(CompressedTexture(meta, levels))
+    return out
 
 
 def decompress(ctex: CompressedTexture,

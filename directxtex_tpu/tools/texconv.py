@@ -196,8 +196,13 @@ def _filter_flags(args):
     return flags
 
 
-def process_file(path: str, args, log=print) -> str:
-    """Run the full stage pipeline on one file; returns the output path."""
+def process_file(path: str, args, log=print, defer_compress=None):
+    """Run the full stage pipeline on one file; returns the output path.
+
+    With `defer_compress` (a list), a file headed for BC compression stops
+    before the encode: (tex, fmt, cflags, path) is appended and None is
+    returned so the caller can batch many files into one device dispatch
+    (ops.compress_many; SURVEY §2.4's TPU-native batch design)."""
     import jax.numpy as jnp
 
     from ..formats import FMT, format_from_name, traits
@@ -438,11 +443,29 @@ def process_file(path: str, args, log=print) -> str:
             cflags |= TC.BC7_USE_3SUBSETS
         if "m" in args.bc:
             cflags |= TC.BC7_MAXQUALITY
+        if defer_compress is not None:
+            # multi-file batching (SURVEY §2.4): the expensive encode is
+            # deferred so main() can fuse every same-(format, flags) file
+            # into ONE device dispatch via ops.compress_many
+            defer_compress.append((tex, target_fmt, cflags, path))
+            return None
         tex = compress(tex, target_fmt, cflags, args.alpha_threshold,
                        alpha_weight=args.alpha_weight)
         st.mark("compress", tex)
 
-    # save (:3768)
+    out_path = _save_output(tex, path, args)
+    st.mark("save")
+
+    if args.timing:
+        stages = "  ".join(f"{n} {dt * 1e3:.1f}ms" for n, dt in st.rows)
+        log(f"  {path}: {time.perf_counter() - t0:.3f}s  [{stages}]")
+    return out_path
+
+
+def _save_output(tex, path, args):
+    """Save stage (:3768), shared by the serial and batched paths."""
+    from ..io import DDS_FLAGS, save_texture
+
     base = os.path.splitext(os.path.basename(path))[0]
     ext = args.file_type
     name = f"{args.prefix}{base}{args.suffix}.{ext}"
@@ -471,11 +494,6 @@ def process_file(path: str, args, log=print) -> str:
         if args.wicmulti:
             kwargs["flags"] = WIC_FLAGS.ALL_FRAMES
     save_texture(tex, out_path, **kwargs)
-    st.mark("save")
-
-    if args.timing:
-        stages = "  ".join(f"{n} {dt * 1e3:.1f}ms" for n, dt in st.rows)
-        log(f"  {path}: {time.perf_counter() - t0:.3f}s  [{stages}]")
     return out_path
 
 
@@ -536,19 +554,66 @@ def main(argv=None) -> int:
         profile_cm = profile_trace(args.profile)
         profile_cm.__enter__()
     failed = 0
+    # multi-file batching (SURVEY §2.4: "many files -> one batched device
+    # call"): each file runs its pre-compress pipeline, then every file
+    # headed for the same (BC format, flags) encodes in ONE device
+    # dispatch. -timing keeps the serial path so per-stage rows stay real.
+    deferred = [] if len(files) > 1 and not args.timing else None
     try:
         for path in files:
             try:
-                out = process_file(path, args)
-                print(f"  {path} -> {out}")
+                out = process_file(path, args, defer_compress=deferred)
+                if out is not None:
+                    print(f"  {path} -> {out}")
             except Exception as e:  # keep going like the reference tool
                 print(f"  FAILED {path}: {e}", file=sys.stderr)
                 failed += 1
+        if deferred:
+            failed += _flush_compress_batches(deferred, args)
     finally:
         if profile_cm is not None:
             profile_cm.__exit__(None, None, None)
             print(f"  profiler trace written to {args.profile}")
     return 1 if failed else 0
+
+
+def _flush_compress_batches(deferred, args) -> int:
+    """Encode every deferred file, one compress_many dispatch per
+    (format, flags) group; returns the number of failures."""
+    from ..ops import compress_many
+
+    failed = 0
+    groups = {}
+    for tex, fmt, cflags, path in deferred:
+        groups.setdefault((fmt, int(cflags)), []).append((tex, path))
+    for (fmt, cflags), items in groups.items():
+        texs = [t for t, _ in items]
+        try:
+            ctexs = compress_many(texs, fmt, cflags, args.alpha_threshold,
+                                  alpha_weight=args.alpha_weight)
+        except Exception as e:
+            print(f"  batch compress FAILED ({len(items)} files): {e}; "
+                  "retrying serially", file=sys.stderr)
+            ctexs = []
+            for tex, path in items:
+                try:
+                    ctexs.append(compress_many(
+                        [tex], fmt, cflags, args.alpha_threshold,
+                        alpha_weight=args.alpha_weight)[0])
+                except Exception as e2:
+                    print(f"  FAILED {path}: {e2}", file=sys.stderr)
+                    ctexs.append(None)
+                    failed += 1
+        for ctex, (_, path) in zip(ctexs, items):
+            if ctex is None:
+                continue
+            try:
+                out = _save_output(ctex, path, args)
+                print(f"  {path} -> {out}")
+            except Exception as e:
+                print(f"  FAILED {path}: {e}", file=sys.stderr)
+                failed += 1
+    return failed
 
 
 if __name__ == "__main__":

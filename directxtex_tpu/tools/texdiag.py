@@ -170,13 +170,29 @@ def cmd_analyzebc(args, log=print) -> int:
         for m, count in enumerate(hist):
             if count:
                 log(f"    mode {m}: {count} ({100 * count / len(modes):.1f}%)")
-        # rotation histogram for modes 4/5
+        w0 = raw[:, :4].copy().view("<u4").reshape(-1)
+        # partition histograms per partitioned mode (AnalyzeBC,
+        # Texdiag/texdiag.cpp:906+): the partition field sits right after
+        # the mode bits (ms_aInfo uPartitionBits, BC6HBC7.cpp:1106-1125)
+        for mode, pbits in ((0, 4), (1, 6), (2, 6), (3, 6), (7, 6)):
+            sel = w0[modes == mode]
+            if not len(sel):
+                continue
+            part = (sel >> (mode + 1)) & ((1 << pbits) - 1)
+            vals, counts = np.unique(part, return_counts=True)
+            pretty = " ".join(f"{v}:{n}" for v, n in zip(vals, counts))
+            log(f"    mode {mode} partitions: {pretty}")
+        # rotation histogram for modes 4/5, index-mode split for mode 4
         for mode in (4, 5):
-            sel = raw[modes == mode]
+            sel = w0[modes == mode]
             if len(sel):
-                words = sel[:, :4].copy().view("<u4").reshape(-1)
-                rot = (words >> (mode + 1)) & 0x3
-                log(f"    mode {mode} rotations: {np.bincount(rot, minlength=4).tolist()}")
+                rot = (sel >> (mode + 1)) & 0x3
+                log(f"    mode {mode} rotations: "
+                    f"{np.bincount(rot, minlength=4).tolist()}")
+                if mode == 4:
+                    im = (sel >> 7) & 0x1
+                    log(f"    mode 4 index modes: "
+                        f"{np.bincount(im, minlength=2).tolist()}")
     elif fmt in (FMT.BC6H_UF16, FMT.BC6H_SF16, FMT.BC6H_TYPELESS):
         b0 = raw[:, 0].astype(int)
         m2 = b0 & 0x3
@@ -184,6 +200,16 @@ def cmd_analyzebc(args, log=print) -> int:
         vals, counts = np.unique(mode, return_counts=True)
         for v, count in zip(vals, counts):
             log(f"    mode {v:#04x}: {count} ({100 * count / len(mode):.1f}%)")
+        # 2-region modes carry a 5-bit shape at bits 77..81
+        # (ms_aDesc D_ entries, BC6HBC7.cpp:879+)
+        w2 = raw[:, 8:12].copy().view("<u4").reshape(-1)
+        is2 = ~np.isin(mode, (0x03, 0x07, 0x0B, 0x0F))
+        sel = w2[is2]
+        if len(sel):
+            shape = (sel >> 13) & 0x1F
+            vals, counts = np.unique(shape, return_counts=True)
+            pretty = " ".join(f"{v}:{n}" for v, n in zip(vals, counts))
+            log(f"    2-region shapes: {pretty}")
     elif fmt in (FMT.BC1_UNORM, FMT.BC1_UNORM_SRGB, FMT.BC1_TYPELESS):
         words = raw.view("<u2")
         three = (words[:, 0] <= words[:, 1]).sum()

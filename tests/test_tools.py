@@ -106,6 +106,67 @@ def test_texdiag_analyzebc_and_dumpbc(png, tmp_path, capsys):
     assert "block (0,0)" in out and "block (1,1)" in out
 
 
+def test_texconv_batched_multifile_compress(tmp_path, monkeypatch):
+    """N same-target files run the BC encode as ONE batched device
+    dispatch (SURVEY §2.4: many files -> one batched device call), and
+    the batched outputs are identical to per-file compression."""
+    import importlib
+    from PIL import Image
+    rng = np.random.default_rng(9)
+    paths = []
+    for i in range(3):
+        img = rng.integers(0, 256, (16, 16, 4), np.uint8)
+        img[..., 3] = 255
+        p = str(tmp_path / f"f{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+
+    compress_mod = importlib.import_module("directxtex_tpu.ops.compress")
+    calls = []
+    orig = compress_mod._encode_blocks
+
+    def counting(kind, blocks, *a, **kw):
+        calls.append(int(blocks.shape[0]))
+        return orig(kind, blocks, *a, **kw)
+
+    monkeypatch.setattr(compress_mod, "_encode_blocks", counting)
+    rc = texconv.main(["-nologo", "-y", "-f", "BC1_UNORM", "-m", "1",
+                       "-o", str(tmp_path)] + paths)
+    assert rc == 0
+    # one dispatch for all 3 files: 3 * (16/4)^2 = 48 blocks
+    assert calls == [48], calls
+
+    outs = [load_texture(str(tmp_path / f"f{i}.dds")) for i in range(3)]
+    for i, p in enumerate(paths):
+        rc = texconv.main(["-nologo", "-y", "-f", "BC1_UNORM", "-m", "1",
+                           "-sx", "_s", "-o", str(tmp_path), p])
+        assert rc == 0
+        serial = load_texture(str(tmp_path / f"f{i}_s.dds"))
+        np.testing.assert_array_equal(np.asarray(outs[i].levels[0]),
+                                      np.asarray(serial.levels[0]))
+
+
+def test_texdiag_analyzebc_partition_histogram(tmp_path, capsys):
+    """Partitioned BC7 modes print per-mode partition histograms
+    (AnalyzeBC, Texdiag/texdiag.cpp:906+)."""
+    from PIL import Image
+    rng = np.random.default_rng(3)
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[..., 3] = 255
+    # hard two-region blocks so the partitioned modes (1/3) win
+    img[:, :, 0] = 230
+    img[np.triu_indices(16)] = (10, 200, 60, 255)
+    img[..., :3] += rng.integers(0, 12, (16, 16, 3), np.uint8)
+    p = str(tmp_path / "two.png")
+    Image.fromarray(img).save(p)
+    texconv.main(["-nologo", "-y", "-f", "BC7_UNORM", "-m", "1",
+                  "-o", str(tmp_path), p])
+    dds = str(tmp_path / "two.dds")
+    assert texdiag.main(["-nologo", "analyzebc", dds]) == 0
+    out = capsys.readouterr().out
+    assert "partitions:" in out
+
+
 def test_texdiag_diff(png, tmp_path):
     out = str(tmp_path / "d.png")
     assert texdiag.main(["-nologo", "diff", png, png, "-o", out]) == 0
