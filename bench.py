@@ -25,6 +25,39 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+def _refresh_verify_artifact(max_age_hours: float = 12.0) -> dict:
+    """Regenerate VERIFY_TPU.json (Mosaic-compiled kernel equivalence on
+    the real chip, benchmarks/verify_tpu.py) whenever the recorded artifact
+    is stale, so every bench/round run leaves a fresh-dated artifact
+    instead of relying on a manual step. Returns {"ok":..., "date":...}
+    summarizing the (possibly pre-existing) artifact."""
+    import datetime
+    import os
+    import subprocess
+
+    path = "/root/repo/VERIFY_TPU.json"
+    now = datetime.datetime.now(datetime.timezone.utc)
+    try:
+        with open(path) as f:
+            cur = json.load(f)
+        age = now - datetime.datetime.fromisoformat(cur["date"])
+        if cur.get("ok") and age.total_seconds() < max_age_hours * 3600:
+            return {"ok": cur["ok"], "date": cur["date"]}
+    except Exception:
+        pass
+    print("[bench] VERIFY_TPU.json stale; regenerating...", file=sys.stderr)
+    try:
+        subprocess.run([sys.executable, "benchmarks/verify_tpu.py"],
+                       cwd="/root/repo", env=dict(os.environ),
+                       stdout=sys.stderr, stderr=sys.stderr, timeout=3000)
+        with open(path) as f:
+            cur = json.load(f)
+        return {"ok": cur["ok"], "date": cur["date"]}
+    except Exception as e:
+        return {"ok": False, "date": None,
+                "error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+
 def main():
     import jax
     _enable_compile_cache()
@@ -105,6 +138,7 @@ def main():
         "value": round(mtexels, 2),
         "unit": "Mtexels/s",
         "vs_baseline": round(mtexels / 500.0, 4),
+        "verify_tpu": _refresh_verify_artifact(),
     }
     print(json.dumps(result))
 

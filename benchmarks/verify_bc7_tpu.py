@@ -53,7 +53,11 @@ def make_ref():
     os.makedirs(REF_DIR, exist_ok=True)
     blocks = _inputs()
     ref = np.asarray(bc67.encode_bc7(jnp.asarray(blocks)))
-    np.savez(f"{REF_DIR}/ref.npz", ref=ref, blocks=blocks)
+    # max-quality tier (in-kernel perturbation ladder) reference
+    ref_maxq = np.asarray(bc67.encode_bc7(jnp.asarray(blocks),
+                                          flags=0x200000))
+    np.savez(f"{REF_DIR}/ref.npz", ref=ref, ref_maxq=ref_maxq,
+             blocks=blocks)
     print("wrote ref.npz")
 
 
@@ -84,27 +88,34 @@ def verify():
     px_i = jnp.clip(jnp.transpose(px_f32, (1, 2, 0)) * 255.0 + 0.01,
                     0.0, 255.0).astype(jnp.int32)
     modes = (1, 3, 5, 6, 7, 4)  # encode_bc7 non-opaque mode order
-    _, words = bc7_encode_pallas(px_i, modes)
-    got = np.ascontiguousarray(
-        np.asarray(lax.bitcast_convert_type(words, jnp.uint8).reshape(
-            nb, 16)))
 
-    differ = np.any(got != ref, axis=1)
-    print(f"bc7 encode: {differ.sum()}/{nb} blocks differ from jnp ref")
-    if differ.sum() > max(2, nb // 25):
-        ok = False
-    if differ.any():
-        dec_p = np.asarray(bc67.decode_bc7(got[differ])) * 255.0
-        dec_r = np.asarray(bc67.decode_bc7(ref[differ])) * 255.0
-        src = np.clip(blocks[differ] * 255.0 + 0.01, 0, 255).astype(
-            np.int32).astype(np.float32)
-        mse_p = ((dec_p - src) ** 2).sum(axis=(1, 2))
-        mse_r = ((dec_r - src) ** 2).sum(axis=(1, 2))
-        worst = float(np.max(mse_p - mse_r))
-        print(f"  worst MSE regression on disagreeing blocks: {worst:.5f}")
-        # near-tie fold flips are fine; only a real quality loss fails
-        if np.any(mse_p > mse_r * 1.05 + 1e-3):
+    tiers = [("default", {}, ref)]
+    if "ref_maxq" in data:
+        tiers.append(("maxq", {"maxq": True}, data["ref_maxq"]))
+    for tier, kw, tier_ref in tiers:
+        _, words = bc7_encode_pallas(px_i, modes, **kw)
+        got = np.ascontiguousarray(
+            np.asarray(lax.bitcast_convert_type(words, jnp.uint8).reshape(
+                nb, 16)))
+
+        differ = np.any(got != tier_ref, axis=1)
+        print(f"bc7 encode [{tier}]: {differ.sum()}/{nb} blocks differ "
+              "from jnp ref")
+        if differ.sum() > max(2, nb // 25):
             ok = False
+        if differ.any():
+            dec_p = np.asarray(bc67.decode_bc7(got[differ])) * 255.0
+            dec_r = np.asarray(bc67.decode_bc7(tier_ref[differ])) * 255.0
+            src = np.clip(blocks[differ] * 255.0 + 0.01, 0, 255).astype(
+                np.int32).astype(np.float32)
+            mse_p = ((dec_p - src) ** 2).sum(axis=(1, 2))
+            mse_r = ((dec_r - src) ** 2).sum(axis=(1, 2))
+            worst = float(np.max(mse_p - mse_r))
+            print(f"  worst MSE regression on disagreeing blocks: "
+                  f"{worst:.5f}")
+            # near-tie fold flips are fine; only a real quality loss fails
+            if np.any(mse_p > mse_r * 1.05 + 1e-3):
+                ok = False
 
     # decode mega-kernels: bit-exact vs the frozen golden vectors
     v = np.load(GOLDEN)
