@@ -68,7 +68,8 @@ def verify():
     from directxtex_tpu.bc import bc67
     from directxtex_tpu.bc.pallas_kernels import (bc6h_decode_pallas,
                                                   bc7_decode_pallas,
-                                                  bc7_encode_pallas)
+                                                  bc7_encode_pallas,
+                                                  bc7_refine_pallas)
 
     assert jax.default_backend() == "tpu", "run this step on the TPU"
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -89,11 +90,16 @@ def verify():
                     0.0, 255.0).astype(jnp.int32)
     modes = (1, 3, 5, 6, 7, 4)  # encode_bc7 non-opaque mode order
 
-    tiers = [("default", {}, ref)]
+    # tiers by winner-refine iterations: default = 1, maxq = 2
+    tiers = [("default", 1, ref)]
     if "ref_maxq" in data:
-        tiers.append(("maxq", {"maxq": True}, data["ref_maxq"]))
-    for tier, kw, tier_ref in tiers:
-        _, words = bc7_encode_pallas(px_i, modes, **kw)
+        tiers.append(("maxq", 2, data["ref_maxq"]))
+    _, base_words = bc7_encode_pallas(px_i, modes)
+    for tier, iters, tier_ref in tiers:
+        words = base_words
+        for _ in range(iters):
+            words = bc7_refine_pallas(px_i, words, bc67.LADDER_FULL,
+                                      modes=modes)
         got = np.ascontiguousarray(
             np.asarray(lax.bitcast_convert_type(words, jnp.uint8).reshape(
                 nb, 16)))

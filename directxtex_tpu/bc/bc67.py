@@ -460,7 +460,8 @@ def _pal_weight(k, K: int):
 
 
 def _assign_indices_t(px_i, u0, u1, prec: int, mask, channels=4,
-                      ch_start=0, aw: float = 1.0, alpha_ch: int = 3):
+                      ch_start=0, aw: float = 1.0, alpha_ch: int = 3,
+                      w_rows=None):
     """Projection-based index assignment over lane-major planes.
 
     Follows the reference's own GPU encoder (BC7Encode.hlsl:501-533 /
@@ -500,9 +501,13 @@ def _assign_indices_t(px_i, u0, u1, prec: int, mask, channels=4,
         # alpha error weighting: scoring only, the projection stays
         # unweighted; under modes 4/5 rotation the true alpha channel sits
         # at alpha_ch, matching the shader's un-rotate before ComputeError
-        # (BC7Encode.hlsl:239-241, :519-533)
-        dist = dist + (r * r if (c != alpha_ch or aw == 1.0)
-                       else r * r * aw)
+        # (BC7Encode.hlsl:239-241, :519-533). w_rows: per-channel [NB]
+        # weights for callers whose alpha channel is per-lane (refine).
+        if w_rows is not None:
+            dist = dist + r * r * w_rows[c][None, :]
+        else:
+            dist = dist + (r * r if (c != alpha_ch or aw == 1.0)
+                           else r * r * aw)
     err = jnp.sum(jnp.where(mask, dist, 0.0), axis=0)
     return idx, err
 
@@ -695,10 +700,24 @@ def _unquant_channel_t(q, p, prec: int, prec_p: int):
 _PERTURB_DELTAS = (2, 1)
 _PERTURB_ROUNDS = 2
 
+# Ladder tiers: (rounds, deltas). The max-quality tier runs the full
+# ladder; the DEFAULT tier (r3) runs one +-1 round, which keeps nearly
+# all of the ladder's gain — measured vs the compiled reference full
+# search on the golden corpus (deltas ours-ref):
+#   no ladder      albedo -0.163  tworegion +0.020  normal +1.99  alpha +0.15
+#   light (1,(1,)) albedo +0.076  tworegion +0.478  normal +2.78  alpha +0.59
+#   full (2,(2,1)) albedo +0.109  tworegion +0.485  normal +2.84  alpha +0.62
+# making the default tier beat the reference on EVERY corpus content.
+# Scoping the light ladder to the top candidate only (-0.108 albedo) or
+# skipping modes 4/5 (-0.118) loses the albedo gate; full scope it is.
+LADDER_FULL = (_PERTURB_ROUNDS, _PERTURB_DELTAS)
+LADDER_LIGHT = (1, (1,))
+
 
 def _perturb_channels_t(px_i, mask, m, shared_p, q0, q1, p0, p1, wk_ch,
                         aw: float = 1.0, alpha_ch: int = 3,
-                        deltas=_PERTURB_DELTAS, rounds=_PERTURB_ROUNDS):
+                        deltas=_PERTURB_DELTAS, rounds=_PERTURB_ROUNDS,
+                        w_rows=None):
     """Bounded per-channel endpoint perturbation ladder — the TPU-shaped
     analog of the reference CPU codec's OptimizeEndPoints/PerturbOne hill
     climb (BC6HBC7.cpp:2926-3044). With the palette indices held fixed the
@@ -708,8 +727,11 @@ def _perturb_channels_t(px_i, mask, m, shared_p, q0, q1, p0, p1, wk_ch,
     once afterwards (the reference instead re-maps per step, :2968).
 
     wk_ch: per-channel [16, NB] palette weights (modes 4/5 pass the alpha
-    channel's separate index weights). Returns (q0, q1, err) with err the
-    ladder's final fixed-index error."""
+    channel's separate index weights). w_rows: optional per-channel [NB]
+    f32 error weights overriding (aw, alpha_ch) — the winner-refine pass
+    needs them because modes 4/5's rotated alpha channel is per-lane
+    there. Returns (q0, q1, err, err0) with err the ladder's final
+    fixed-index error and err0 the pre-ladder fixed-index error."""
     p1u = p0 if shared_p else p1
     q0r = [q0[c] for c in range(4)]
     q1r = [q1[c] for c in range(4)]
@@ -721,8 +743,12 @@ def _perturb_channels_t(px_i, mask, m, shared_p, q0, q1, p0, p1, wk_ch,
         d = px_i[:, c, :]
         r = (d - (((64 - wk) * u0c[None, :] + wk * u1c[None, :] + 32)
                   >> 6)).astype(jnp.float32)
-        w = aw if c == alpha_ch and aw != 1.0 else 1.0
-        return jnp.sum(jnp.where(mask, r * r * w, 0.0), axis=0)
+        if w_rows is not None:
+            r2 = r * r * w_rows[c][None, :]
+        else:
+            w = aw if c == alpha_ch and aw != 1.0 else 1.0
+            r2 = r * r * w
+        return jnp.sum(jnp.where(mask, r2, 0.0), axis=0)
 
     full = jnp.full(px_i.shape[2], 255, jnp.int32)
     for c in range(4):
@@ -737,6 +763,7 @@ def _perturb_channels_t(px_i, mask, m, shared_p, q0, q1, p0, p1, wk_ch,
         u1c = _unquant_channel_t(q1r[c], p1u, prec, prec_p)
         ch_err.append(cherr(c, u0c, u1c))
 
+    err0 = sum(ch_err)
     for _ in range(rounds):
         for c in chans:
             prec, prec_p = m.rgba_prec[c], m.rgba_prec_p[c]
@@ -760,11 +787,11 @@ def _perturb_channels_t(px_i, mask, m, shared_p, q0, q1, p0, p1, wk_ch,
             ch_err[c] = base
 
     err = sum(ch_err)
-    return jnp.stack(q0r), jnp.stack(q1r), err
+    return jnp.stack(q0r), jnp.stack(q1r), err, err0
 
 
 def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id,
-                           aw: float = 1.0, maxq: bool = False):
+                           aw: float = 1.0):
     """Evaluate one (mode, shape) candidate for all blocks.
 
     px_i [16, 4, NB] int32, px_f float, mask_list: per-subset [16, NB] bool,
@@ -803,24 +830,6 @@ def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id,
         idx = jnp.where(better[None, :], idx_r, idx_a)
         err = jnp.where(better, err_r, err_a)
 
-        if maxq:
-            # optional endpoint-perturbation tier (OptimizeEndPoints
-            # analog); fixed-index ladder, then one re-assignment
-            wk = _pal_weight(idx, 1 << prec)
-            q0t, q1t, err_l = _perturb_channels_t(
-                px_i, mask, m, shared_p, q0, q1, p0, p1, [wk] * 4, aw=aw)
-            u0, u1 = _unquantize_with_p_t(q0t, q1t, p0, p1, m, shared_p)
-            idx_t, err_t = _assign_indices_t(px_i, u0, u1, prec, mask,
-                                             aw=aw)
-            keep_idx = err_t < err_l
-            idx_t2 = jnp.where(keep_idx[None, :], idx_t, idx)
-            err_t2 = jnp.minimum(err_t, err_l)
-            bt = err_t2 < err
-            q0 = jnp.where(bt[None, :], q0t, q0)
-            q1 = jnp.where(bt[None, :], q1t, q1)
-            idx = jnp.where(bt[None, :], idx_t2, idx)
-            err = jnp.where(bt, err_t2, err)
-
         total_err = total_err + err
         e_pairs.append((q0, q1))
         p_pairs.append((p0, p1))
@@ -857,9 +866,28 @@ def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id,
 BC7_SHAPE_CANDIDATES = 4
 
 
+# Fraction of the dominant-axis variance kept in the off-axis shape
+# proxy (0 = pure off-axis residual, 1 = plain total variance).
+# Swept on the golden corpus vs the compiled reference (r3):
+#   w=0     albedo -0.164  tworegion -0.007  normal +1.768  alpha +0.151
+#   w=0.05  albedo -0.163  tworegion +0.020  normal +1.993  alpha +0.150
+#   w=0.1   albedo -0.189  tworegion +0.020  normal +1.956  alpha +0.147
+#   w=0.5   albedo -0.400  tworegion +0.033  normal +1.654  alpha +0.101
+# (deltas vs reference full search; BC6H keeps w=0 semantics via its own
+# call site — the HDR probe measured best at the pure residual.)
+_ON_AXIS_W = 0.05
+
+# Power-iteration count for the dominant-axis eigenvalue inside the
+# off-axis shape proxy. The iteration runs on [n_shapes, NB] planes (the
+# single biggest cost of the off-axis ranking), so the count is a direct
+# perf lever; quality sensitivity is measured in BASELINE.md's r3 table.
+_POWER_ITERS = 6
+
+
 def _shape_estimates_table(px_f, partitions: int, nch: int,
                            n_shapes: int | None = None,
-                           off_axis: bool = False):
+                           off_axis: bool = False,
+                           axis_w: float | None = None):
     """[n_shapes, NB] cheap error proxy for every shape of a partition class.
 
     For each (shape, subset): the within-subset total variance
@@ -921,7 +949,7 @@ def _shape_estimates_table(px_f, partitions: int, nch: int,
 
         # dominant eigenvalue by unrolled power iteration
         v = [jnp.ones_like(sse) for _ in range(3)]
-        for _ in range(6):
+        for _ in range(_POWER_ITERS):
             w = [sum(cdot(a, b) * v[b] for b in range(3)) for a in range(3)]
             nrm = jnp.sqrt(sum(x * x for x in w))
             inv = 1.0 / jnp.maximum(nrm, 1e-20)
@@ -929,8 +957,12 @@ def _shape_estimates_table(px_f, partitions: int, nch: int,
         lam = sum(v[a] * sum(cdot(a, b) * v[b] for b in range(3))
                   for a in range(3))
         # the off-axis residual (the fourth plane is BC6H's zero-padded
-        # alpha, so sse is the pure RGB within-subset SSE)
-        est = est + jnp.maximum(sse - lam, 0.0)
+        # alpha, so sse is the pure RGB within-subset SSE), plus a small
+        # on-axis term: the palette carries the axis with only 4-16
+        # levels, so residual on-axis spread still costs quantization
+        # error on smooth content (sweep at _ON_AXIS_W)
+        w_axis = _ON_AXIS_W if axis_w is None else axis_w
+        est = est + jnp.maximum(sse - lam * (1.0 - w_axis), 0.0)
     return est
 
 
@@ -947,7 +979,7 @@ def _top_k_shapes(ests, k: int):
 
 
 def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None,
-                        aw: float = 1.0, maxq: bool = False):
+                        aw: float = 1.0):
     """Modes 0/1/2/3/7: estimate all shapes, fully refine the best
     BC7_SHAPE_CANDIDATES per block. Returns (err [NB], words [NB, 4])."""
     m = _BC7_MODES[mode_id]
@@ -959,7 +991,7 @@ def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None,
     try:
         from .pallas_kernels import (_use_pallas, partition_mode_pallas,
                                      partition_shapes_pallas)
-        use_pallas = _use_pallas() and not maxq
+        use_pallas = _use_pallas()
     except Exception:
         pass
     if use_pallas:
@@ -969,7 +1001,7 @@ def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None,
         if s_blks is None:
             s_blks = partition_shapes_pallas(
                 px_i, m.partitions, 1 << m.partition_bits, 4,
-                BC7_SHAPE_CANDIDATES)
+                BC7_SHAPE_CANDIDATES, off_axis=True)
         return partition_mode_pallas(px_i, s_blks.astype(jnp.int32),
                                      mode_id, 1 << m.partition_bits, aw=aw)
 
@@ -987,7 +1019,7 @@ def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None,
         anchors = [0 if p == 0 else fix_tab[s_blk, p].astype(jnp.int32)
                    for p in range(m.partitions + 1)]
         err, q0s, q1s, p0s, p1s, idx = _eval_subset_candidate(
-            px_i, px_f, mask_list, anchors, mode_id, aw=aw, maxq=maxq)
+            px_i, px_f, mask_list, anchors, mode_id, aw=aw)
         words = _emit_bc7(mode_id, s_blk.astype(jnp.uint32), 0, 0,
                           q0s, q1s, p0s, p1s, idx, None, nb)
         better = err < best_err
@@ -997,7 +1029,7 @@ def _try_partition_mode(px_i, px_f, mode_id, ests=None, s_blks=None,
 
 
 def _dual_eval_ref(pr_i, pr_f, mode_id, im, aw: float = 1.0,
-                   alpha_ch: int = 3, maxq: bool = False):
+                   alpha_ch: int = 3):
     """Dual-index (modes 4/5) candidate evaluation, jnp reference path.
 
     RGB axis-fit + alpha min/max endpoints (RoughMSE, BC6HBC7.cpp:3553),
@@ -1044,38 +1076,10 @@ def _dual_eval_ref(pr_i, pr_f, mode_id, im, aw: float = 1.0,
     p0 = jnp.where(better, p0b, p0)
     p1 = jnp.where(better, p1b, p1)
 
-    if maxq:
-        # endpoint-perturbation tier: rgb channels score against the
-        # color indices, alpha against its own (OptimizeEndPoints analog)
-        wkc = _pal_weight(cidx, 1 << cprec)
-        wka = _pal_weight(aidx, 1 << aprec)
-        q0t, q1t, err_l = _perturb_channels_t(
-            pr_i, mask, m, False, q0, q1, p0, p1,
-            [wkc, wkc, wkc, wka], aw=aw, alpha_ch=alpha_ch)
-        u0, u1 = _unquantize_with_p_t(q0t, q1t, p0, p1, m, False)
-        cidx_t, cerr_t = _assign_indices_t(pr_i, u0, u1, cprec, mask,
-                                           channels=3, aw=aw,
-                                           alpha_ch=alpha_ch)
-        aidx_t, aerr_t = _assign_indices_t(pr_i, u0, u1, aprec, mask,
-                                           channels=4, ch_start=3, aw=aw,
-                                           alpha_ch=alpha_ch)
-        err_t = cerr_t + aerr_t
-        keep_idx = err_t < err_l
-        cidx_t2 = jnp.where(keep_idx[None, :], cidx_t, cidx)
-        aidx_t2 = jnp.where(keep_idx[None, :], aidx_t, aidx)
-        err_t2 = jnp.minimum(err_t, err_l)
-        bt = err_t2 < err
-        q0 = jnp.where(bt[None, :], q0t, q0)
-        q1 = jnp.where(bt[None, :], q1t, q1)
-        cidx = jnp.where(bt[None, :], cidx_t2, cidx)
-        aidx = jnp.where(bt[None, :], aidx_t2, aidx)
-        err = jnp.where(bt, err_t2, err)
-
     return q0, q1, p0, p1, cidx, aidx, err
 
 
-def _try_single_mode(px_i, px_f, mode_id, aw: float = 1.0,
-                     maxq: bool = False):
+def _try_single_mode(px_i, px_f, mode_id, aw: float = 1.0):
     """Modes 4/5/6: single subset, rotations x index modes.
     Returns (err [NB], words [NB, 4])."""
     m = _BC7_MODES[mode_id]
@@ -1101,13 +1105,12 @@ def _try_single_mode(px_i, px_f, mode_id, aw: float = 1.0,
             if m.index_prec2 == 0:
                 # mode 6: joint RGBA indices
                 err, q0s, q1s, p0s, p1s, idx = _eval_subset_candidate(
-                    pr_i, pr_f, [mask], [0], mode_id, aw=aw, maxq=maxq)
+                    pr_i, pr_f, [mask], [0], mode_id, aw=aw)
                 words = _emit_bc7(mode_id, 0, rot, im, q0s, q1s, p0s, p1s,
                                   idx, None, nb)
             else:
                 q0, q1, p0, p1, cidx, aidx, err = _dual_eval_ref(
-                    pr_i, pr_f, mode_id, im, aw=aw, alpha_ch=alpha_ch,
-                    maxq=maxq)
+                    pr_i, pr_f, mode_id, im, aw=aw, alpha_ch=alpha_ch)
 
                 # anchor fixes: color and alpha endpoint components swap
                 # INDEPENDENTLY (AssignIndices, BC6HBC7.cpp:3196-3216)
@@ -1131,6 +1134,297 @@ def _try_single_mode(px_i, px_f, mode_id, aw: float = 1.0,
             best_words = jnp.where(better[:, None], words, best_words)
             best_err = jnp.minimum(err, best_err)
     return best_err, best_words
+
+
+def _bc7_unpack_mode(words_t, mode: int):
+    """Unpack encoder state from packed blocks assuming `mode` (the
+    EmitBlock inverse; field layout BC6HBC7.cpp:3221+). words_t [4, NB]
+    lane-major u32. Returns (shape, rot, im [NB] i32; q0s/q1s per-subset
+    [4, NB] endpoint codes WITHOUT the p bit; p0s/p1s per-subset [NB];
+    idx1, idx2 [16, NB] full-precision index values, idx2 None when the
+    mode has no second index set)."""
+    m = _BC7_MODES[mode]
+    nb = words_t.shape[1]
+    n_sub = m.partitions + 1
+    n_ep = n_sub * 2
+    bit = mode + 1
+
+    shape = _gb_t(words_t, bit, m.partition_bits).astype(jnp.int32)
+    bit += m.partition_bits
+    rot = _gb_t(words_t, bit, m.rotation_bits).astype(jnp.int32)
+    bit += m.rotation_bits
+    im = _gb_t(words_t, bit, m.index_mode_bits).astype(jnp.int32)
+    bit += m.index_mode_bits
+
+    zero = jnp.zeros((nb,), jnp.int32)
+    ep = [[zero] * 4 for _ in range(n_ep)]
+    for ch in range(4):
+        prec = m.rgba_prec[ch]
+        if prec == 0:
+            continue
+        for e in range(n_ep):
+            ep[e][ch] = _gb_t(words_t, bit, prec).astype(jnp.int32)
+            bit += prec
+    p0s = [zero for _ in range(n_sub)]
+    p1s = [zero for _ in range(n_sub)]
+    if m.p_bits:
+        pbits = []
+        for _ in range(m.p_bits):
+            pbits.append(_gb_t(words_t, bit, 1).astype(jnp.int32))
+            bit += 1
+        for sub in range(n_sub):
+            if m.p_bits == n_sub:            # shared p-bit (mode 1)
+                p0s[sub] = p1s[sub] = pbits[sub]
+            else:
+                p0s[sub] = pbits[2 * sub]
+                p1s[sub] = pbits[2 * sub + 1]
+
+    # anchors for index decompression
+    if m.partitions:
+        _, pa_tab = _packed_shape_tables_bc7(m.partitions,
+                                             1 << m.partition_bits)
+        pa = jnp.zeros((nb,), jnp.int32)
+        for sv in range(1 << m.partition_bits):
+            pa = jnp.where(shape == sv, pa_tab[sv], pa)
+        a2 = pa & 0xF
+        a3 = (pa >> 4) & 0xF if m.partitions == 2 else None
+    else:
+        a2 = a3 = None
+
+    def read_indices(base_bit, prec, with_anchors):
+        vals = []
+        for i in range(16):
+            if with_anchors and a2 is not None:
+                before = (1 if i > 0 else 0) \
+                    + (a2 < i).astype(jnp.int32) \
+                    + ((a3 < i).astype(jnp.int32) if a3 is not None else 0)
+                is_anchor = jnp.where(
+                    (i == 0) | (a2 == i)
+                    | ((a3 == i) if a3 is not None else False), 1, 0)
+                start = base_bit + prec * i - before
+                vals.append(_gb_dyn_t(words_t, start, is_anchor,
+                                      prec).astype(jnp.int32))
+            else:
+                width = prec - (1 if i == 0 else 0)
+                start = base_bit + prec * i - (1 if i > 0 else 0)
+                vals.append(_gb_t(words_t, start, width).astype(jnp.int32))
+        n_anchors = 1 + (m.partitions if with_anchors else 0)
+        return jnp.stack(vals), 16 * prec - n_anchors
+
+    idx1, total1 = read_indices(bit, m.index_prec, True)
+    bit += total1
+    idx2 = None
+    if m.index_prec2:
+        idx2, _ = read_indices(bit, m.index_prec2, False)
+
+    q0s = [jnp.stack([ep[2 * sub][ch] for ch in range(4)])
+           for sub in range(n_sub)]
+    q1s = [jnp.stack([ep[2 * sub + 1][ch] for ch in range(4)])
+           for sub in range(n_sub)]
+    return shape, rot, im, q0s, q1s, p0s, p1s, idx1, idx2
+
+
+def _refine_mode_subsets(px_i, words_t, mode_id: int, ladder, aw: float):
+    """Winner-refine one partition-family mode (0-3, 6, 7): unpack the
+    block state, run the perturbation ladder per subset with indices
+    fixed, one re-assignment, anchor-swap and re-emit.
+    Returns (err_new, err_old [NB], words [NB, 4])."""
+    m = _BC7_MODES[mode_id]
+    nb = px_i.shape[2]
+    n_sub = m.partitions + 1
+    shared_p = m.p_bits == n_sub and m.p_bits > 0
+    prec = m.index_prec
+    shape, _, _, q0s, q1s, p0s, p1s, idx_full, _ = _bc7_unpack_mode(
+        words_t, mode_id)
+
+    if m.partitions:
+        pp_tab, pa_tab = _packed_shape_tables_bc7(m.partitions,
+                                                  1 << m.partition_bits)
+        pp = jnp.zeros((nb,), jnp.uint32)
+        pa = jnp.zeros((nb,), jnp.int32)
+        for sv in range(1 << m.partition_bits):
+            hit = shape == sv
+            pp = jnp.where(hit, jnp.uint32(pp_tab[sv]), pp)
+            pa = jnp.where(hit, pa_tab[sv], pa)
+        pm = jnp.stack([((pp >> (2 * i)) & 3).astype(jnp.int32)
+                        for i in range(16)])
+        mask_list = [pm == p for p in range(n_sub)]
+        anchors = [0, pa & 0xF] + ([(pa >> 4) & 0xF]
+                                   if m.partitions == 2 else [])
+    else:
+        mask_list = [jnp.ones((16, nb), bool)]
+        anchors = [0]
+
+    wk = _pal_weight(idx_full, 1 << prec)
+    err_new = jnp.zeros((nb,), jnp.float32)
+    err_old = jnp.zeros((nb,), jnp.float32)
+    for sub, mask in enumerate(mask_list):
+        q0t, q1t, err_l, err0 = _perturb_channels_t(
+            px_i, mask, m, shared_p, q0s[sub], q1s[sub], p0s[sub],
+            p1s[sub], [wk] * 4, aw=aw, rounds=ladder[0], deltas=ladder[1])
+        u0, u1 = _unquantize_with_p_t(q0t, q1t, p0s[sub], p1s[sub], m,
+                                      shared_p)
+        idx_t, err_t = _assign_indices_t(px_i, u0, u1, prec, mask, aw=aw)
+        keep_idx = err_t < err_l
+        idx_t2 = jnp.where(keep_idx[None, :], idx_t, idx_full)
+        err_t2 = jnp.minimum(err_t, err_l)
+        bt = err_t2 < err0
+        q0s[sub] = jnp.where(bt[None, :], q0t, q0s[sub])
+        q1s[sub] = jnp.where(bt[None, :], q1t, q1s[sub])
+        idx_full = jnp.where(bt[None, :] & mask, idx_t2, idx_full)
+        err_new = err_new + jnp.minimum(err_t2, err0)
+        err_old = err_old + err0
+
+    # anchor swaps (AssignIndices, BC6HBC7.cpp:3181-3194)
+    msb = 1 << (prec - 1)
+    maxi = (1 << prec) - 1
+    for sub, (mask, anchor) in enumerate(zip(mask_list, anchors)):
+        if isinstance(anchor, int):
+            a_idx = idx_full[anchor]
+        else:
+            a_idx = jnp.zeros(nb, jnp.int32)
+            for i in range(16):
+                a_idx = jnp.where(anchor == i, idx_full[i], a_idx)
+        swap = (a_idx & msb) != 0
+        q0s[sub], q1s[sub] = (
+            jnp.where(swap[None, :], q1s[sub], q0s[sub]),
+            jnp.where(swap[None, :], q0s[sub], q1s[sub]))
+        p0s[sub], p1s[sub] = (jnp.where(swap, p1s[sub], p0s[sub]),
+                              jnp.where(swap, p0s[sub], p1s[sub]))
+        idx_full = jnp.where(swap[None, :] & mask, maxi - idx_full,
+                             idx_full)
+    words = _emit_bc7(mode_id, shape, 0, 0, q0s, q1s, p0s, p1s,
+                      idx_full, None, nb)
+    return err_new, err_old, words
+
+
+def _refine_mode45(px_i, words_t, mode_id: int, ladder, aw: float):
+    """Winner-refine modes 4/5: per-lane rotation and index-mode, ladder
+    with separate color/alpha weight planes, dual re-assignment (both
+    index modes where the mode has two), independent anchor fixes.
+    Returns (err_new, err_old [NB], words [NB, 4])."""
+    m = _BC7_MODES[mode_id]
+    nb = px_i.shape[2]
+    mask = jnp.ones((16, nb), bool)
+    prec1, prec2 = m.index_prec, m.index_prec2
+    _, rot, im, q0s_, q1s_, p0s_, p1s_, w1, w2 = _bc7_unpack_mode(
+        words_t, mode_id)
+    q0, q1 = q0s_[0], q1s_[0]
+    p0, p1 = p0s_[0], p1s_[0]
+
+    # rotated pixel planes (channel rot-1 <-> alpha), per-lane
+    pr = []
+    for c in range(3):
+        pr.append(jnp.where((rot == c + 1)[None, :], px_i[:, 3, :],
+                            px_i[:, c, :]))
+    pal = px_i[:, 3, :]
+    for c in range(3):
+        pal = jnp.where((rot == c + 1)[None, :], px_i[:, c, :], pal)
+    pr_i = jnp.stack(pr + [pal], axis=1)
+
+    # per-lane alpha-weight rows: the true alpha sits at rot-1 in
+    # rotated space (3 when unrotated)
+    w_rows = None
+    if aw != 1.0:
+        w_rows = []
+        for c in range(4):
+            is_a = (rot == 0) if c == 3 else (rot == c + 1)
+            w_rows.append(jnp.where(is_a, jnp.float32(aw), 1.0))
+
+    im0 = im == 0
+    im0_16 = im0[None, :]
+    cidx = jnp.where(im0_16, w1, w2)
+    aidx = jnp.where(im0_16, w2, w1)
+    wkc = jnp.where(im0_16, _pal_weight(cidx, 1 << prec1),
+                    _pal_weight(cidx, 1 << prec2))
+    wka = jnp.where(im0_16, _pal_weight(aidx, 1 << prec2),
+                    _pal_weight(aidx, 1 << prec1))
+
+    q0t, q1t, err_l, err0 = _perturb_channels_t(
+        pr_i, mask, m, False, q0, q1, p0, p1, [wkc, wkc, wkc, wka],
+        aw=aw, rounds=ladder[0], deltas=ladder[1], w_rows=w_rows)
+    u0, u1 = _unquantize_with_p_t(q0t, q1t, p0, p1, m, False)
+    cidx_a, cerr_a = _assign_indices_t(pr_i, u0, u1, prec1, mask,
+                                       channels=3, aw=aw, w_rows=w_rows)
+    aidx_a, aerr_a = _assign_indices_t(pr_i, u0, u1, prec2, mask,
+                                       channels=4, ch_start=3, aw=aw,
+                                       w_rows=w_rows)
+    if m.index_mode_bits:
+        cidx_b, cerr_b = _assign_indices_t(pr_i, u0, u1, prec2, mask,
+                                           channels=3, aw=aw,
+                                           w_rows=w_rows)
+        aidx_b, aerr_b = _assign_indices_t(pr_i, u0, u1, prec1, mask,
+                                           channels=4, ch_start=3, aw=aw,
+                                           w_rows=w_rows)
+        cidx_t = jnp.where(im0_16, cidx_a, cidx_b)
+        aidx_t = jnp.where(im0_16, aidx_a, aidx_b)
+        err_t = jnp.where(im0, cerr_a + aerr_a, cerr_b + aerr_b)
+    else:
+        cidx_t, aidx_t = cidx_a, aidx_a
+        err_t = cerr_a + aerr_a
+
+    keep_idx = err_t < err_l
+    cidx_t2 = jnp.where(keep_idx[None, :], cidx_t, cidx)
+    aidx_t2 = jnp.where(keep_idx[None, :], aidx_t, aidx)
+    err_t2 = jnp.minimum(err_t, err_l)
+    bt = err_t2 < err0
+    q0f = jnp.where(bt[None, :], q0t, q0)
+    q1f = jnp.where(bt[None, :], q1t, q1)
+    cidx = jnp.where(bt[None, :], cidx_t2, cidx)
+    aidx = jnp.where(bt[None, :], aidx_t2, aidx)
+    err_new = jnp.minimum(err_t2, err0)
+
+    # independent anchor fixes (AssignIndices, BC6HBC7.cpp:3196-3216)
+    w1n = jnp.where(im0_16, cidx, aidx)
+    w2n = jnp.where(im0_16, aidx, cidx)
+    msb1, maxi1 = 1 << (prec1 - 1), (1 << prec1) - 1
+    msb2, maxi2 = 1 << (prec2 - 1), (1 << prec2) - 1
+    swap1 = (w1n[0] & msb1) != 0
+    w1n = jnp.where(swap1[None, :], maxi1 - w1n, w1n)
+    swap2 = (w2n[0] & msb2) != 0
+    w2n = jnp.where(swap2[None, :], maxi2 - w2n, w2n)
+    swap_rgb = jnp.where(im0, swap1, swap2)
+    swap_a = jnp.where(im0, swap2, swap1)
+    do_swap = jnp.stack([swap_rgb, swap_rgb, swap_rgb, swap_a])
+    q0e = jnp.where(do_swap, q1f, q0f)
+    q1e = jnp.where(do_swap, q0f, q1f)
+    words = _emit_bc7(mode_id, 0, rot, im, [q0e], [q1e], [p0], [p1],
+                      w1n, w2n, nb)
+    return err_new, err0, words
+
+
+def refine_bc7_words(px_i, words, ladder, aw: float = 1.0,
+                     modes: tuple = (1, 3, 5, 6, 7, 4)):
+    """Winner-refine pass: unpack each encoded block's winning state from
+    its packed words and run the endpoint-perturbation ladder on that
+    state only (OptimizeEndPoints analog, BC6HBC7.cpp:2926-3044), then
+    re-assign indices once and re-emit where the error improved.
+
+    Refining only the cross-mode winner keeps the search kernel lean:
+    the in-search per-candidate ladder measured 304 -> 117 Mtexels/s on
+    the v5e (37 ladder units/block), while the winner carries nearly all
+    of the quality (r3 measurements next to LADDER_LIGHT).
+
+    px_i [16, 4, NB] i32 LDR pixels; words [NB, 4] u32 packed blocks.
+    Returns refined words [NB, 4]."""
+    words_t = jnp.transpose(words)
+    b0 = (words_t[0] & 0xFF).astype(jnp.int32)
+    mode = jnp.full_like(b0, 8)
+    for mv in range(8):
+        hit = (b0 & (1 << mv)) != 0
+        mode = jnp.where((mode == 8) & hit, mv, mode)
+
+    out = words
+    for mv in modes:
+        if mv in (4, 5):
+            err_new, err0, wn = _refine_mode45(px_i, words_t, mv,
+                                               ladder, aw)
+        else:
+            err_new, err0, wn = _refine_mode_subsets(px_i, words_t, mv,
+                                                     ladder, aw)
+        better = (mode == mv) & (err_new < err0)
+        out = jnp.where(better[:, None], wn, out)
+    return out
 
 
 def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
@@ -1157,6 +1451,16 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
     quick = bool(flags & _BC7_QUICK)
     use3 = bool(flags & _BC7_USE_3SUBSETS)
     maxq = bool(flags & _BC7_MAXQUALITY)
+    # Winner-refine architecture (r3): the search runs WITHOUT any
+    # in-search ladder; the cross-mode winner then gets the full
+    # perturbation ladder via refine_bc7_words. Measured vs the in-search
+    # per-candidate ladder (deltas ours-ref on the golden corpus):
+    #   in-search light  albedo +0.076  flower -0.098  @ 117 Mt/s on v5e
+    #   winner full x1   albedo +0.132  flower +0.140  (ladder cost ~6%)
+    #   winner full x2   albedo +0.145  flower +0.164  (the maxq tier)
+    # i.e. refining only the winner is BETTER (the re-assignment runs on
+    # the final state) and ~2.5x faster end to end.
+    refine_iters = 2 if maxq else 1
 
     if quick:
         modes = [6]
@@ -1167,65 +1471,51 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
     use_pallas = False
     try:
         from .pallas_kernels import (_use_pallas, bc7_encode_pallas,
-                                     single_modes_pallas)
-        # the perturbation tier runs on the jnp path (no pallas port yet)
-        use_pallas = _use_pallas() and not maxq
+                                     bc7_refine_pallas)
+        use_pallas = _use_pallas()
     except Exception:
         pass
 
     if use_pallas:
-        # the whole encode (shape ranking, every mode, cross-mode fold,
+        # the whole search (shape ranking, every mode, cross-mode fold,
         # mode-7 opaque masking) as ONE pallas dispatch
         _, best_words = bc7_encode_pallas(px_i, tuple(modes),
                                           BC7_SHAPE_CANDIDATES,
                                           aw=alpha_weight)
+        for _ in range(refine_iters):
+            best_words = bc7_refine_pallas(px_i, best_words, LADDER_FULL,
+                                           aw=alpha_weight,
+                                           modes=tuple(modes))
         return lax.bitcast_convert_type(best_words,
                                         jnp.uint8).reshape(nb, 16)
 
     est_cache = {}
-    shape_cache = {}
-    single_cache = None
     for mode_id in modes:
         if mode_id in (0, 1, 2, 3, 7):
             m = _BC7_MODES[mode_id]
-            if use_pallas:
-                # shape ranking shared by modes with the same partition
-                # class and partition-field width (1/3/7; 0 and 2 differ)
-                key = (m.partitions, m.partition_bits)
-                if key not in shape_cache:
-                    from .pallas_kernels import partition_shapes_pallas
-                    shape_cache[key] = partition_shapes_pallas(
-                        px_i, m.partitions, 1 << m.partition_bits, 4,
-                        BC7_SHAPE_CANDIDATES)
-                err, words = _try_partition_mode(
-                    px_i, px_f, mode_id, s_blks=shape_cache[key],
-                    aw=alpha_weight)
-            else:
-                if m.partitions not in est_cache:
-                    # the max-quality tier also ranks shapes by the
-                    # off-axis residual (+0.28 dB on albedo; the default
-                    # pallas path keeps the cheap variance proxy)
-                    est_cache[m.partitions] = _shape_estimates_table(
-                        px_f, m.partitions, 4, off_axis=maxq)
-                err, words = _try_partition_mode(
-                    px_i, px_f, mode_id, ests=est_cache[m.partitions],
-                    aw=alpha_weight, maxq=maxq)
+            if m.partitions not in est_cache:
+                # rank shapes by the off-axis residual in EVERY tier
+                # (r3): +0.28 dB on albedo vs the old variance proxy,
+                # matching the full-search quality of
+                # BC6HBC7.cpp:2783-2889 at 4 candidates
+                est_cache[m.partitions] = _shape_estimates_table(
+                    px_f, m.partitions, 4, off_axis=True)
+            err, words = _try_partition_mode(
+                px_i, px_f, mode_id, ests=est_cache[m.partitions],
+                aw=alpha_weight)
             if mode_id == 7:
                 # no value for opaque blocks (reference skip, :2818)
                 err = jnp.where(has_alpha, err, jnp.inf)
-        elif use_pallas:
-            # modes 4/5/6 fused into one VMEM pass; folded here in the
-            # same mode order as the jnp path
-            if single_cache is None:
-                single_cache = single_modes_pallas(px_i, aw=alpha_weight)
-            err, words = single_cache[mode_id]
         else:
             err, words = _try_single_mode(px_i, px_f, mode_id,
-                                          aw=alpha_weight, maxq=maxq)
+                                          aw=alpha_weight)
         better = err < best_err
         best_err = jnp.minimum(err, best_err)
         best_words = jnp.where(better[:, None], words, best_words)
 
+    for _ in range(refine_iters):
+        best_words = refine_bc7_words(px_i, best_words, LADDER_FULL,
+                                      aw=alpha_weight, modes=tuple(modes))
     return lax.bitcast_convert_type(best_words, jnp.uint8).reshape(nb, 16)
 
 
@@ -1236,6 +1526,13 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
 from .bc67_tables import BC6H_DESC, BC6H_MODE_INFO, BC6H_MODE_TO_INFO
 
 _F16MAX = 0x7BFF
+
+# Quantize -> palette-score -> LS-refit rounds per BC6H candidate.
+# Shared by the pallas kernel (_k_bc6h_subsets). Measured on the golden
+# HDR probe vs the compiled reference (r3): 0 rounds -1.751 dB,
+# 1 -> -0.050, 2 -> +0.041, 3 -> +0.013 — two rounds is the knee and the
+# minimum that keeps the "beats the reference" gate.
+BC6H_REFIT_ROUNDS = 2
 
 
 def _bc6h_unquantize(comp: jnp.ndarray, bits: int, signed: bool) -> jnp.ndarray:
@@ -1614,10 +1911,10 @@ def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed,
         idx, err = _bc6h_palette_err_t(px_int, mask, q0, q1, precW, iprec,
                                        signed)
 
-        # least-squares refinement in int space (2 rounds)
+        # least-squares refinement in int space
         e0f, e1f = mi, ma
         q0b, q1b, idx_b, err_b = q0, q1, idx, err
-        for _ in range(2):
+        for _ in range(BC6H_REFIT_ROUNDS):
             x = _pal_weight(idx_b, 1 << iprec).astype(jnp.float32) \
                 * jnp.float32(1 / 64)
             mm = mask.astype(jnp.float32)
@@ -1808,7 +2105,9 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool,
     parts_tab = jnp.asarray(PARTITIONS[1])
     fix_tab = jnp.asarray(FIXUPS[1])
     px4 = jnp.concatenate([px_f, jnp.zeros((16, 1, nb), jnp.float32)], axis=1)
-    ests = _shape_estimates_table(px4, 1, 3, n_shapes=32, off_axis=True)
+    # axis_w=0: the HDR probe measured best at the pure off-axis residual
+    ests = _shape_estimates_table(px4, 1, 3, n_shapes=32, off_axis=True,
+                                  axis_w=0.0)
     shape_picks = _top_k_shapes(ests, BC7_SHAPE_CANDIDATES)
     for row in range(10):
         for s_blk in shape_picks:

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .bc67 import _ON_AXIS_W, _POWER_ITERS
 from .bc67_tables import WEIGHTS2, WEIGHTS3, WEIGHTS4
 
 _WEIGHTS = {2: WEIGHTS2, 3: WEIGHTS3, 4: WEIGHTS4}
@@ -103,7 +104,7 @@ def _proj_p64(xf, u0l, u1l, lo: int, hi: int):
 
 
 def _snap_dist(d0, e, p64, prec: int, lo: int,
-               aw: float = 1.0, alpha_ch: int = 3):
+               aw: float = 1.0, alpha_ch: int = 3, w_rows=None):
     """Snap projections to palette weights + exact palette distance.
     f32 throughout (exact: products < 2^24; floor(v/64 + .5) reproduces
     the integer (v + 32) >> 6 for both signs). Returns idx as an
@@ -121,9 +122,14 @@ def _snap_dist(d0, e, p64, prec: int, lo: int,
     for c, (d, ee) in enumerate(zip(d0, e), start=lo):
         r = d - jnp.floor(wk * ee[None, :] * jnp.float32(1 / 64) + 0.5)
         # alpha weighting hits the scoring only, like the projection-
-        # unweighted reference shader (BC7Encode.hlsl:239-241)
-        dist = dist + (r * r if (c != alpha_ch or aw == 1.0)
-                       else r * r * aw)
+        # unweighted reference shader (BC7Encode.hlsl:239-241). w_rows:
+        # per-channel [T] weights for the refine pass, whose alpha
+        # channel is per-lane under modes 4/5 rotation.
+        if w_rows is not None:
+            dist = dist + r * r * w_rows[c][None, :]
+        else:
+            dist = dist + (r * r if (c != alpha_ch or aw == 1.0)
+                           else r * r * aw)
     return idx, dist
 
 
@@ -455,6 +461,87 @@ def _k_refit(xf, idx, mf, prec: int, e0l, e1l, ch_start=0, ch_end=4):
     return e0n, e1n
 
 
+def _k_unquant_channel(q, pbit, prec: int, prec_p: int):
+    """One channel of bc67._unquant_channel_t on i32 rows."""
+    c = ((q << 1) | pbit) if prec != prec_p else q
+    return _k_unquant(c, prec_p)
+
+
+def _k_perturb_subset(xf, mask, prec_spec, q0l, q1l, p0, p1, wk_ch,
+                      ladder, aw: float = 1.0, alpha_ch: int = 3,
+                      w_rows=None):
+    """In-kernel twin of bc67._perturb_channels_t: the bounded per-channel
+    endpoint-perturbation ladder (OptimizeEndPoints/PerturbOne analog,
+    BC6HBC7.cpp:2926-3044). Palette indices stay fixed — wk_ch supplies
+    per-channel [16, T] f32 palette-weight planes — and each encodable
+    endpoint channel greedily tries +/-delta steps on a shrinking ladder.
+    Palette math runs on exact-in-f32 integers (products < 2^24, /64 is a
+    power of two) so it reproduces the jnp integer path bit-for-bit.
+
+    ladder = (rounds, deltas): LADDER_FULL in the winner-refine pass.
+    prec_spec: (rgba_prec, rgba_prec_p, shared_p). q0l/q1l: per-channel
+    i32 [T] rows; p0/p1 i32 [T]. w_rows: optional per-channel [T] f32
+    error-weight rows overriding (aw, alpha_ch) — the refine pass needs
+    them because modes 4/5's rotated alpha channel is per-lane there.
+    Returns (q0r, q1r, err, err0) with err the final fixed-index error
+    incl. the constant terms of unencoded-255 channels (matching
+    _assign_indices_t's all-channel scoring), err0 the pre-ladder one."""
+    rounds, deltas = ladder
+    rgba_prec, rgba_prec_p, shared_p = prec_spec
+    p1u = p0 if shared_p else p1
+    q0r = list(q0l)
+    q1r = list(q1l)
+    chans = [c for c in range(4) if rgba_prec[c] > 0]
+
+    def cherr(c, u0c, u1c):
+        u0f = u0c.astype(jnp.float32)[None, :]
+        u1f = u1c.astype(jnp.float32)[None, :]
+        pal = jnp.floor(((64.0 - wk_ch[c]) * u0f + wk_ch[c] * u1f + 32.0)
+                        * jnp.float32(1 / 64))
+        r = xf[c] - pal
+        if w_rows is not None:
+            r2 = r * r * w_rows[c][None, :]
+        else:
+            w = aw if (c == alpha_ch and aw != 1.0) else 1.0
+            r2 = r * r if w == 1.0 else r * r * w
+        return jnp.sum(r2 if mask is None else jnp.where(mask, r2, 0.0),
+                       axis=0)
+
+    full = jnp.full_like(q0r[0], 255)
+    ch_err = []
+    for c in range(4):
+        if rgba_prec[c] == 0:
+            ch_err.append(cherr(c, full, full))
+            continue
+        u0c = _k_unquant_channel(q0r[c], p0, rgba_prec[c], rgba_prec_p[c])
+        u1c = _k_unquant_channel(q1r[c], p1u, rgba_prec[c], rgba_prec_p[c])
+        ch_err.append(cherr(c, u0c, u1c))
+
+    err0 = sum(ch_err)
+    for _ in range(rounds):
+        for c in chans:
+            prec, prec_p = rgba_prec[c], rgba_prec_p[c]
+            qmax = (1 << prec) - 1
+            base = ch_err[c]
+            for which in (0, 1):
+                rows = q0r if which == 0 else q1r
+                pbit = p0 if which == 0 else p1u
+                other_u = _k_unquant_channel(
+                    (q1r if which == 0 else q0r)[c],
+                    p1u if which == 0 else p0, prec, prec_p)
+                for delta in deltas:
+                    for sgn in (delta, -delta):
+                        qt = jnp.clip(rows[c] + sgn, 0, qmax)
+                        ut = _k_unquant_channel(qt, pbit, prec, prec_p)
+                        e = cherr(c, ut, other_u) if which == 0 else \
+                            cherr(c, other_u, ut)
+                        better = e < base
+                        rows[c] = jnp.where(better, qt, rows[c])
+                        base = jnp.minimum(e, base)
+            ch_err[c] = base
+    return q0r, q1r, sum(ch_err), err0
+
+
 def _k_anchor_index(idx, anchor):
     """idx value at the (data-dependent) anchor pixel: one-hot row select."""
     a_idx = jnp.zeros_like(idx[0])
@@ -672,6 +759,7 @@ def _k_eval_subsets(xf, masks, mode_id: int, axes=None,
         p0s.append(jnp.where(bt, qsB[p][2], qsA[p][2]))
         p1s.append(jnp.where(bt, qsB[p][3], qsA[p][3]))
         errs.append(jnp.where(bt, errsB[p], errsA[p]))
+
     return q0s, q1s, p0s, p1s, idx_full, errs
 
 
@@ -1012,21 +1100,25 @@ def single_modes_pallas(px_i: jnp.ndarray, interpret: bool = False,
 
 
 def _k_shape_topk(xf, mmat, partitions: int, n_shapes: int, nch: int,
-                  n_cand: int, off_axis: bool = False):
+                  n_cand: int, off_axis: bool = False,
+                  axis_w: float | None = None):
     """Shape estimates + top-k in VMEM (bc67._shape_estimates_table +
     _top_k_shapes): per-(shape, subset) within-subset total variance via
     one MXU dot against the static 0/1 partition matrix mmat
     [n_sub*S, 16], then n_cand sequential argmins.
-    Returns a list of n_cand s_blk rows [T] i32. `nch` is unused since the
-    BC7 proxy dropped its covariance-axis term (0.005 dB, see
-    bc67._shape_estimates_table) but stays in the signature for parity.
+    Returns a list of n_cand s_blk rows [T] i32. `nch` is unused since
+    the channel set is fixed by the plane layout but stays in the
+    signature for parity with bc67._shape_estimates_table.
 
-    `off_axis=True` (BC6H) subtracts the dominant-axis variance (power
-    iteration on the within-subset RGB covariance) so HDR two-region
+    `off_axis=True` subtracts (1 - axis_w) of the dominant-axis variance
+    (power iteration on the within-subset RGB covariance) so two-region
     blocks rank by the residual a linear palette cannot carry: measured
-    +0.95 dB on the golden HDR probe at the same candidate count, past
-    the compiled reference encoder."""
+    +0.95 dB on the golden HDR probe (BC6H, axis_w=0) and +0.28 dB on
+    LDR albedo (BC7, axis_w=_ON_AXIS_W) at the same candidate count,
+    both past the compiled reference encoder."""
     del nch
+    if axis_w is None:
+        axis_w = _ON_AXIS_W
     n_sub = partitions + 1
     t_lanes = xf[0].shape[1]
 
@@ -1066,7 +1158,7 @@ def _k_shape_topk(xf, mmat, partitions: int, n_shapes: int, nch: int,
             return C[(a, b)] if (a, b) in C else C[(b, a)]
 
         v = [jnp.ones_like(sse) for _ in range(3)]
-        for _ in range(6):
+        for _ in range(_POWER_ITERS):
             w = [sum(cdot(a, b) * v[b] for b in range(3))
                  for a in range(3)]
             nrm = jnp.sqrt(sum(x * x for x in w))
@@ -1074,7 +1166,7 @@ def _k_shape_topk(xf, mmat, partitions: int, n_shapes: int, nch: int,
             v = [x * vinv for x in w]
         lam = sum(v[a] * sum(cdot(a, b) * v[b] for b in range(3))
                   for a in range(3))
-        est = est + jnp.maximum(sse - lam, 0.0)
+        est = est + jnp.maximum(sse - lam * (1.0 - axis_w), 0.0)
 
     big = jnp.float32(jnp.inf)
     out = []
@@ -1095,21 +1187,23 @@ def _k_shape_topk(xf, mmat, partitions: int, n_shapes: int, nch: int,
 
 def _shape_topk_kernel(px_ref, m_ref, sb_ref, *, partitions: int,
                        n_shapes: int, nch: int, n_cand: int,
-                       off_axis: bool):
+                       off_axis: bool, axis_w: float | None):
     xf = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
           for c in range(4)]
     sb_rows = _k_shape_topk(xf, m_ref[...], partitions, n_shapes, nch,
-                            n_cand, off_axis=off_axis)
+                            n_cand, off_axis=off_axis, axis_w=axis_w)
     for cand, s_blk in enumerate(sb_rows):
         sb_ref[cand, :] = s_blk
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "partitions", "n_shapes", "nch", "n_cand", "interpret", "off_axis"))
+    "partitions", "n_shapes", "nch", "n_cand", "interpret", "off_axis",
+    "axis_w"))
 def partition_shapes_pallas(px_i: jnp.ndarray, partitions: int,
                             n_shapes: int, nch: int, n_cand: int,
                             interpret: bool = False,
-                            off_axis: bool = False):
+                            off_axis: bool = False,
+                            axis_w: float | None = None):
     """Top n_cand shape candidates per block. px_i [16, 4, NB] i32.
     Returns s_blks [n_cand, NB] i32."""
     from jax.experimental import pallas as pl
@@ -1130,7 +1224,7 @@ def partition_shapes_pallas(px_i: jnp.ndarray, partitions: int,
 
     kern = functools.partial(
         _shape_topk_kernel, partitions=partitions, n_shapes=n_shapes,
-        nch=nch, n_cand=n_cand, off_axis=off_axis)
+        nch=nch, n_cand=n_cand, off_axis=off_axis, axis_w=axis_w)
     sb = pl.pallas_call(
         kern,
         grid=(nb_pad // _TILE,),
@@ -1170,7 +1264,8 @@ def _bc7_all_kernel(px_ref, m_ref, *refs, modes: tuple,
             n_sh = 1 << _BC7_FULL_STATICS[m][1]       # 16 for mode 0
             mm = m3 if n_sh == 64 else jnp.concatenate(
                 [m3[0:n_sh], m3[64:64 + n_sh], m3[128:128 + n_sh]])
-            sb_rows = _k_shape_topk(xf, mm, 2, n_sh, 4, n_cand)
+            sb_rows = _k_shape_topk(xf, mm, 2, n_sh, 4, n_cand,
+                                    off_axis=True)
             cands3 = _k_decode_cands(sb_rows, 2, n_sh)
             ax3 = [_k_axis_multi(xf, masks, False)
                    for (_, _, _, masks) in cands3]
@@ -1178,7 +1273,12 @@ def _bc7_all_kernel(px_ref, m_ref, *refs, modes: tuple,
 
     part_modes = [m for m in modes if m in (1, 3, 7)]
     if part_modes:
-        sb_rows = _k_shape_topk(xf, m_ref[...], 1, 64, 4, n_cand)
+        # off-axis ranking in the default tier (r3): +0.28 dB on albedo
+        # at the same candidate count, matching the reference full
+        # search (BC6HBC7.cpp:2783-2889); same semantics as the jnp
+        # default in bc67.encode_bc7
+        sb_rows = _k_shape_topk(xf, m_ref[...], 1, 64, 4, n_cand,
+                                off_axis=True)
         cands = _k_decode_cands(sb_rows, 1, 64)
         ax_na = None
         if any(m in (1, 3) for m in part_modes):
@@ -1229,9 +1329,12 @@ _BC7_ALL_TILE = 256
 def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
                       interpret: bool = False, tile: int = _BC7_ALL_TILE,
                       aw: float = 1.0):
-    """Full BC7 encode as ONE pallas dispatch over modes ⊆ {0..7}
+    """Full BC7 search as ONE pallas dispatch over modes ⊆ {0..7}
     folded in `modes` order (mode-7 errors are inf-masked for opaque
     blocks in-kernel; modes 0/2 ride a second 3-subset mask matrix).
+    The endpoint-perturbation ladder runs on the cross-mode winner in a
+    separate dispatch (bc7_refine_pallas) — in-search laddering measured
+    304 -> 117 Mtexels/s on v5e for LESS quality than winner-refine.
     px_i [16, 4, NB] i32. Returns (err [NB] f32, words [NB, 4] u32)."""
     from jax.experimental import pallas as pl
 
@@ -1271,6 +1374,293 @@ def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
         compiler_params=_compiler_params(interpret),
     )(*inputs)
     return err8[0, :nb], words[:, :nb].T
+
+
+# ---------------------------------------------------------------------------
+# Winner-refine kernel
+# ---------------------------------------------------------------------------
+# The search kernel emits each block's best (mode, shape, endpoints,
+# indices); this second dispatch unpacks that winning state from the packed
+# words and runs the bounded endpoint-perturbation ladder on it ONLY
+# (OptimizeEndPoints/PerturbOne analog, BC6HBC7.cpp:2926-3044), then one
+# re-assignment, anchor fixes and re-emit where the error improved.
+# Winner-scope is both faster AND better than laddering every candidate
+# in-search: the in-search light ladder measured 304 -> 117 Mtexels/s on
+# v5e and LOST to winner-refine on 4 of 6 corpus contents (the refine's
+# re-assignment runs on the final state). bc67.refine_bc7_words is the twin.
+
+
+def _k_refine_subsets(xf, words, mode_id: int, ladder, aw: float):
+    """Refine one partition-family mode (0-3, 6, 7). words [4, T] u32.
+    Returns (err_new, err_old [T], words [4, T])."""
+    from . import bc67
+    (parts, part_bits, p_bits, _, _, iprec, _,
+     rgba_prec, rgba_prec_p) = _BC7_FULL_STATICS[mode_id]
+    n_sub = parts + 1
+    shared_p = p_bits == n_sub and p_bits > 0
+    shape, _, _, q0s_, q1s_, p0s, p1s, idx_i, _ = \
+        bc67._bc7_unpack_mode(words, mode_id)
+    q0s = [[q0s_[p][c] for c in range(4)] for p in range(n_sub)]
+    q1s = [[q1s_[p][c] for c in range(4)] for p in range(n_sub)]
+    idx_full = idx_i.astype(jnp.float32)
+
+    if parts:
+        pp_tab, pa_tab = _packed_tables(parts, 1 << part_bits)
+        pp = jnp.zeros_like(shape, dtype=jnp.uint32)
+        pa = jnp.zeros_like(shape)
+        for sv in range(1 << part_bits):
+            hit = shape == sv
+            pp = jnp.where(hit, jnp.uint32(pp_tab[sv]), pp)
+            pa = jnp.where(hit, pa_tab[sv], pa)
+        pm = jnp.stack([((pp >> (2 * i)) & 3).astype(jnp.int32)
+                        for i in range(16)])
+        masks = [pm == p for p in range(n_sub)]
+        a2 = pa & 0xF
+        a3 = (pa >> 4) & 0xF if parts == 2 else None
+    else:
+        masks = [None]
+        a2 = a3 = None
+
+    def msum(plane, p):
+        return jnp.sum(plane if masks[p] is None
+                       else jnp.where(masks[p], plane, 0.0), axis=0)
+
+    def sel(vals):
+        if masks[0] is None:
+            return vals[0][None, :]
+        return _k_sel_px(masks, vals)
+
+    wk = _pal_weight_f(idx_full, 1 << iprec)
+    prec_spec = (rgba_prec, rgba_prec_p, shared_p)
+    q0t_s, q1t_s, errl_s, err0_s = [], [], [], []
+    for p in range(n_sub):
+        q0t, q1t, errl, err0 = _k_perturb_subset(
+            xf, masks[p], prec_spec, q0s[p], q1s[p], p0s[p], p1s[p],
+            [wk] * 4, ladder, aw=aw)
+        q0t_s.append(q0t)
+        q1t_s.append(q1t)
+        errl_s.append(errl)
+        err0_s.append(err0)
+
+    def unq(qc, pb, c):
+        if rgba_prec[c] == 0:
+            return jnp.full_like(qc, 255)
+        return _k_unquant_channel(qc, pb, rgba_prec[c], rgba_prec_p[c])
+
+    # one fused re-assignment over all subsets (per-pixel endpoint select)
+    p1u_s = [p0s[p] if shared_p else p1s[p] for p in range(n_sub)]
+    u0f_s = [[unq(q0t_s[p][c], p0s[p], c).astype(jnp.float32)
+              for c in range(4)] for p in range(n_sub)]
+    u1f_s = [[unq(q1t_s[p][c], p1u_s[p], c).astype(jnp.float32)
+              for c in range(4)] for p in range(n_sub)]
+    u0px = [sel([u0f_s[p][c] for p in range(n_sub)]) for c in range(4)]
+    e_s = [[u1f_s[p][c] - u0f_s[p][c] for c in range(4)]
+           for p in range(n_sub)]
+    span_s = [sum(e_s[p][c] * e_s[p][c] for c in range(4))
+              for p in range(n_sub)]
+    e_px = [sel([e_s[p][c] for p in range(n_sub)]) for c in range(4)]
+    span_px = sel(span_s)
+    idx_t, dist_t = _project_assign_px(xf, u0px, None, e_px, span_px,
+                                       iprec, aw=aw)
+    err_new = None
+    err_old = None
+    for p in range(n_sub):
+        err_t = msum(dist_t, p)
+        keep = err_t < errl_s[p]
+        err_t2 = jnp.minimum(err_t, errl_s[p])
+        bt = err_t2 < err0_s[p]
+        q0s[p] = [jnp.where(bt, q0t_s[p][c], q0s[p][c]) for c in range(4)]
+        q1s[p] = [jnp.where(bt, q1t_s[p][c], q1s[p][c]) for c in range(4)]
+        upd = (bt & keep)[None, :]
+        if masks[p] is not None:
+            upd = upd & masks[p]
+        idx_full = jnp.where(upd, idx_t, idx_full)
+        en = jnp.minimum(err_t2, err0_s[p])
+        err_new = en if err_new is None else err_new + en
+        err_old = err0_s[p] if err_old is None else err_old + err0_s[p]
+
+    # anchor swaps on the refined state (AssignIndices, :3181-3194)
+    msb, maxi = 1 << (iprec - 1), (1 << iprec) - 1
+    anch = [None, a2, a3]
+    for p in range(n_sub):
+        if p == 0:
+            a_idx = idx_full[0]
+        else:
+            a_idx = _k_anchor_index(idx_full, anch[p])
+        swap = a_idx >= msb                      # f32 idx: msb set test
+        q0s[p], q1s[p] = (
+            [jnp.where(swap, q1s[p][c], q0s[p][c]) for c in range(4)],
+            [jnp.where(swap, q0s[p][c], q1s[p][c]) for c in range(4)])
+        p0s[p], p1s[p] = (jnp.where(swap, p1s[p], p0s[p]),
+                          jnp.where(swap, p0s[p], p1s[p]))
+        upd = swap[None, :]
+        if masks[p] is not None:
+            upd = upd & masks[p]
+        idx_full = jnp.where(upd, maxi - idx_full, idx_full)
+    words_n = _k_emit(mode_id, err_new, shape.astype(jnp.uint32), 0, 0,
+                      q0s, q1s, p0s, p1s, idx_full, None, a2, a3)
+    return err_new, err_old, words_n
+
+
+def _k_refine_mode45(xf, words, mode_id: int, ladder, aw: float):
+    """Refine modes 4/5: per-lane rotation and index-mode, ladder with
+    separate color/alpha weight planes, dual re-assignment, independent
+    anchor fixes. Returns (err_new, err_old [T], words [4, T])."""
+    from . import bc67
+    (_, _, _, _, im_bits, iprec, iprec2,
+     rgba_prec, rgba_prec_p) = _BC7_FULL_STATICS[mode_id]
+    _, rot, im, q0s_, q1s_, _, _, w1i, w2i = \
+        bc67._bc7_unpack_mode(words, mode_id)
+    q0 = [q0s_[0][c] for c in range(4)]
+    q1 = [q1s_[0][c] for c in range(4)]
+    w1 = w1i.astype(jnp.float32)
+    w2 = w2i.astype(jnp.float32)
+    zero = jnp.zeros_like(rot)
+    rot16 = jnp.broadcast_to(rot[None, :], xf[0].shape)
+
+    # rotated pixel planes (channel rot-1 <-> alpha), per-lane
+    xr = []
+    for c in range(3):
+        xr.append(jnp.where(rot16 == c + 1, xf[3], xf[c]))
+    xa = xf[3]
+    for c in range(3):
+        xa = jnp.where(rot16 == c + 1, xf[c], xa)
+    xr.append(xa)
+
+    # per-lane alpha-weight rows: the true alpha sits at rot-1 in
+    # rotated space (3 when unrotated)
+    w_rows = None
+    if aw != 1.0:
+        w_rows = []
+        for c in range(4):
+            is_a = (rot == 0) if c == 3 else (rot == c + 1)
+            w_rows.append(jnp.where(is_a, jnp.float32(aw),
+                                    jnp.float32(1.0)))
+
+    im0 = im == 0
+    im0_16 = jnp.broadcast_to(im0[None, :], w1.shape)
+    cidx = jnp.where(im0_16, w1, w2)
+    aidx = jnp.where(im0_16, w2, w1)
+    wkc = jnp.where(im0_16, _pal_weight_f(cidx, 1 << iprec),
+                    _pal_weight_f(cidx, 1 << iprec2))
+    wka = jnp.where(im0_16, _pal_weight_f(aidx, 1 << iprec2),
+                    _pal_weight_f(aidx, 1 << iprec))
+
+    q0t, q1t, errl, err0 = _k_perturb_subset(
+        xr, None, (rgba_prec, rgba_prec_p, False), q0, q1, zero, zero,
+        [wkc, wkc, wkc, wka], ladder, aw=aw, w_rows=w_rows)
+    u0 = [_k_unquant_channel(q0t[c], zero, rgba_prec[c], rgba_prec_p[c])
+          for c in range(4)]
+    u1 = [_k_unquant_channel(q1t[c], zero, rgba_prec[c], rgba_prec_p[c])
+          for c in range(4)]
+    projc = _proj_p64(xr, u0, u1, 0, 3)
+    proja = _proj_p64(xr, u0, u1, 3, 4)
+    cidx_a, cdist_a = _snap_dist(*projc, iprec, 0, aw=aw, w_rows=w_rows)
+    aidx_a, adist_a = _snap_dist(*proja, iprec2, 3, aw=aw, w_rows=w_rows)
+    if im_bits:
+        cidx_b, cdist_b = _snap_dist(*projc, iprec2, 0, aw=aw,
+                                     w_rows=w_rows)
+        aidx_b, adist_b = _snap_dist(*proja, iprec, 3, aw=aw,
+                                     w_rows=w_rows)
+        cidx_t = jnp.where(im0_16, cidx_a, cidx_b)
+        aidx_t = jnp.where(im0_16, aidx_a, aidx_b)
+        err_t = jnp.where(im0,
+                          jnp.sum(cdist_a, axis=0) + jnp.sum(adist_a,
+                                                             axis=0),
+                          jnp.sum(cdist_b, axis=0) + jnp.sum(adist_b,
+                                                             axis=0))
+    else:
+        cidx_t, aidx_t = cidx_a, aidx_a
+        err_t = jnp.sum(cdist_a, axis=0) + jnp.sum(adist_a, axis=0)
+
+    keep = err_t < errl
+    keep16 = keep[None, :]
+    cidx_t2 = jnp.where(keep16, cidx_t, cidx)
+    aidx_t2 = jnp.where(keep16, aidx_t, aidx)
+    err_t2 = jnp.minimum(err_t, errl)
+    bt = err_t2 < err0
+    bt16 = bt[None, :]
+    q0f = [jnp.where(bt, q0t[c], q0[c]) for c in range(4)]
+    q1f = [jnp.where(bt, q1t[c], q1[c]) for c in range(4)]
+    cidx = jnp.where(bt16, cidx_t2, cidx)
+    aidx = jnp.where(bt16, aidx_t2, aidx)
+    err_new = jnp.minimum(err_t2, err0)
+
+    # independent anchor fixes (AssignIndices, BC6HBC7.cpp:3196-3216)
+    w1n = jnp.where(im0_16, cidx, aidx)
+    w2n = jnp.where(im0_16, aidx, cidx)
+    msb1, maxi1 = 1 << (iprec - 1), (1 << iprec) - 1
+    msb2, maxi2 = 1 << (iprec2 - 1), (1 << iprec2) - 1
+    swap1 = w1n[0] >= msb1                       # f32 idx: msb set test
+    w1n = jnp.where(swap1[None, :], maxi1 - w1n, w1n)
+    swap2 = w2n[0] >= msb2
+    w2n = jnp.where(swap2[None, :], maxi2 - w2n, w2n)
+    swap_rgb = (im0 & swap1) | (~im0 & swap2)
+    swap_a = (im0 & swap2) | (~im0 & swap1)
+    sw = [swap_rgb, swap_rgb, swap_rgb, swap_a]
+    q0e = [jnp.where(sw[c], q1f[c], q0f[c]) for c in range(4)]
+    q1e = [jnp.where(sw[c], q0f[c], q1f[c]) for c in range(4)]
+    words_n = _k_emit(mode_id, err_new, 0, rot, im, [q0e], [q1e],
+                      [zero], [zero], w1n, w2n, None, None)
+    return err_new, err0, words_n
+
+
+def _bc7_refine_kernel(px_ref, w_ref, wout_ref, *, modes: tuple,
+                       ladder, aw: float = 1.0):
+    xf = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
+          for c in range(4)]
+    words = w_ref[...]
+    b0 = (words[0] & 0xFF).astype(jnp.int32)
+    mode = jnp.full_like(b0, 8)
+    for mv in range(8):
+        hit = (b0 & (1 << mv)) != 0
+        mode = jnp.where((mode == 8) & hit, mv, mode)
+    out = words
+    for mv in modes:
+        if mv in (4, 5):
+            err_new, err0, wn = _k_refine_mode45(xf, words, mv, ladder, aw)
+        else:
+            err_new, err0, wn = _k_refine_subsets(xf, words, mv, ladder,
+                                                  aw)
+        better = (mode == mv) & (err_new < err0)
+        out = jnp.where(better[None, :], wn, out)
+    wout_ref[...] = out
+
+
+@functools.partial(jax.jit, static_argnames=("modes", "ladder",
+                                              "interpret", "tile", "aw"))
+def bc7_refine_pallas(px_i: jnp.ndarray, words: jnp.ndarray, ladder,
+                      aw: float = 1.0, modes: tuple = (1, 3, 5, 6, 7, 4),
+                      interpret: bool = False,
+                      tile: int = _BC7_ALL_TILE):
+    """Winner-refine as one pallas dispatch (bc67.refine_bc7_words twin).
+    px_i [16, 4, NB] i32; words [NB, 4] u32 packed blocks.
+    Returns refined words [NB, 4] u32."""
+    from jax.experimental import pallas as pl
+
+    nb = px_i.shape[2]
+    nb_pad = -(-nb // tile) * tile
+    pad = nb_pad - nb
+    px_cm = jnp.transpose(px_i, (1, 0, 2)).reshape(64, nb)
+    wt = jnp.transpose(words)
+    if pad:
+        px_cm = jnp.pad(px_cm, ((0, 0), (0, pad)))
+        # pad lanes carry mode-less zero words; every branch's
+        # err_new < err0 comparison is false on them (0 vs 0)
+        wt = jnp.pad(wt, ((0, 0), (0, pad)))
+
+    wout = pl.pallas_call(
+        functools.partial(_bc7_refine_kernel, modes=modes, ladder=ladder,
+                          aw=aw),
+        grid=(nb_pad // tile,),
+        in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i)),
+                  pl.BlockSpec((4, tile), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((4, nb_pad), jnp.uint32),
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(px_cm, wt)
+    return wout[:, :nb].T
 
 
 # ---------------------------------------------------------------------------
@@ -1533,11 +1923,13 @@ def _k_bc6h_subsets(xf3, masks, row: int, signed: bool):
     idx, errs = _k_bc6h_palette_err_px(xf3, masks, q0_s, q1_s, precW,
                                        iprec, signed)
 
+    from .bc67 import BC6H_REFIT_ROUNDS
+
     lim = float(_BC6H_F16MAX)
     lo = -lim if signed else 0.0
     e0f_s, e1f_s = mi_s, ma_s
     q0b_s, q1b_s, idx_b, errs_b = q0_s, q1_s, idx, errs
-    for _ in range(2):
+    for _ in range(BC6H_REFIT_ROUNDS):
         x = _pal_weight_f(idx_b, 1 << iprec) * jnp.float32(1 / 64)
         av = 1.0 - x
         bv = x
@@ -1838,40 +2230,51 @@ def _bc6h_2region_kernel(px_ref, sb_ref, err_ref, w_ref, *, rows: tuple,
     w_ref[...] = best_w
 
 
-def _bc6h_row_groups():
+def _bc6h_row_groups(rows=range(10)):
     """Consecutive 2-region rows sharing (precW, iprec), whose subset
     evaluation is identical (only delta-fit + emit differ)."""
     groups = []
-    for row in range(10):
+    for row in rows:
         key = (BC6H_MODE_INFO[row][3], BC6H_MODE_INFO[row][4])
         if groups and groups[-1][0] == key:
             groups[-1][1].append(row)
         else:
             groups.append((key, [row]))
-    return [tuple(rows) for _, rows in groups]
+    return [tuple(rs) for _, rs in groups]
 
 
 def _bc6h_all_kernel(px_ref, m_ref, err_ref, w_ref, *, signed: bool,
-                     n_cand: int):
+                     n_cand: int, rows_sel: tuple | None = None):
     """The whole BC6H encode in one dispatch: shape ranking over the 32
     2-region shapes, the four 1-region rows, every precision group's
     shared subset evaluation, per-row delta fits, emit, and the row fold
     all stay in VMEM. Fold order matches bc67.encode_bc6h: 1-region rows
-    first, then 2-region rows 0-9."""
+    first, then 2-region rows 0-9. `rows_sel` (profiling only,
+    benchmarks/profile_bc6h.py) restricts the fold to a subset: "r1" for
+    the 1-region rows plus 2-region row ids."""
     xf3 = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
            for c in range(3)]
 
-    best_e, best_w = _k_bc6h_1region(xf3, signed)
+    rows2 = [r for r in range(10) if rows_sel is None or r in rows_sel]
+    best_e, best_w = None, None
+    if rows_sel is None or "r1" in rows_sel:
+        best_e, best_w = _k_bc6h_1region(xf3, signed)
 
-    xf4 = xf3 + [jnp.zeros_like(xf3[0])]
-    sb_rows = _k_shape_topk(xf4, m_ref[...], 1, 32, 3, n_cand,
-                            off_axis=True)
-    cands = _k_bc6h_decode_cands(sb_rows)
-    for rows in _bc6h_row_groups():
-        err, words = _k_bc6h_group(xf3, cands, rows, signed)
-        bt = err < best_e
-        best_e = jnp.where(bt, err, best_e)
-        best_w = jnp.where(bt[None, :], words, best_w)
+    if rows2:
+        xf4 = xf3 + [jnp.zeros_like(xf3[0])]
+        # axis_w=0: the HDR probe measured best at the pure off-axis
+        # residual (bc67.encode_bc6h uses the same setting)
+        sb_rows = _k_shape_topk(xf4, m_ref[...], 1, 32, 3, n_cand,
+                                off_axis=True, axis_w=0.0)
+        cands = _k_bc6h_decode_cands(sb_rows)
+        for rows in _bc6h_row_groups(rows2):
+            err, words = _k_bc6h_group(xf3, cands, rows, signed)
+            if best_e is None:
+                best_e, best_w = err, words
+                continue
+            bt = err < best_e
+            best_e = jnp.where(bt, err, best_e)
+            best_w = jnp.where(bt[None, :], words, best_w)
     err_ref[...] = jnp.broadcast_to(best_e[None, :], err_ref.shape)
     w_ref[...] = best_w
 
@@ -1882,9 +2285,11 @@ _BC6H_ALL_TILE = 256
 
 
 @functools.partial(jax.jit, static_argnames=("signed", "n_cand",
-                                              "interpret", "tile"))
+                                              "interpret", "tile",
+                                              "rows_sel"))
 def bc6h_encode_pallas(px_int: jnp.ndarray, signed: bool, n_cand: int = 4,
-                       interpret: bool = False, tile: int = _BC6H_ALL_TILE):
+                       interpret: bool = False, tile: int = _BC6H_ALL_TILE,
+                       rows_sel: tuple | None = None):
     """Full BC6H encode as ONE pallas dispatch. px_int [16, 3, NB] i32
     (F16-int). Returns (err [NB] f32, words [NB, 4] u32)."""
     from jax.experimental import pallas as pl
@@ -1901,7 +2306,8 @@ def bc6h_encode_pallas(px_int: jnp.ndarray, signed: bool, n_cand: int = 4,
         [(parts == p).astype(np.float32) for p in range(2)], axis=0)
 
     err8, words = pl.pallas_call(
-        functools.partial(_bc6h_all_kernel, signed=signed, n_cand=n_cand),
+        functools.partial(_bc6h_all_kernel, signed=signed, n_cand=n_cand,
+                          rows_sel=rows_sel),
         grid=(nb_pad // tile,),
         in_specs=[pl.BlockSpec((48, tile), lambda i: (0, i)),
                   pl.BlockSpec((64, 16), lambda i: (0, 0))],

@@ -191,13 +191,45 @@ def make_corpus():
         out[..., :4] = np.round(np.clip(out[..., :4], 0, 1) * 255) / 255
         return np.clip(out, 0, 1).astype(np.float32)
 
-    return {
+    out = {
         "albedo": q8(albedo),
         "tworegion": q8(tworegion),
         "normal": q8(normal),
         "alphagrad": q8(alphagrad),
         "hdr": hdr.astype(np.float32),
     }
+    out.update(make_photo_corpus())
+    return out
+
+
+def make_photo_corpus():
+    """Real photographic content at 128x128: center crops of the two CC-BY
+    2.0 photos that ship with scikit-learn (sklearn/datasets/images/
+    china.jpg + flower.jpg, attribution in that directory's README.txt) —
+    a licence-safe source available offline. Returns {} if sklearn's
+    images are not present (the frozen corpus.npz already carries them)."""
+    import glob
+
+    out = {}
+    for name, fname in (("photo_china", "china.jpg"),
+                        ("photo_flower", "flower.jpg")):
+        hits = glob.glob("/opt/venv/lib/python3*/site-packages/sklearn/"
+                         f"datasets/images/{fname}")
+        if not hits:
+            continue
+        from PIL import Image
+        img = Image.open(hits[0]).convert("RGB")
+        w, h = img.size
+        s = 256
+        img = img.crop(((w - s) // 2, (h - s) // 2,
+                        (w + s) // 2, (h + s) // 2)).resize(
+                            (128, 128), Image.LANCZOS)
+        rgb = np.asarray(img, np.float32) / 255.0
+        rgba = np.concatenate(
+            [rgb, np.ones((128, 128, 1), np.float32)], -1)
+        # already u8-quantized by the decode; store as-is
+        out[name] = rgba
+    return out
 
 
 def gen_corpus():
@@ -236,6 +268,12 @@ def gen_corpus():
     rt("bc4_normal", corpus["normal"], bc45.encode_bc4u, bc45.decode_bc4u, ch=1)
     rt("bc5_normal", corpus["normal"], bc45.encode_bc5u, bc45.decode_bc5u, ch=2)
     rt("bc7_normal", corpus["normal"], bc67.encode_bc7, bc67.decode_bc7)
+    for content in ("photo_china", "photo_flower"):
+        if content in corpus:
+            rt(f"bc1_{content}", corpus[content], bc123.encode_bc1,
+               bc123.decode_bc1, ch=3)
+            rt(f"bc7_{content}", corpus[content], bc67.encode_bc7,
+               bc67.decode_bc7)
     rt("bc6h_hdr", corpus["hdr"],
        lambda b: bc67.encode_bc6h(b, signed=False),
        lambda e: bc67.decode_bc6h(e, signed=False), quality=log_psnr)

@@ -53,6 +53,10 @@ def main():
         ("bc7_normal", refcodec.BC7, "normal", 4, 1.0),
         ("bc7_alphagrad", refcodec.BC7, "alphagrad", 4, 1.0),
     ]
+    for content in ("photo_china", "photo_flower"):
+        if content in corpus.files:
+            cases.append((f"bc1_{content}", refcodec.BC1, content, 3, 1.0))
+            cases.append((f"bc7_{content}", refcodec.BC7, content, 4, 1.0))
     for name, codec, content, ch, peak in cases:
         blocks = np.asarray(image_to_blocks(jnp.asarray(corpus[content]))[0])
         bc = refcodec.encode(codec, blocks)

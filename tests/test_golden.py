@@ -102,16 +102,21 @@ def test_golden_decode_bc7(vectors):
 # move together.
 PSNR_FLOORS = {
     "bc1_albedo": 31.05,
-    "bc7_albedo": 38.36,
+    "bc7_albedo": 38.88,
     "bc1_tworegion": 38.77,
-    "bc7_tworegion": 44.95,
+    "bc7_tworegion": 45.39,
     "bc2_alphagrad": 31.76,
     "bc3_alphagrad": 32.29,
-    "bc7_alphagrad": 36.90,
+    "bc7_alphagrad": 37.32,
     "bc4_normal": 44.97,
     "bc5_normal": 45.01,
-    "bc7_normal": 41.91,
-    "bc6h_hdr": 43.90,
+    "bc7_normal": 43.28,
+    "bc6h_hdr": 45.19,
+    # real photographic content (128², sklearn sample images; r3)
+    "bc1_photo_china": 29.29,
+    "bc7_photo_china": 38.64,
+    "bc1_photo_flower": 30.18,
+    "bc7_photo_flower": 39.16,
 }
 
 

@@ -121,24 +121,42 @@ ENCODERS = [
      lambda b: bc45.encode_bc4u(b), 1, -0.02),
     ("bc5_normal", refcodec.BC5U, "normal",
      lambda b: bc45.encode_bc5u(b), 2, -0.02),
+    # r3: the DEFAULT tier (off-axis shape ranking + full winner-refine
+    # ladder) beats the reference full search on EVERY corpus content
+    # (measured deltas: +0.132 / +0.374 / +2.994 / +0.465 / +0.249 /
+    # +0.140; floors = measured minus a small guard)
     ("bc7_albedo", refcodec.BC7, "albedo",
-     lambda b: bc67.encode_bc7(b), 4, -0.50),
+     lambda b: bc67.encode_bc7(b), 4, 0.10),
     ("bc7_tworegion", refcodec.BC7, "tworegion",
-     lambda b: bc67.encode_bc7(b), 4, 0.0),
+     lambda b: bc67.encode_bc7(b), 4, 0.35),
     ("bc7_normal", refcodec.BC7, "normal",
-     lambda b: bc67.encode_bc7(b), 4, 1.35),
+     lambda b: bc67.encode_bc7(b), 4, 2.95),
     ("bc7_alphagrad", refcodec.BC7, "alphagrad",
-     lambda b: bc67.encode_bc7(b), 4, 0.0),
-    # max-quality tier (perturbation ladder + off-axis shape ranking):
-    # beats the reference full search on every corpus content
+     lambda b: bc67.encode_bc7(b), 4, 0.43),
+    # real photographic content (128², sklearn sample images; r3)
+    ("bc1_photo_china", refcodec.BC1, "photo_china",
+     lambda b: bc123.encode_bc1(b, 0.5, 0), 3, -0.03),
+    ("bc1_photo_flower", refcodec.BC1, "photo_flower",
+     lambda b: bc123.encode_bc1(b, 0.5, 0), 3, -0.03),
+    ("bc7_photo_china", refcodec.BC7, "photo_china",
+     lambda b: bc67.encode_bc7(b), 4, 0.22),
+    ("bc7_photo_flower", refcodec.BC7, "photo_flower",
+     lambda b: bc67.encode_bc7(b), 4, 0.10),
+    # max-quality tier (a second winner-refine pass): strictly above the
+    # default tier on every content (measured +0.145 / +0.384 / +2.995 /
+    # +0.487 / +0.272 / +0.164)
     ("bc7mq_albedo", refcodec.BC7, "albedo",
-     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.05),
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.12),
     ("bc7mq_tworegion", refcodec.BC7, "tworegion",
-     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.40),
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.35),
     ("bc7mq_normal", refcodec.BC7, "normal",
-     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 2.50),
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 2.95),
     ("bc7mq_alphagrad", refcodec.BC7, "alphagrad",
-     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.55),
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.45),
+    ("bc7mq_photo_china", refcodec.BC7, "photo_china",
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.24),
+    ("bc7mq_photo_flower", refcodec.BC7, "photo_flower",
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.13),
 ]
 
 
