@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.join(REPO, "benchmarks"))
 
 import refcodec  # noqa: E402
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from directxtex_tpu.bc import bc67  # noqa: E402
@@ -50,7 +51,7 @@ def main():
 
     def run(tag):
         for content in CONTENTS:
-            jnp.clear_caches()
+            jax.clear_caches()
             bc = np.asarray(
                 bc67.encode_bc7(jnp.asarray(blocks_by[content]))).reshape(
                     -1, 16)

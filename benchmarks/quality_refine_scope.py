@@ -51,8 +51,8 @@ def main():
             0.0, 255.0).astype(jnp.int32)
 
     # base words: rounds=0 ladder is bit-identical to no ladder
-    saved = bc67.LADDER_LIGHT
-    bc67.LADDER_LIGHT = (0, ())
+    saved = bc67.LADDER_FULL
+    bc67.LADDER_FULL = (0, ())
     base_words = {}
     for content in CONTENTS:
         bc = np.asarray(bc67.encode_bc7(jnp.asarray(blocks_by[content])))
@@ -61,9 +61,11 @@ def main():
         d = _psnr(refcodec.decode(refcodec.BC7, bc.reshape(-1, 16)),
                   blocks_by[content]) - ref_psnr[content]
         print(f"base        {content:14s} {d:+.3f}", flush=True)
-    bc67.LADDER_LIGHT = saved
+    bc67.LADDER_FULL = saved
 
     for lname, ladder in (("w-light", (1, (1,))),
+                          ("w-1r21", (1, (2, 1))),
+                          ("w-2r1", (2, (1,))),
                           ("w-full", (2, (2, 1))),
                           ("w-full3", (3, (2, 1)))):
         for content in CONTENTS:

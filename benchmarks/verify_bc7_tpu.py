@@ -90,16 +90,15 @@ def verify():
                     0.0, 255.0).astype(jnp.int32)
     modes = (1, 3, 5, 6, 7, 4)  # encode_bc7 non-opaque mode order
 
-    # tiers by winner-refine iterations: default = 1, maxq = 2
-    tiers = [("default", 1, ref)]
+    # tiers by winner-refine ladders: default = light x1, maxq = full x2
+    tiers = [("default", [bc67.LADDER_LIGHT], ref)]
     if "ref_maxq" in data:
-        tiers.append(("maxq", 2, data["ref_maxq"]))
+        tiers.append(("maxq", [bc67.LADDER_FULL] * 2, data["ref_maxq"]))
     _, base_words = bc7_encode_pallas(px_i, modes)
-    for tier, iters, tier_ref in tiers:
+    for tier, ladders, tier_ref in tiers:
         words = base_words
-        for _ in range(iters):
-            words = bc7_refine_pallas(px_i, words, bc67.LADDER_FULL,
-                                      modes=modes)
+        for ladder in ladders:
+            words = bc7_refine_pallas(px_i, words, ladder, modes=modes)
         got = np.ascontiguousarray(
             np.asarray(lax.bitcast_convert_type(words, jnp.uint8).reshape(
                 nb, 16)))

@@ -700,16 +700,18 @@ def _unquant_channel_t(q, p, prec: int, prec_p: int):
 _PERTURB_DELTAS = (2, 1)
 _PERTURB_ROUNDS = 2
 
-# Ladder tiers: (rounds, deltas). The max-quality tier runs the full
-# ladder; the DEFAULT tier (r3) runs one +-1 round, which keeps nearly
-# all of the ladder's gain — measured vs the compiled reference full
-# search on the golden corpus (deltas ours-ref):
-#   no ladder      albedo -0.163  tworegion +0.020  normal +1.99  alpha +0.15
-#   light (1,(1,)) albedo +0.076  tworegion +0.478  normal +2.78  alpha +0.59
-#   full (2,(2,1)) albedo +0.109  tworegion +0.485  normal +2.84  alpha +0.62
-# making the default tier beat the reference on EVERY corpus content.
-# Scoping the light ladder to the top candidate only (-0.108 albedo) or
-# skipping modes 4/5 (-0.118) loses the albedo gate; full scope it is.
+# Ladder tiers: (rounds, deltas) for the winner-refine pass. Measured on
+# the golden corpus vs the compiled reference at power=3
+# (benchmarks/quality_refine_scope.py; deltas ours-ref):
+#   base (no refine) albedo -0.090  normal +2.100  flower -0.176
+#   light (1,(1,))   albedo +0.118  normal +2.927  flower +0.130
+#   2r1   (2,(1,))   albedo +0.125  normal +2.980  flower +0.137
+#   full  (2,(2,1))  albedo +0.126  normal +2.983  flower +0.137
+#   (3,(2,1)) is bit-identical to full — the fixed-index ladder saturates.
+# The DEFAULT tier refines with LIGHT (beats the reference everywhere at
+# half the refine-dispatch cost, 4.43 vs 9.64 ms/2K on v5e); the
+# max-quality tier runs FULL twice (the second pass re-ladders the
+# re-assigned indices, +0.02-0.03 dB over one full pass).
 LADDER_FULL = (_PERTURB_ROUNDS, _PERTURB_DELTAS)
 LADDER_LIGHT = (1, (1,))
 
@@ -880,8 +882,12 @@ _ON_AXIS_W = 0.05
 # Power-iteration count for the dominant-axis eigenvalue inside the
 # off-axis shape proxy. The iteration runs on [n_shapes, NB] planes (the
 # single biggest cost of the off-axis ranking), so the count is a direct
-# perf lever; quality sensitivity is measured in BASELINE.md's r3 table.
-_POWER_ITERS = 6
+# perf lever. Swept on the golden corpus vs the compiled reference
+# (benchmarks/quality_offaxis_sweep.py, r3): 3 iterations is quality-
+# identical to 6 (every content within +-0.007 dB); 2 costs -0.019 on
+# albedo, 1 costs -0.058. off_axis=OFF loses albedo/china/flower
+# outright (-0.19/-0.13/-0.23), so the ranking itself must stay.
+_POWER_ITERS = 3
 
 
 def _shape_estimates_table(px_f, partitions: int, nch: int,
@@ -1452,15 +1458,19 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
     use3 = bool(flags & _BC7_USE_3SUBSETS)
     maxq = bool(flags & _BC7_MAXQUALITY)
     # Winner-refine architecture (r3): the search runs WITHOUT any
-    # in-search ladder; the cross-mode winner then gets the full
-    # perturbation ladder via refine_bc7_words. Measured vs the in-search
-    # per-candidate ladder (deltas ours-ref on the golden corpus):
-    #   in-search light  albedo +0.076  flower -0.098  @ 117 Mt/s on v5e
-    #   winner full x1   albedo +0.132  flower +0.140  (ladder cost ~6%)
-    #   winner full x2   albedo +0.145  flower +0.164  (the maxq tier)
-    # i.e. refining only the winner is BETTER (the re-assignment runs on
-    # the final state) and ~2.5x faster end to end.
-    refine_iters = 2 if maxq else 1
+    # in-search ladder; the cross-mode winner then gets the perturbation
+    # ladder via refine_bc7_words (vs the in-search per-candidate ladder:
+    # better quality AND ~2.5x faster — the re-assignment runs on the
+    # final state). Tier choice measured on the golden corpus vs the
+    # compiled reference (benchmarks/quality_refine_scope.py, power=3)
+    # and on the v5e (benchmarks/profile_refine.py):
+    #   winner light x1  albedo +0.118  flower +0.130   4.43 ms/2K
+    #   winner full  x1  albedo +0.126  flower +0.137   9.64 ms/2K
+    #   winner full  x2  (maxq) +0.145 / +0.164 at power=6
+    # The default tier takes light x1 — it already beats the reference
+    # full search on every corpus content; full's extra 0.007-0.056 dB
+    # doubles the refine dispatch, so it rides the maxq tier instead.
+    ladders = [LADDER_FULL, LADDER_FULL] if maxq else [LADDER_LIGHT]
 
     if quick:
         modes = [6]
@@ -1482,8 +1492,8 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
         _, best_words = bc7_encode_pallas(px_i, tuple(modes),
                                           BC7_SHAPE_CANDIDATES,
                                           aw=alpha_weight)
-        for _ in range(refine_iters):
-            best_words = bc7_refine_pallas(px_i, best_words, LADDER_FULL,
+        for ladder in ladders:
+            best_words = bc7_refine_pallas(px_i, best_words, ladder,
                                            aw=alpha_weight,
                                            modes=tuple(modes))
         return lax.bitcast_convert_type(best_words,
@@ -1513,8 +1523,8 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
         best_err = jnp.minimum(err, best_err)
         best_words = jnp.where(better[:, None], words, best_words)
 
-    for _ in range(refine_iters):
-        best_words = refine_bc7_words(px_i, best_words, LADDER_FULL,
+    for ladder in ladders:
+        best_words = refine_bc7_words(px_i, best_words, ladder,
                                       aw=alpha_weight, modes=tuple(modes))
     return lax.bitcast_convert_type(best_words, jnp.uint8).reshape(nb, 16)
 

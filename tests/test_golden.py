@@ -104,10 +104,10 @@ PSNR_FLOORS = {
     "bc1_albedo": 31.05,
     "bc7_albedo": 38.88,
     "bc1_tworegion": 38.77,
-    "bc7_tworegion": 45.39,
+    "bc7_tworegion": 45.32,
     "bc2_alphagrad": 31.76,
     "bc3_alphagrad": 32.29,
-    "bc7_alphagrad": 37.32,
+    "bc7_alphagrad": 37.30,
     "bc4_normal": 44.97,
     "bc5_normal": 45.01,
     "bc7_normal": 43.28,

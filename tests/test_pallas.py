@@ -228,7 +228,7 @@ def test_bc7_single_dispatch_3subset_matches_jnp():
     ref = np.asarray(bc67.encode_bc7(bj, flags=0x80000, opaque=True))
     modes = (0, 2, 1, 3, 5, 6, 4)
     err_p, words_p = bc7_encode_pallas(px_i, modes, interpret=True)
-    words_p = bc7_refine_pallas(px_i, words_p, bc67.LADDER_FULL,
+    words_p = bc7_refine_pallas(px_i, words_p, bc67.LADDER_LIGHT,
                                 modes=modes, interpret=True)
     got = np.asarray(words_p).view(np.uint8).reshape(nb, 16)
 
@@ -258,7 +258,7 @@ def test_bc7_single_dispatch_matches_jnp(opaque):
     ref = np.asarray(bc67.encode_bc7(blocks, opaque=opaque))
     modes = (1, 3, 5, 6, 4) if opaque else (1, 3, 5, 6, 7, 4)
     err_p, words_p = bc7_encode_pallas(px_i, modes, interpret=True)
-    words_p = bc7_refine_pallas(px_i, words_p, bc67.LADDER_FULL,
+    words_p = bc7_refine_pallas(px_i, words_p, bc67.LADDER_LIGHT,
                                 modes=modes, interpret=True)
     got = np.asarray(words_p).view(np.uint8).reshape(nb, 16)
 

@@ -121,25 +121,25 @@ ENCODERS = [
      lambda b: bc45.encode_bc4u(b), 1, -0.02),
     ("bc5_normal", refcodec.BC5U, "normal",
      lambda b: bc45.encode_bc5u(b), 2, -0.02),
-    # r3: the DEFAULT tier (off-axis shape ranking + full winner-refine
-    # ladder) beats the reference full search on EVERY corpus content
-    # (measured deltas: +0.132 / +0.374 / +2.994 / +0.465 / +0.249 /
-    # +0.140; floors = measured minus a small guard)
+    # r3: the DEFAULT tier (off-axis shape ranking, power=3 + light
+    # winner-refine ladder) beats the reference full search on EVERY
+    # corpus content (measured deltas: +0.118 / +0.375 / +2.927 /
+    # +0.444 / +0.227 / +0.130; floors = measured minus a small guard)
     ("bc7_albedo", refcodec.BC7, "albedo",
-     lambda b: bc67.encode_bc7(b), 4, 0.10),
+     lambda b: bc67.encode_bc7(b), 4, 0.08),
     ("bc7_tworegion", refcodec.BC7, "tworegion",
      lambda b: bc67.encode_bc7(b), 4, 0.35),
     ("bc7_normal", refcodec.BC7, "normal",
-     lambda b: bc67.encode_bc7(b), 4, 2.95),
+     lambda b: bc67.encode_bc7(b), 4, 2.88),
     ("bc7_alphagrad", refcodec.BC7, "alphagrad",
-     lambda b: bc67.encode_bc7(b), 4, 0.43),
+     lambda b: bc67.encode_bc7(b), 4, 0.41),
     # real photographic content (128², sklearn sample images; r3)
     ("bc1_photo_china", refcodec.BC1, "photo_china",
      lambda b: bc123.encode_bc1(b, 0.5, 0), 3, -0.03),
     ("bc1_photo_flower", refcodec.BC1, "photo_flower",
      lambda b: bc123.encode_bc1(b, 0.5, 0), 3, -0.03),
     ("bc7_photo_china", refcodec.BC7, "photo_china",
-     lambda b: bc67.encode_bc7(b), 4, 0.22),
+     lambda b: bc67.encode_bc7(b), 4, 0.20),
     ("bc7_photo_flower", refcodec.BC7, "photo_flower",
      lambda b: bc67.encode_bc7(b), 4, 0.10),
     # max-quality tier (a second winner-refine pass): strictly above the
