@@ -459,6 +459,14 @@ def _pal_weight(k, K: int):
     return ((128 * k + (K - 1)) * m) >> 16
 
 
+def _pal_weight_f(kf, K: int):
+    """_pal_weight on an f32 index plane, staying in f32 (the
+    pallas_kernels._pal_weight_f twin): floor(64k/(K-1) + 1/2) — exact
+    quotients sit on a 1/(K-1) grid, so the ~2^-22 f32 quotient error
+    never crosses a rounding boundary."""
+    return jnp.floor(kf * (64.0 / (K - 1)) + 0.5)
+
+
 def _assign_indices_t(px_i, u0, u1, prec: int, mask, channels=4,
                       ch_start=0, aw: float = 1.0, alpha_ch: int = 3,
                       w_rows=None):
@@ -879,6 +887,23 @@ BC7_SHAPE_CANDIDATES = 4
 # call site — the HDR probe measured best at the pure residual.)
 _ON_AXIS_W = 0.05
 
+# Search-scope knobs shared by the jnp path and the pallas mega kernel
+# (static at trace time; bc7_encode_pallas takes them as jit-static
+# args). _MODE4_IMS: index modes tried for mode 4 (the reference tries
+# both, BC6HBC7.cpp:2850); _MODE45_ROTS: rotations tried for modes 4/5
+# (:2841). The r3 cut sweep (benchmarks/quality_search_cuts.py, golden
+# corpus vs the compiled reference; TPU cost in profile_cuts_tpu.py)
+# measured, with the LIGHT winner-ladder recovering fixed-index error:
+#   im0 skip:  min slack +0.120 -> +0.067 dB, 245.1 -> 278.9 Mt/s
+#   cand 4->3: min slack +0.069; combined c3-im0 +0.017 (too thin)
+#   any rotation cut: LOSES to the reference outright (-0.08..-0.27)
+# The default tier skips mode-4's second index mode (winner-ladder
+# re-derives indices on the final state, so im=1's extra alpha
+# precision is mostly recovered); the maxq tier keeps full scope.
+_MODE4_IMS = (0,)
+_MODE45_ROTS = (0, 1, 2, 3)
+
+
 # Power-iteration count for the dominant-axis eigenvalue inside the
 # off-axis shape proxy. The iteration runs on [n_shapes, NB] planes (the
 # single biggest cost of the off-axis ranking), so the count is a direct
@@ -1085,19 +1110,22 @@ def _dual_eval_ref(pr_i, pr_f, mode_id, im, aw: float = 1.0,
     return q0, q1, p0, p1, cidx, aidx, err
 
 
-def _try_single_mode(px_i, px_f, mode_id, aw: float = 1.0):
+def _try_single_mode(px_i, px_f, mode_id, aw: float = 1.0,
+                     m4_ims=None):
     """Modes 4/5/6: single subset, rotations x index modes.
     Returns (err [NB], words [NB, 4])."""
     m = _BC7_MODES[mode_id]
     nb = px_i.shape[2]
     mask = jnp.ones((16, nb), bool)
-    n_rot = 1 << m.rotation_bits
-    n_im = 1 << m.index_mode_bits
+    rots = _MODE45_ROTS if m.rotation_bits else (0,)
+    if m4_ims is None:
+        m4_ims = _MODE4_IMS
+    ims = m4_ims if m.index_mode_bits else (0,)
 
     best_err = jnp.full((nb,), jnp.inf, jnp.float32)
     best_words = jnp.zeros((nb, 4), jnp.uint32)
 
-    for rot in range(n_rot):
+    for rot in rots:
         if rot == 0:
             pr_i, pr_f = px_i, px_f
         else:
@@ -1107,7 +1135,7 @@ def _try_single_mode(px_i, px_f, mode_id, aw: float = 1.0):
             pr_i = px_i[:, perm, :]
             pr_f = px_f[:, perm, :]
         alpha_ch = 3 if rot == 0 else rot - 1
-        for im in range(n_im):
+        for im in ims:
             if m.index_prec2 == 0:
                 # mode 6: joint RGBA indices
                 err, q0s, q1s, p0s, p1s, idx = _eval_subset_candidate(
@@ -1471,6 +1499,9 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
     # full search on every corpus content; full's extra 0.007-0.056 dB
     # doubles the refine dispatch, so it rides the maxq tier instead.
     ladders = [LADDER_FULL, LADDER_FULL] if maxq else [LADDER_LIGHT]
+    # maxq keeps the reference's full mode-4 index-mode scope; the
+    # default tier takes the measured im0 cut (see _MODE4_IMS)
+    m4_ims = (0, 1) if maxq else _MODE4_IMS
 
     if quick:
         modes = [6]
@@ -1491,7 +1522,9 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
         # mode-7 opaque masking) as ONE pallas dispatch
         _, best_words = bc7_encode_pallas(px_i, tuple(modes),
                                           BC7_SHAPE_CANDIDATES,
-                                          aw=alpha_weight)
+                                          aw=alpha_weight,
+                                          rots=_MODE45_ROTS,
+                                          m4_ims=m4_ims)
         for ladder in ladders:
             best_words = bc7_refine_pallas(px_i, best_words, ladder,
                                            aw=alpha_weight,
@@ -1518,7 +1551,7 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
                 err = jnp.where(has_alpha, err, jnp.inf)
         else:
             err, words = _try_single_mode(px_i, px_f, mode_id,
-                                          aw=alpha_weight)
+                                          aw=alpha_weight, m4_ims=m4_ims)
         better = err < best_err
         best_err = jnp.minimum(err, best_err)
         best_words = jnp.where(better[:, None], words, best_words)
@@ -1543,6 +1576,33 @@ _F16MAX = 0x7BFF
 # 1 -> -0.050, 2 -> +0.041, 3 -> +0.013 — two rounds is the knee and the
 # minimum that keeps the "beats the reference" gate.
 BC6H_REFIT_ROUNDS = 2
+
+# Share one precision-free fit trajectory across all rows of a region
+# family, instead of re-running the full quantize/score/refit per
+# precision group (r3): the six 2-region groups cost ~3.8-4.7 ms each
+# on v5e at 2K (benchmarks/profile_bc6h.py) and differ only in endpoint
+# precision. Quality measured on the golden HDR corpus
+# (benchmarks/quality_bc6h_shared.py): the PURE float trajectory
+# (rescore-only per group) turns the frozen-HDR gate from +0.041 to
+# -0.048 dB — quantization snap steers the refit at coarse precW, so
+# each group gets one quantized-domain refit round after the rescore
+# (see _bc6h_group_rescore refit_rounds).
+BC6H_SHARED_FIT = True
+
+# LS rounds of the precision-free shared trajectory. Unlike
+# BC6H_REFIT_ROUNDS these are amortized once per (candidate, family)
+# across ALL precision groups, so extra rounds are cheap. Frozen-HDR
+# gate delta (benchmarks/quality_bc6h_shared.py convention): 2 ->
+# +0.003, 3 -> +0.017, 4 -> +0.019 — three is the knee.
+BC6H_SHARED_ROUNDS = 3
+
+# Per-group quantized refit only where quantization snap can actually
+# move the LS solution: groups with endpoint precision below this many
+# bits refit; at >=11 bits the quantized endpoints track the float
+# trajectory closely enough that the refit round never wins. Frozen-HDR
+# gate delta by threshold: 10 -> -0.013 (W10 groups DO need it),
+# 11 -> +0.018, 12/17 -> +0.017.
+BC6H_GROUP_REFIT_MINPREC = 11
 
 
 def _bc6h_unquantize(comp: jnp.ndarray, bits: int, signed: bool) -> jnp.ndarray:
@@ -1837,6 +1897,225 @@ def _bc6h_palette_err_t(px_int, mask, q0, q1, precW, iprec, signed):
     return idx, err
 
 
+def _bc6h_palette_err_f(px_f, mask, e0, e1, iprec):
+    """Float-endpoint (px-space) palette assignment + SSE: the
+    precision-free scorer for the shared fit trajectory
+    (BC6H_SHARED_FIT). Same projection/snap geometry as
+    _bc6h_palette_err_t but with unquantized endpoints and a linear
+    (floor-less) palette — only used to steer the fit; every
+    per-precision-group error is rescored exactly afterwards.
+
+    px_f [16, 3, NB] f32 (F16-int values); e0/e1 [3, NB] f32."""
+    K = 1 << iprec
+    dot = jnp.zeros((px_f.shape[0], px_f.shape[2]), jnp.float32)
+    span = jnp.zeros((px_f.shape[2],), jnp.float32)
+    for c in range(3):
+        e = e1[c] - e0[c]
+        dot = dot + (px_f[:, c, :] - e0[c][None, :]) * e[None, :]
+        span = span + e * e
+    p64 = jnp.clip(dot * (64.0 / jnp.where(span > 0, span, 1.0))[None, :],
+                   0.0, 64.0)
+    kf = jnp.clip(jnp.round(p64 * ((K - 1) / 64.0)), 0.0, K - 1.0)
+    wk = _pal_weight_f(kf, K)
+    wkp = _pal_weight_f(jnp.minimum(kf + 1.0, K - 1.0), K)
+    wkm = _pal_weight_f(jnp.maximum(kf - 1.0, 0.0), K)
+    up = (kf < K - 1) & (2.0 * p64 > wk + wkp)
+    dn = (kf > 0) & (2.0 * p64 < wk + wkm)
+    idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    wk = _pal_weight_f(idx, K) * jnp.float32(1 / 64)
+    best = jnp.zeros_like(dot)
+    for c in range(3):
+        pal = e0[c][None, :] + wk * (e1[c] - e0[c])[None, :]
+        d = px_f[:, c, :] - pal
+        best = best + d * d
+    err = jnp.sum(jnp.where(mask, best, 0.0), axis=0)
+    return idx, err
+
+
+def _bc6h_shared_fit(px_f, mask_list, iprec, signed):
+    """One precision-free fit trajectory per (shape candidate, subset):
+    min/max endpoints -> float-palette assignment -> BC6H_REFIT_ROUNDS
+    least-squares rounds -> keep-better, all on unquantized px-space
+    endpoints. Every row of a region family then quantizes THESE
+    endpoints at its own precision and rescores exactly
+    (_bc6h_group_rescore) — the expensive per-candidate refit work is
+    shared by all 6 two-region precision groups instead of re-run per
+    group (the rows differ only in endpoint precision, ms_aInfo
+    BC6HBC7.cpp:1013-1067). Returns per-subset (e0, e1) [3, NB] f32."""
+    lim = float(_F16MAX)
+    lo = -lim if signed else 0.0
+    out = []
+    for mask in mask_list:
+        big = jnp.float32(1e9)
+        m3 = mask[:, None, :]
+        mi = jnp.min(jnp.where(m3, px_f, big), axis=0)
+        ma = jnp.max(jnp.where(m3, px_f, -big), axis=0)
+        idx_b, err0 = _bc6h_palette_err_f(px_f, mask, mi, ma, iprec)
+        e0f, e1f = mi, ma
+        err_b = err0
+        for _ in range(BC6H_SHARED_ROUNDS):
+            x = _pal_weight_f(idx_b, 1 << iprec) * jnp.float32(1 / 64)
+            mm = mask.astype(jnp.float32)
+            a = (1.0 - x) * mm
+            b = x * mm
+            A = jnp.sum(a * a, axis=0)
+            B = jnp.sum(a * b, axis=0)
+            C = jnp.sum(b * b, axis=0)
+            det = A * C - B * B
+            ok = jnp.abs(det) > 1e-6
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            rows0, rows1 = [], []
+            for c in range(3):
+                r0 = jnp.sum(a * px_f[:, c, :], axis=0)
+                r1 = jnp.sum(b * px_f[:, c, :], axis=0)
+                n0 = jnp.clip((C * r0 - B * r1) * inv, lo, lim)
+                n1 = jnp.clip((A * r1 - B * r0) * inv, lo, lim)
+                rows0.append(jnp.where(ok, n0, e0f[c]))
+                rows1.append(jnp.where(ok, n1, e1f[c]))
+            e0f = jnp.stack(rows0)
+            e1f = jnp.stack(rows1)
+            idx_b, err_b = _bc6h_palette_err_f(px_f, mask, e0f, e1f, iprec)
+        better = err_b < err0
+        out.append((jnp.where(better[None, :], e0f, mi),
+                    jnp.where(better[None, :], e1f, ma)))
+    return out
+
+
+def _bc6h_group_rescore(px_int, mask_list, anchors, shared, row, signed):
+    """Quantize the shared-fit endpoints at this row group's precision,
+    rescore exactly, then ONE quantized-domain LS refit round (refit on
+    the exact indices, requantize, exact rescore, keep-better) — the
+    pure float trajectory loses 0.09 dB on the frozen HDR gate because
+    quantization snap at coarse precW shifts which indices are optimal;
+    the single per-group round recovers it at ~60% of the old per-group
+    full eval. Anchor swaps on the winning indices. Shared by every row
+    of the group (same precW/iprec). Returns (total_err, q_pairs
+    anchor-fixed, idx_full)."""
+    _, partitions, _, iprec, precW, _, _, _ = BC6H_MODE_INFO[row]
+    nb = px_int.shape[2]
+    px_f = px_int.astype(jnp.float32)
+    lim = float(_F16MAX)
+    lo = -lim if signed else 0.0
+    idx_full = jnp.zeros((px_int.shape[0], nb), jnp.int32)
+    total_err = jnp.zeros(nb, jnp.float32)
+    q_pairs = []
+    for sub, mask in enumerate(mask_list):
+        e0, e1 = shared[sub]
+
+        def quant(ef):
+            return jnp.stack([_bc6h_quantize(
+                jnp.round(ef[c]).astype(jnp.int32), precW[c], signed)
+                for c in range(3)])
+
+        q0, q1 = quant(e0), quant(e1)
+        idx, err = _bc6h_palette_err_t(px_int, mask, q0, q1, precW, iprec,
+                                       signed)
+        if precW[0] < BC6H_GROUP_REFIT_MINPREC:
+            # quantized-domain refit round (coarse-precision groups only)
+            x = _pal_weight(idx, 1 << iprec).astype(jnp.float32) \
+                * jnp.float32(1 / 64)
+            mm = mask.astype(jnp.float32)
+            a = (1.0 - x) * mm
+            b = x * mm
+            A = jnp.sum(a * a, axis=0)
+            B = jnp.sum(a * b, axis=0)
+            C = jnp.sum(b * b, axis=0)
+            det = A * C - B * B
+            ok = jnp.abs(det) > 1e-6
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            rows0, rows1 = [], []
+            for c in range(3):
+                r0 = jnp.sum(a * px_f[:, c, :], axis=0)
+                r1 = jnp.sum(b * px_f[:, c, :], axis=0)
+                n0 = jnp.clip((C * r0 - B * r1) * inv, lo, lim)
+                n1 = jnp.clip((A * r1 - B * r0) * inv, lo, lim)
+                rows0.append(jnp.where(ok, n0, e0[c]))
+                rows1.append(jnp.where(ok, n1, e1[c]))
+            q0r = quant(jnp.stack(rows0))
+            q1r = quant(jnp.stack(rows1))
+            idx_r, err_r = _bc6h_palette_err_t(px_int, mask, q0r, q1r,
+                                               precW, iprec, signed)
+            better = err_r < err
+            q0 = jnp.where(better[None, :], q0r, q0)
+            q1 = jnp.where(better[None, :], q1r, q1)
+            idx = jnp.where(better[None, :], idx_r, idx)
+            err = jnp.minimum(err_r, err)
+
+        total_err = total_err + err
+        q_pairs.append((q0, q1))
+        idx_full = jnp.where(mask, idx, idx_full)
+
+    msb = 1 << (iprec - 1)
+    maxi = (1 << iprec) - 1
+    fixed = []
+    for sub, (mask, anchor) in enumerate(zip(mask_list, anchors)):
+        if isinstance(anchor, int):
+            a_idx = idx_full[anchor]
+        else:
+            a_idx = jnp.zeros(nb, jnp.int32)
+            for i in range(16):
+                a_idx = jnp.where(anchor == i, idx_full[i], a_idx)
+        swap = (a_idx & msb) != 0
+        q0, q1 = q_pairs[sub]
+        fixed.append((jnp.where(swap[None, :], q1, q0),
+                      jnp.where(swap[None, :], q0, q1)))
+        idx_full = jnp.where(swap[None, :] & mask, maxi - idx_full,
+                             idx_full)
+    return total_err, fixed, idx_full
+
+
+def _bc6h_transform_fit_t(q_pairs, total_err, row, signed, nb):
+    """Per-row delta transform + endpoint-fit check on anchor-fixed
+    quantized endpoints (TransformForward + EndPointsFit :1948).
+    Returns (err, emit_pairs)."""
+    _, partitions, transformed, _, precW, precX, precY, precZ = \
+        BC6H_MODE_INFO[row]
+    base = q_pairs[0][0]
+    fit = jnp.ones(nb, bool)
+    deltas = [(q_pairs[0][1], precX)]
+    if partitions:
+        deltas.append((q_pairs[1][0], precY))
+        deltas.append((q_pairs[1][1], precZ))
+    if transformed:
+        stored = []
+        for val, prec in deltas:
+            d = val - base
+            for c in range(3):
+                fit = fit & _nbits_fit(d[c], prec[c], True)
+            stored.append(d)
+    else:
+        stored = [v for v, _ in deltas]
+        for val, prec in deltas:
+            for c in range(3):
+                fit = fit & _nbits_fit(val[c], prec[c], signed)
+    for c in range(3):
+        fit = fit & _nbits_fit(base[c], precW[c], signed)
+
+    def field_mask(v, prec):
+        return jnp.stack([v[c] & ((1 << prec[c]) - 1) for c in range(3)])
+
+    emit_pairs = [(field_mask(base, precW), field_mask(stored[0], precX))]
+    if partitions:
+        emit_pairs.append((field_mask(stored[1], precY),
+                           field_mask(stored[2], precZ)))
+    else:
+        emit_pairs.append(emit_pairs[0])  # unused filler
+    return jnp.where(fit, total_err, jnp.inf), emit_pairs
+
+
+def _bc6h_row_groups(rows=range(10)):
+    """Consecutive 2-region rows sharing (iprec, precW), whose quantized
+    rescore is identical (only delta-fit + emit differ)."""
+    groups = []
+    for row in rows:
+        key = (BC6H_MODE_INFO[row][3], BC6H_MODE_INFO[row][4])
+        if groups and groups[-1][0] == key:
+            groups[-1][1].append(row)
+        else:
+            groups.append((key, [row]))
+    return [tuple(rs) for _, rs in groups]
+
+
 def _bc6h_emit(row: int, shape, q_pairs, idx, nb) -> jnp.ndarray:
     """Pack one BC6H candidate into [NB, 4] u32 (EmitBlock :2330).
 
@@ -2089,6 +2368,53 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool,
         better = err < best_err
         return (jnp.minimum(err, best_err),
                 jnp.where(better[:, None], words, best_words))
+
+    if BC6H_SHARED_FIT and not maxq:
+        # Shared-fit search (r3): one precision-free fit trajectory per
+        # (shape candidate, region family); each precision group only
+        # quantizes + rescores it. Same structure as the pallas mega
+        # kernel (_bc6h_all_kernel).
+        shared1 = _bc6h_shared_fit(px_f, [ones],
+                                   BC6H_MODE_INFO[10][3], signed)
+        for row in range(10, 14):
+            terr, q_pairs, idx = _bc6h_group_rescore(
+                px_int, [ones], [0], shared1, row, signed)
+            err, pairs = _bc6h_transform_fit_t(q_pairs, terr, row,
+                                               signed, nb)
+            words = _bc6h_emit(row, 0, pairs, idx, nb)
+            best_err, best_words = fold_candidate(best_err, best_words,
+                                                  err, words)
+
+        parts_tab = jnp.asarray(PARTITIONS[1])
+        fix_tab = jnp.asarray(FIXUPS[1])
+        px4 = jnp.concatenate(
+            [px_f, jnp.zeros((16, 1, nb), jnp.float32)], axis=1)
+        ests = _shape_estimates_table(px4, 1, 3, n_shapes=32,
+                                      off_axis=True, axis_w=0.0)
+        cands = []
+        for s_blk in _top_k_shapes(ests, BC7_SHAPE_CANDIDATES):
+            pmask = parts_tab[s_blk].T
+            mask_list = [pmask == 0, pmask == 1]
+            anchors = [0, fix_tab[s_blk, 1].astype(jnp.int32)]
+            shared = _bc6h_shared_fit(px_f, mask_list,
+                                      BC6H_MODE_INFO[0][3], signed)
+            cands.append((s_blk, mask_list, anchors, shared))
+        for rows in _bc6h_row_groups():
+            rescored = []
+            for s_blk, mask_list, anchors, shared in cands:
+                terr, q_pairs, idx = _bc6h_group_rescore(
+                    px_int, mask_list, anchors, shared, rows[0], signed)
+                rescored.append((s_blk, terr, q_pairs, idx))
+            for row in rows:
+                for s_blk, terr, q_pairs, idx in rescored:
+                    err, pairs = _bc6h_transform_fit_t(q_pairs, terr,
+                                                       row, signed, nb)
+                    words = _bc6h_emit(row, s_blk.astype(jnp.uint32),
+                                       pairs, idx, nb)
+                    best_err, best_words = fold_candidate(
+                        best_err, best_words, err, words)
+        return lax.bitcast_convert_type(best_words, jnp.uint8).reshape(
+            nb, 16)
 
     def eval_variants(mask_list, anchors, row, s_blk):
         """The base candidate, plus the perturbed one under maxq — the

@@ -935,11 +935,11 @@ def _k_mode6(xf0, aw: float = 1.0):
     return err6, w6
 
 
-def _k_rot_data(xf0):
+def _k_rot_data(xf0, rots=(0, 1, 2, 3)):
     """Rotation-dependent data for modes 4/5 (channel permutation, axis
     fit, alpha min/max) — identical for both modes, computed once."""
-    rot_data = []
-    for rot in range(4):
+    rot_data = {}
+    for rot in rots:
         if rot == 0:
             xf = xf0
         else:
@@ -949,18 +949,21 @@ def _k_rot_data(xf0):
         e0, e1 = _k_axis(xf, None, False)
         e0[3] = jnp.min(xf[3], axis=0)
         e1[3] = jnp.max(xf[3], axis=0)
-        rot_data.append((xf, e0, e1))
+        rot_data[rot] = (xf, e0, e1)
     return rot_data
 
 
-def _k_mode45(rot_data, mode_id: int, aw: float = 1.0):
+def _k_mode45(rot_data, mode_id: int, aw: float = 1.0,
+              rots=(0, 1, 2, 3), ims=(0, 1)):
     """Mode 4 or 5: dual indices over rotation x index-mode combos,
     keep-best, anchor fixes on the winner (bc67._try_single_mode).
     Returns (err, words)."""
     (_, _, _, rot_bits, im_bits, prec1, prec2, rgba_prec,
      rgba_prec_p) = _BC7_FULL_STATICS[mode_id]
+    if not im_bits:
+        ims = (0,)
     best = None
-    for rot in range(1 << rot_bits):
+    for rot in rots:
         xf, e0, e1 = rot_data[rot]
         alpha_ch = 3 if rot == 0 else rot - 1
         # first-pass endpoint quantization AND axis projections depend
@@ -969,7 +972,7 @@ def _k_mode45(rot_data, mode_id: int, aw: float = 1.0):
             e0, e1, rgba_prec, rgba_prec_p, False)
         projc_r = _proj_p64(xf, u0r, u1r, 0, 3)
         proja_r = _proj_p64(xf, u0r, u1r, 3, 4)
-        for im in range(1 << im_bits):
+        for im in ims:
             cprec = prec2 if im else prec1
             aprec = prec1 if im else prec2
 
@@ -1050,7 +1053,8 @@ def _k_mode45(rot_data, mode_id: int, aw: float = 1.0):
 
 
 def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
-                         e6_ref, w6_ref, *, aw: float = 1.0):
+                         e6_ref, w6_ref, *, aw: float = 1.0,
+                         rots=(0, 1, 2, 3), m4_ims=(0, 1)):
     """Modes 4/5/6 in one pass: all rotation x index-mode combos, keep-best
     per mode, emit each mode's winner (bc67._try_single_mode)."""
     xf0 = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
@@ -1060,16 +1064,19 @@ def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
     e6_ref[...] = jnp.broadcast_to(err6[None, :], e6_ref.shape)
     w6_ref[...] = w6
 
-    rot_data = _k_rot_data(xf0)
+    rot_data = _k_rot_data(xf0, rots)
     for mode_id, out_e, out_w in ((4, e4_ref, w4_ref), (5, e5_ref, w5_ref)):
-        err, words = _k_mode45(rot_data, mode_id, aw=aw)
+        err, words = _k_mode45(rot_data, mode_id, aw=aw, rots=rots,
+                               ims=m4_ims)
         out_e[...] = jnp.broadcast_to(err[None, :], out_e.shape)
         out_w[...] = words
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "aw"))
+@functools.partial(jax.jit, static_argnames=("interpret", "aw", "rots",
+                                              "m4_ims"))
 def single_modes_pallas(px_i: jnp.ndarray, interpret: bool = False,
-                        aw: float = 1.0):
+                        aw: float = 1.0, rots: tuple = (0, 1, 2, 3),
+                        m4_ims: tuple = (0, 1)):
     """Modes 4, 5, 6 fused. px_i [16, 4, NB] i32. Returns
     {mode: (err [NB], words [NB, 4] u32)}."""
     from jax.experimental import pallas as pl
@@ -1083,7 +1090,8 @@ def single_modes_pallas(px_i: jnp.ndarray, interpret: bool = False,
 
     grid = (nb_pad // _TILE,)
     outs = pl.pallas_call(
-        functools.partial(_single_modes_kernel, aw=aw),
+        functools.partial(_single_modes_kernel, aw=aw, rots=rots,
+                          m4_ims=m4_ims),
         grid=grid,
         in_specs=[pl.BlockSpec((64, _TILE), lambda i: (0, i))],
         out_specs=[pl.BlockSpec((8, _TILE), lambda i: (0, i)),
@@ -1239,7 +1247,8 @@ def partition_shapes_pallas(px_i: jnp.ndarray, partitions: int,
 
 
 def _bc7_all_kernel(px_ref, m_ref, *refs, modes: tuple,
-                    n_cand: int, aw: float = 1.0):
+                    n_cand: int, aw: float = 1.0,
+                    rots=(0, 1, 2, 3), m4_ims=(0, 1)):
     """The whole BC7 encode in one dispatch: shape ranking, every mode's
     candidate evaluation, anchor swaps, emit, and the cross-mode fold all
     happen in VMEM — HBM sees the pixel planes in and one (err, words)
@@ -1301,10 +1310,11 @@ def _bc7_all_kernel(px_ref, m_ref, *refs, modes: tuple,
     if 6 in modes:
         results[6] = _k_mode6(xf, aw=aw)
     if 4 in modes or 5 in modes:
-        rot_data = _k_rot_data(xf)
+        rot_data = _k_rot_data(xf, rots)
         for m in (4, 5):
             if m in modes:
-                results[m] = _k_mode45(rot_data, m, aw=aw)
+                results[m] = _k_mode45(rot_data, m, aw=aw, rots=rots,
+                                       ims=m4_ims)
 
     best_e, best_w = None, None
     for m in modes:
@@ -1325,10 +1335,12 @@ _BC7_ALL_TILE = 256
 
 
 @functools.partial(jax.jit, static_argnames=("modes", "n_cand",
-                                              "interpret", "tile", "aw"))
+                                              "interpret", "tile", "aw",
+                                              "rots", "m4_ims"))
 def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
                       interpret: bool = False, tile: int = _BC7_ALL_TILE,
-                      aw: float = 1.0):
+                      aw: float = 1.0, rots: tuple = (0, 1, 2, 3),
+                      m4_ims: tuple = (0, 1)):
     """Full BC7 search as ONE pallas dispatch over modes ⊆ {0..7}
     folded in `modes` order (mode-7 errors are inf-masked for opaque
     blocks in-kernel; modes 0/2 ride a second 3-subset mask matrix).
@@ -1363,7 +1375,7 @@ def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
 
     err8, words = pl.pallas_call(
         functools.partial(_bc7_all_kernel, modes=modes, n_cand=n_cand,
-                          aw=aw),
+                          aw=aw, rots=rots, m4_ims=m4_ims),
         grid=(nb_pad // tile,),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((8, tile), lambda i: (0, i)),
@@ -1974,6 +1986,234 @@ def _k_bc6h_subsets(xf3, masks, row: int, signed: bool):
     return q0f_s, q1f_s, idx_full, errs_f
 
 
+def _k_bc6h_palette_err_f(xf3, masks, e0_s, e1_s, iprec):
+    """Float-endpoint px-space palette assignment + SSE, fused over
+    subsets (bc67._bc6h_palette_err_f twin): the precision-free scorer
+    for the shared fit trajectory. Linear (floor-less) palette — only
+    steers the fit; per-group errors are rescored exactly afterwards.
+    Returns (idx [16, T] f32, errs)."""
+    K = 1 << iprec
+    n_sub = len(masks)
+    single = masks[0] is None
+
+    def sel(vals):
+        if single:
+            return vals[0][None, :]
+        return _k_sel_px(masks, vals)
+
+    e_s = [[e1_s[p][c] - e0_s[p][c] for c in range(3)]
+           for p in range(n_sub)]
+    span_s = [sum(e_s[p][c] * e_s[p][c] for c in range(3))
+              for p in range(n_sub)]
+    e0_px = [sel([e0_s[p][c] for p in range(n_sub)]) for c in range(3)]
+    e_px = [sel([e_s[p][c] for p in range(n_sub)]) for c in range(3)]
+    span_px = sel(span_s)
+
+    dot = sum((xf3[c] - e0_px[c]) * e_px[c] for c in range(3))
+    p64 = jnp.clip(dot * (64.0 / jnp.where(span_px > 0, span_px, 1.0)),
+                   0.0, 64.0)
+    kf = jnp.clip(jnp.round(p64 * ((K - 1) / 64.0)), 0.0, K - 1.0)
+    wk = _pal_weight_f(kf, K)
+    wkp = _pal_weight_f(jnp.minimum(kf + 1.0, K - 1.0), K)
+    wkm = _pal_weight_f(jnp.maximum(kf - 1.0, 0.0), K)
+    up = (kf < K - 1) & (2.0 * p64 > wk + wkp)
+    dn = (kf > 0) & (2.0 * p64 < wk + wkm)
+    idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    wk64 = _pal_weight_f(idx, K) * jnp.float32(1 / 64)
+    best = jnp.zeros_like(dot)
+    for c in range(3):
+        d = xf3[c] - (e0_px[c] + wk64 * e_px[c])
+        best = best + d * d
+    errs = [jnp.sum(best if masks[p] is None
+                    else jnp.where(masks[p], best, 0.0), axis=0)
+            for p in range(n_sub)]
+    return idx, errs
+
+
+def _k_bc6h_shared_fit(xf3, masks, iprec: int, signed: bool):
+    """One precision-free fit trajectory per (shape candidate, subset):
+    min/max endpoints -> float-palette assignment -> BC6H_REFIT_ROUNDS
+    least-squares rounds -> keep-better, on unquantized px-space
+    endpoints (bc67._bc6h_shared_fit twin). Every row of a region family
+    quantizes THESE endpoints at its own precision and rescores exactly
+    (_k_bc6h_group_rescore) — the per-candidate refit work is shared by
+    all two-region precision groups (rows differ only in endpoint
+    precision, ms_aInfo BC6HBC7.cpp:1013-1067).
+    Returns per-subset (e0, e1) channel-row lists, f32."""
+    from .bc67 import BC6H_SHARED_ROUNDS
+
+    n_sub = len(masks)
+
+    def msum(plane, p):
+        return jnp.sum(plane if masks[p] is None
+                       else jnp.where(masks[p], plane, 0.0), axis=0)
+
+    mi_s, ma_s = [], []
+    big = jnp.float32(1e9)
+    for mb in masks:
+        if mb is None:
+            mi_s.append([jnp.min(f, axis=0) for f in xf3])
+            ma_s.append([jnp.max(f, axis=0) for f in xf3])
+        else:
+            mi_s.append([jnp.min(jnp.where(mb, f, big), axis=0)
+                         for f in xf3])
+            ma_s.append([jnp.max(jnp.where(mb, f, -big), axis=0)
+                         for f in xf3])
+
+    idx_b, errs0 = _k_bc6h_palette_err_f(xf3, masks, mi_s, ma_s, iprec)
+    lim = float(_BC6H_F16MAX)
+    lo = -lim if signed else 0.0
+    e0f_s, e1f_s = mi_s, ma_s
+    errs_b = errs0
+    for _ in range(BC6H_SHARED_ROUNDS):
+        x = _pal_weight_f(idx_b, 1 << iprec) * jnp.float32(1 / 64)
+        av = 1.0 - x
+        bv = x
+        aa, ab_, bb = av * av, av * bv, bv * bv
+        avx = [av * xf3[c] for c in range(3)]
+        bvx = [bv * xf3[c] for c in range(3)]
+        e0n_s, e1n_s = [], []
+        for p in range(n_sub):
+            A = msum(aa, p)
+            B = msum(ab_, p)
+            C = msum(bb, p)
+            det = A * C - B * B
+            ok = jnp.abs(det) > 1e-6
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            r0l, r1l = [], []
+            for c in range(3):
+                r0 = msum(avx[c], p)
+                r1 = msum(bvx[c], p)
+                n0 = jnp.clip((C * r0 - B * r1) * inv, lo, lim)
+                n1 = jnp.clip((A * r1 - B * r0) * inv, lo, lim)
+                r0l.append(jnp.where(ok, n0, e0f_s[p][c]))
+                r1l.append(jnp.where(ok, n1, e1f_s[p][c]))
+            e0n_s.append(r0l)
+            e1n_s.append(r1l)
+        e0f_s, e1f_s = e0n_s, e1n_s
+        idx_b, errs_b = _k_bc6h_palette_err_f(xf3, masks, e0f_s, e1f_s,
+                                              iprec)
+
+    out = []
+    for p in range(n_sub):
+        bt = errs_b[p] < errs0[p]
+        out.append(([jnp.where(bt, e0f_s[p][c], mi_s[p][c])
+                     for c in range(3)],
+                    [jnp.where(bt, e1f_s[p][c], ma_s[p][c])
+                     for c in range(3)]))
+    return out
+
+
+def _k_bc6h_group_rescore(xf3, pm, a2, shared, row: int, signed: bool):
+    """Quantize the shared-fit endpoints at this row group's precision,
+    rescore exactly, then ONE quantized-domain LS refit round (refit on
+    the exact indices, requantize, exact rescore, keep-better); anchor
+    swaps on the winning indices (bc67._bc6h_group_rescore twin).
+    Returns (total_err, fixed q_pairs, idx_full)."""
+    (_, partitions, _, iprec, precW, _, _, _) = BC6H_MODE_INFO[row]
+    msb, maxi = 1 << (iprec - 1), (1 << iprec) - 1
+    n_sub = partitions + 1
+    masks = [None] if pm is None else [pm == p for p in range(n_sub)]
+
+    def msum(plane, p):
+        return jnp.sum(plane if masks[p] is None
+                       else jnp.where(masks[p], plane, 0.0), axis=0)
+
+    def sel(vals):
+        if masks[0] is None:
+            return vals[0][None, :]
+        return _k_sel_px(masks, vals)
+
+    def quant(e_s):
+        return [[_k_bc6h_quant(jnp.round(e_s[p][c]).astype(jnp.int32),
+                               precW[c], signed) for c in range(3)]
+                for p in range(n_sub)]
+
+    e0f_s = [shared[p][0] for p in range(n_sub)]
+    e1f_s = [shared[p][1] for p in range(n_sub)]
+    q0_s, q1_s = quant(e0f_s), quant(e1f_s)
+    idx_full, errs = _k_bc6h_palette_err_px(xf3, masks, q0_s, q1_s, precW,
+                                            iprec, signed)
+    from .bc67 import BC6H_GROUP_REFIT_MINPREC
+    if precW[0] >= BC6H_GROUP_REFIT_MINPREC:
+        # fine precision: the quantized endpoints track the float
+        # trajectory; rescore-only (bc67._bc6h_group_rescore)
+        total_err = sum(errs)
+        q_pairs = list(zip(q0_s, q1_s))
+        fixed = []
+        for p in range(n_sub):
+            if p == 0:
+                a_idx = idx_full[0]
+            else:
+                a_idx = _k_anchor_index(idx_full, a2)
+            swap = a_idx >= msb                  # f32 idx: msb set test
+            q0, q1 = q_pairs[p]
+            fixed.append(
+                ([jnp.where(swap, q1[c], q0[c]) for c in range(3)],
+                 [jnp.where(swap, q0[c], q1[c]) for c in range(3)]))
+            keep = (swap[None, :] if pm is None
+                    else (swap[None, :] & (pm == p)))
+            idx_full = jnp.where(keep, maxi - idx_full, idx_full)
+        return total_err, fixed, idx_full
+
+    # quantized-domain refit round (bc67._bc6h_group_rescore)
+    lim = float(_BC6H_F16MAX)
+    lo = -lim if signed else 0.0
+    x = _pal_weight_f(idx_full, 1 << iprec) * jnp.float32(1 / 64)
+    av = 1.0 - x
+    bv = x
+    aa, ab_, bb = av * av, av * bv, bv * bv
+    avx = [av * xf3[c] for c in range(3)]
+    bvx = [bv * xf3[c] for c in range(3)]
+    e0n_s, e1n_s = [], []
+    for p in range(n_sub):
+        A = msum(aa, p)
+        B = msum(ab_, p)
+        C = msum(bb, p)
+        det = A * C - B * B
+        ok = jnp.abs(det) > 1e-6
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        r0l, r1l = [], []
+        for c in range(3):
+            r0 = msum(avx[c], p)
+            r1 = msum(bvx[c], p)
+            n0 = jnp.clip((C * r0 - B * r1) * inv, lo, lim)
+            n1 = jnp.clip((A * r1 - B * r0) * inv, lo, lim)
+            r0l.append(jnp.where(ok, n0, e0f_s[p][c]))
+            r1l.append(jnp.where(ok, n1, e1f_s[p][c]))
+        e0n_s.append(r0l)
+        e1n_s.append(r1l)
+    q0r_s, q1r_s = quant(e0n_s), quant(e1n_s)
+    idx_r, errs_r = _k_bc6h_palette_err_px(xf3, masks, q0r_s, q1r_s,
+                                           precW, iprec, signed)
+    better = [errs_r[p] < errs[p] for p in range(n_sub)]
+    # int select: mosaic can't broadcast/select i1 vectors
+    idx_full = jnp.where(sel([b.astype(jnp.int32) for b in better]) != 0,
+                         idx_r, idx_full)
+    q_pairs = []
+    total_err = jnp.zeros_like(errs[0])
+    for p in range(n_sub):
+        bt = better[p]
+        q_pairs.append(
+            ([jnp.where(bt, q0r_s[p][c], q0_s[p][c]) for c in range(3)],
+             [jnp.where(bt, q1r_s[p][c], q1_s[p][c]) for c in range(3)]))
+        total_err = total_err + jnp.minimum(errs_r[p], errs[p])
+
+    fixed = []
+    for p in range(n_sub):
+        if p == 0:
+            a_idx = idx_full[0]
+        else:
+            a_idx = _k_anchor_index(idx_full, a2)
+        swap = a_idx >= msb                      # f32 idx: msb set test
+        q0, q1 = q_pairs[p]
+        fixed.append(([jnp.where(swap, q1[c], q0[c]) for c in range(3)],
+                      [jnp.where(swap, q0[c], q1[c]) for c in range(3)]))
+        keep = swap[None, :] if pm is None else (swap[None, :] & (pm == p))
+        idx_full = jnp.where(keep, maxi - idx_full, idx_full)
+    return total_err, fixed, idx_full
+
+
 def _bc6h_header_runs(row: int):
     """Group the 82-entry per-bit descriptor (BC6H_DESC) into contiguous
     (fid, fbit0, pos0, length) runs for multi-bit puts."""
@@ -2243,22 +2483,97 @@ def _bc6h_row_groups(rows=range(10)):
     return [tuple(rs) for _, rs in groups]
 
 
+def _k_bc6h_1region_shared(xf3, signed: bool):
+    """Rows 10-13 via ONE shared fit trajectory (bc67.encode_bc6h
+    BC6H_SHARED_FIT path): each row only quantizes + rescores + one
+    refit round at its own precW. Returns (err, words)."""
+    shared = _k_bc6h_shared_fit(xf3, [None], BC6H_MODE_INFO[10][3],
+                                signed)
+    zero = jnp.zeros_like(xf3[0][0], dtype=jnp.int32)
+    best_e, best_w = None, None
+    for row in range(10, 14):
+        terr, q_pairs, idx = _k_bc6h_group_rescore(xf3, None, None,
+                                                   shared, row, signed)
+        err, pairs = _k_bc6h_transform_fit(q_pairs, terr, row, signed)
+        words = _k_bc6h_emit(row, err, zero, pairs, idx, None)
+        if best_e is None:
+            best_e, best_w = err, words
+        else:
+            bt = err < best_e
+            best_e = jnp.where(bt, err, best_e)
+            best_w = jnp.where(bt[None, :], words, best_w)
+    return best_e, best_w
+
+
+def _k_bc6h_group_shared(xf3, cands, shared_s, rows: tuple, signed: bool):
+    """2-region rows sharing endpoint/index precision, on the shared fit
+    trajectories: per shape candidate one quantize + rescore + refit
+    round at the group's precision (_k_bc6h_group_rescore), then each
+    row applies its own delta transform + fit check; candidate state
+    folds before the per-row emit (same fold order as the jnp twin's
+    word fold — strict < keeps the first-seen winner either way).
+    Returns (err, words)."""
+    rescored = []
+    for (s_blk, pm, a2), shared in zip(cands, shared_s):
+        terr, q_pairs, idx = _k_bc6h_group_rescore(xf3, pm, a2, shared,
+                                                   rows[0], signed)
+        rescored.append((s_blk, a2, terr, q_pairs, idx))
+
+    best_e, best_w = None, None
+    for row in rows:
+        best = None
+        for s_blk, a2, terr, q_pairs, idx in rescored:
+            err, pairs = _k_bc6h_transform_fit(q_pairs, terr, row, signed)
+            state = (err, s_blk, pairs, idx, a2)
+            if best is None:
+                best = state
+                continue
+            bt = state[0] < best[0]
+            bt16 = bt[None, :]
+            best = (
+                jnp.where(bt, state[0], best[0]),
+                jnp.where(bt, state[1], best[1]),
+                [([jnp.where(bt, state[2][p][0][c], best[2][p][0][c])
+                   for c in range(3)],
+                  [jnp.where(bt, state[2][p][1][c], best[2][p][1][c])
+                   for c in range(3)]) for p in range(2)],
+                jnp.where(bt16, state[3], best[3]),
+                jnp.where(bt, state[4], best[4]),
+            )
+        err, s_blk, pairs, idx, a2 = best
+        words = _k_bc6h_emit(row, err, s_blk, pairs, idx, a2)
+        if best_e is None:
+            best_e, best_w = err, words
+        else:
+            bt = err < best_e
+            best_e = jnp.where(bt, err, best_e)
+            best_w = jnp.where(bt[None, :], words, best_w)
+    return best_e, best_w
+
+
 def _bc6h_all_kernel(px_ref, m_ref, err_ref, w_ref, *, signed: bool,
                      n_cand: int, rows_sel: tuple | None = None):
     """The whole BC6H encode in one dispatch: shape ranking over the 32
     2-region shapes, the four 1-region rows, every precision group's
     shared subset evaluation, per-row delta fits, emit, and the row fold
     all stay in VMEM. Fold order matches bc67.encode_bc6h: 1-region rows
-    first, then 2-region rows 0-9. `rows_sel` (profiling only,
+    first, then 2-region rows 0-9. With bc67.BC6H_SHARED_FIT the
+    per-group full evaluation is replaced by one precision-free fit
+    trajectory per (shape candidate, region family) plus a per-group
+    quantize + rescore + single refit round. `rows_sel` (profiling only,
     benchmarks/profile_bc6h.py) restricts the fold to a subset: "r1" for
     the 1-region rows plus 2-region row ids."""
+    from .bc67 import BC6H_SHARED_FIT
+
     xf3 = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
            for c in range(3)]
 
     rows2 = [r for r in range(10) if rows_sel is None or r in rows_sel]
     best_e, best_w = None, None
     if rows_sel is None or "r1" in rows_sel:
-        best_e, best_w = _k_bc6h_1region(xf3, signed)
+        best_e, best_w = (_k_bc6h_1region_shared(xf3, signed)
+                          if BC6H_SHARED_FIT
+                          else _k_bc6h_1region(xf3, signed))
 
     if rows2:
         xf4 = xf3 + [jnp.zeros_like(xf3[0])]
@@ -2267,8 +2582,16 @@ def _bc6h_all_kernel(px_ref, m_ref, err_ref, w_ref, *, signed: bool,
         sb_rows = _k_shape_topk(xf4, m_ref[...], 1, 32, 3, n_cand,
                                 off_axis=True, axis_w=0.0)
         cands = _k_bc6h_decode_cands(sb_rows)
+        if BC6H_SHARED_FIT:
+            shared_s = [_k_bc6h_shared_fit(xf3, [pm == 0, pm == 1],
+                                           BC6H_MODE_INFO[0][3], signed)
+                        for _, pm, _ in cands]
         for rows in _bc6h_row_groups(rows2):
-            err, words = _k_bc6h_group(xf3, cands, rows, signed)
+            if BC6H_SHARED_FIT:
+                err, words = _k_bc6h_group_shared(xf3, cands, shared_s,
+                                                  rows, signed)
+            else:
+                err, words = _k_bc6h_group(xf3, cands, rows, signed)
             if best_e is None:
                 best_e, best_w = err, words
                 continue

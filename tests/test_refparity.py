@@ -121,27 +121,29 @@ ENCODERS = [
      lambda b: bc45.encode_bc4u(b), 1, -0.02),
     ("bc5_normal", refcodec.BC5U, "normal",
      lambda b: bc45.encode_bc5u(b), 2, -0.02),
-    # r3: the DEFAULT tier (off-axis shape ranking, power=3 + light
-    # winner-refine ladder) beats the reference full search on EVERY
-    # corpus content (measured deltas: +0.118 / +0.375 / +2.927 /
-    # +0.444 / +0.227 / +0.130; floors = measured minus a small guard)
+    # r3: the DEFAULT tier (off-axis shape ranking, power=3, mode-4
+    # im0-only search + light winner-refine ladder) beats the reference
+    # full search on EVERY corpus content (measured deltas: +0.067 /
+    # +0.374 / +2.935 / +0.404 / +0.086 / +0.078 —
+    # benchmarks/quality_search_cuts.py c4-im0; floors = measured minus
+    # a small guard)
     ("bc7_albedo", refcodec.BC7, "albedo",
-     lambda b: bc67.encode_bc7(b), 4, 0.08),
+     lambda b: bc67.encode_bc7(b), 4, 0.04),
     ("bc7_tworegion", refcodec.BC7, "tworegion",
      lambda b: bc67.encode_bc7(b), 4, 0.35),
     ("bc7_normal", refcodec.BC7, "normal",
      lambda b: bc67.encode_bc7(b), 4, 2.88),
     ("bc7_alphagrad", refcodec.BC7, "alphagrad",
-     lambda b: bc67.encode_bc7(b), 4, 0.41),
+     lambda b: bc67.encode_bc7(b), 4, 0.38),
     # real photographic content (128², sklearn sample images; r3)
     ("bc1_photo_china", refcodec.BC1, "photo_china",
      lambda b: bc123.encode_bc1(b, 0.5, 0), 3, -0.03),
     ("bc1_photo_flower", refcodec.BC1, "photo_flower",
      lambda b: bc123.encode_bc1(b, 0.5, 0), 3, -0.03),
     ("bc7_photo_china", refcodec.BC7, "photo_china",
-     lambda b: bc67.encode_bc7(b), 4, 0.20),
+     lambda b: bc67.encode_bc7(b), 4, 0.05),
     ("bc7_photo_flower", refcodec.BC7, "photo_flower",
-     lambda b: bc67.encode_bc7(b), 4, 0.10),
+     lambda b: bc67.encode_bc7(b), 4, 0.05),
     # max-quality tier (a second winner-refine pass): strictly above the
     # default tier on every content (measured +0.145 / +0.384 / +2.995 /
     # +0.487 / +0.272 / +0.164)
