@@ -40,8 +40,17 @@ def _refresh_verify_artifact(max_age_hours: float = 12.0) -> dict:
     try:
         with open(path) as f:
             cur = json.load(f)
-        age = now - datetime.datetime.fromisoformat(cur["date"])
-        if cur.get("ok") and age.total_seconds() < max_age_hours * 3600:
+        stamp = datetime.datetime.fromisoformat(cur["date"])
+        age = now - stamp
+        # Stale if older than max_age_hours OR older than any codec
+        # source (a kernel edit after the last verify run must re-verify).
+        src_dir = "/root/repo/directxtex_tpu/bc"
+        src_mtime = max(os.path.getmtime(os.path.join(src_dir, f))
+                        for f in os.listdir(src_dir) if f.endswith(".py"))
+        fresh = (cur.get("ok")
+                 and age.total_seconds() < max_age_hours * 3600
+                 and stamp.timestamp() >= src_mtime)
+        if fresh:
             return {"ok": cur["ok"], "date": cur["date"]}
     except Exception:
         pass

@@ -1,0 +1,132 @@
+"""BC6H winner-refine quality: encode PSNR (ours - compiled reference)
+for the default search alone vs search + refine_bc6h_words at several
+ladder tiers, on the frozen HDR probe plus the synthetic probes from
+quality_bc6h_shared.py (sun_sky is the known default-tier failure: the
+reference's PerturbOne climb beats our LS refits by 1.2 dB on the hot
+disk). Also covers signed content. CPU, deterministic.
+Usage:
+  PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python quality_bc6h_refine.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+
+import refcodec  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from directxtex_tpu.bc import bc67  # noqa: E402
+from directxtex_tpu.bc.common import image_to_blocks  # noqa: E402
+
+# (ladder, remap, cross2)
+LADDERS = {
+    "light": (bc67.BC6H_LADDER_LIGHT, False, False),
+    "full": (bc67.BC6H_LADDER_FULL, False, False),
+    "rm-light": (bc67.BC6H_LADDER_LIGHT, True, False),
+    "rm-21": ((2, (1,)), True, False),
+    "rm-full": (bc67.BC6H_LADDER_FULL, True, False),
+    "rm-log": ((2, (32, 16, 8, 4, 2, 1)), True, False),
+    "x2-21": ((2, (1,)), True, True),
+    "x2-full": (bc67.BC6H_LADDER_FULL, True, True),
+    "x2-log": ((2, (32, 16, 8, 4, 2, 1)), True, True),
+}
+
+
+def _psnr(a, b, peak):
+    mse = np.mean((a[..., :3].astype(np.float64)
+                   - b[..., :3].astype(np.float64)) ** 2)
+    return 10 * np.log10(peak * peak / max(mse, 1e-12))
+
+
+def _contents():
+    corpus = np.load(os.path.join(REPO, "tests/golden/corpus.npz"))
+    rng = np.random.default_rng(7)
+    out = {"hdr(frozen)": corpus["hdr"]}
+    photo = corpus["photo_china"][..., :3]
+    expo = np.exp(np.linspace(-4, 4, photo.shape[0]))[:, None, None]
+    out["photo_expose"] = ((photo + 0.05) * expo).astype(np.float32)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 64.0
+    sky = np.stack([0.1 + 0.05 * yy, 0.15 + 0.1 * yy,
+                    0.4 + 0.2 * yy], axis=-1)
+    disk = ((yy - 0.3) ** 2 + (xx - 0.6) ** 2) < 0.04
+    sky[disk] = [900.0, 850.0, 600.0]
+    out["sun_sky"] = sky.astype(np.float32)
+    out["dim_smooth"] = np.stack(
+        [0.02 + 0.01 * yy + 0.005 * xx,
+         0.03 + 0.008 * xx,
+         0.025 + 0.012 * yy * xx], axis=-1).astype(np.float32)
+    out["noise_mid"] = (rng.random((64, 64, 3)).astype(np.float32)
+                        * 4.0 + 0.5)
+    return out
+
+
+def main():
+    mins = {k: np.inf for k in ["base"] + list(LADDERS)}
+    for name, img in _contents().items():
+        if img.shape[-1] == 3:
+            img = np.concatenate(
+                [img, np.ones(img.shape[:2] + (1,), np.float32)], axis=-1)
+        blocks = np.asarray(image_to_blocks(jnp.asarray(img))[0])
+        peak = float(np.abs(img[..., :3]).max())
+        ref_bc = refcodec.encode(refcodec.BC6HU, blocks)
+        ref_psnr = _psnr(refcodec.decode(refcodec.BC6HU, ref_bc), blocks,
+                         peak)
+        jb = jnp.asarray(blocks)
+        base_words = bc67.encode_bc6h(jb, signed=False)
+        px_int = bc67._f16_to_int(
+            jnp.transpose(jnp.asarray(blocks, jnp.float32)[..., :3],
+                          (1, 2, 0)), False)
+
+        def score(words_u8):
+            bc = np.asarray(words_u8).reshape(-1, 16).astype(np.uint8)
+            return _psnr(refcodec.decode(refcodec.BC6HU, bc), blocks,
+                         peak) - ref_psnr
+
+        d = score(base_words)
+        mins["base"] = min(mins["base"], d)
+        print(f"{name:14s} base          {d:+.3f}", flush=True)
+        w32 = jnp.asarray(np.asarray(base_words).reshape(-1, 16)
+                          .view(np.uint32))
+        for lname, (ladder, rm, x2) in LADDERS.items():
+            refined = bc67.refine_bc6h_words(px_int, w32, ladder, False,
+                                             remap=rm, cross2=x2)
+            bc = np.asarray(refined).astype('<u4').view(np.uint8)
+            d = score(bc.reshape(-1, 16))
+            mins[lname] = min(mins[lname], d)
+            print(f"{name:14s} refine {lname:6s} {d:+.3f}", flush=True)
+
+    # signed smoke: zero-crossing content (test_refparity's probe)
+    yy, xx = np.mgrid[0:32, 0:32] / 32.0
+    img = np.stack([xx * 2 - 1, yy - 0.5, np.sin(xx * 6) * 0.8,
+                    np.ones((32, 32))], -1).astype(np.float32)
+    blocks = np.asarray(image_to_blocks(jnp.asarray(img))[0])
+    peak = float(np.abs(img[..., :3]).max())
+    ref_bc = refcodec.encode(refcodec.BC6HS, blocks)
+    ref_psnr = _psnr(refcodec.decode(refcodec.BC6HS, ref_bc), blocks, peak)
+    base = bc67.encode_bc6h(jnp.asarray(blocks), signed=True)
+    px_int = bc67._f16_to_int(
+        jnp.transpose(jnp.asarray(blocks, jnp.float32)[..., :3],
+                      (1, 2, 0)), True)
+    w32 = jnp.asarray(np.asarray(base).reshape(-1, 16).view(np.uint32))
+    for lname, (ladder, rm, x2) in LADDERS.items():
+        refined = np.asarray(
+            bc67.refine_bc6h_words(px_int, w32, ladder, True, remap=rm,
+                                   cross2=x2))
+        bc = refined.astype('<u4').view(np.uint8).reshape(-1, 16)
+        d = _psnr(refcodec.decode(refcodec.BC6HS, bc), blocks,
+                  peak) - ref_psnr
+        print(f"{'signed_zc':14s} refine {lname:6s} {d:+.3f}", flush=True)
+
+    print({k: round(v, 3) for k, v in mins.items()}, flush=True)
+
+
+if __name__ == "__main__":
+    main()

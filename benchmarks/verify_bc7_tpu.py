@@ -90,37 +90,66 @@ def verify():
                     0.0, 255.0).astype(jnp.int32)
     modes = (1, 3, 5, 6, 7, 4)  # encode_bc7 non-opaque mode order
 
-    # tiers by winner-refine ladders: default = light x1, maxq = full x2
-    tiers = [("default", [bc67.LADDER_LIGHT], ref)]
+    # tiers mirror bc67.encode_bc7 exactly: default = light ladder x1 +
+    # the measured mode-4 index-mode cut; maxq = full ladder x2 at full
+    # index-mode scope
+    tiers = [("default", [bc67.LADDER_LIGHT], bc67._MODE4_IMS, ref)]
     if "ref_maxq" in data:
-        tiers.append(("maxq", [bc67.LADDER_FULL] * 2, data["ref_maxq"]))
-    _, base_words = bc7_encode_pallas(px_i, modes)
-    for tier, ladders, tier_ref in tiers:
+        tiers.append(("maxq", [bc67.LADDER_FULL] * 2, (0, 1),
+                      data["ref_maxq"]))
+    src_all = np.clip(blocks * 255.0 + 0.01, 0, 255).astype(
+        np.int32).astype(np.float32)
+
+    def _mse(words_u8):
+        dec = np.asarray(bc67.decode_bc7(words_u8)) * 255.0
+        return ((dec - src_all) ** 2).sum(axis=(1, 2))
+
+    for tier, ladders, m4_ims, tier_ref in tiers:
+        _, base_words = bc7_encode_pallas(px_i, modes, m4_ims=m4_ims)
+        # (a) kernel equivalence: pallas refine vs the jnp twin on the
+        # SAME input words (both on-device). Any ladder-path divergence
+        # seeded by a near-tie search winner is excluded by construction,
+        # so disagreements here must be genuine near-ties of the refine
+        # step itself — per-block decoded-MSE parity required.
         words = base_words
+        jwords = base_words
         for ladder in ladders:
             words = bc7_refine_pallas(px_i, words, ladder, modes=modes)
+            jwords = bc67.refine_bc7_words(px_i, jwords, ladder,
+                                           modes=modes)
         got = np.ascontiguousarray(
             np.asarray(lax.bitcast_convert_type(words, jnp.uint8).reshape(
                 nb, 16)))
+        got_j = np.ascontiguousarray(
+            np.asarray(lax.bitcast_convert_type(jwords, jnp.uint8).reshape(
+                nb, 16)))
+        kdiff = np.any(got != got_j, axis=1)
+        print(f"bc7 refine [{tier}]: {kdiff.sum()}/{nb} blocks differ "
+              "from jnp refine on identical inputs")
+        if kdiff.sum() > max(2, nb // 25):
+            ok = False
+        if kdiff.any():
+            mse_p = _mse(got)[kdiff]
+            mse_j = _mse(got_j)[kdiff]
+            worst = float(np.max(mse_p - mse_j))
+            print(f"  worst MSE regression vs jnp refine: {worst:.5f}")
+            # near-tie fold flips are fine; only a real quality loss fails
+            if np.any(mse_p > mse_j * 1.05 + 1e-3):
+                ok = False
 
+        # (b) end-to-end vs the CPU jnp encode: search near-ties seed
+        # different ladder paths, so per-block divergence is expected;
+        # the gate is aggregate quality parity over the whole set.
         differ = np.any(got != tier_ref, axis=1)
+        mse_e2e_p = float(_mse(got).sum())
+        mse_e2e_r = float(_mse(tier_ref).sum())
         print(f"bc7 encode [{tier}]: {differ.sum()}/{nb} blocks differ "
-              "from jnp ref")
+              f"from jnp ref; total MSE {mse_e2e_p:.1f} vs "
+              f"ref {mse_e2e_r:.1f}")
         if differ.sum() > max(2, nb // 25):
             ok = False
-        if differ.any():
-            dec_p = np.asarray(bc67.decode_bc7(got[differ])) * 255.0
-            dec_r = np.asarray(bc67.decode_bc7(tier_ref[differ])) * 255.0
-            src = np.clip(blocks[differ] * 255.0 + 0.01, 0, 255).astype(
-                np.int32).astype(np.float32)
-            mse_p = ((dec_p - src) ** 2).sum(axis=(1, 2))
-            mse_r = ((dec_r - src) ** 2).sum(axis=(1, 2))
-            worst = float(np.max(mse_p - mse_r))
-            print(f"  worst MSE regression on disagreeing blocks: "
-                  f"{worst:.5f}")
-            # near-tie fold flips are fine; only a real quality loss fails
-            if np.any(mse_p > mse_r * 1.05 + 1e-3):
-                ok = False
+        if mse_e2e_p > mse_e2e_r * 1.001 + 1e-3:
+            ok = False
 
     # decode mega-kernels: bit-exact vs the frozen golden vectors
     v = np.load(GOLDEN)

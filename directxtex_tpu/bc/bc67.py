@@ -1651,12 +1651,13 @@ def _sext(v: jnp.ndarray, bits: int) -> jnp.ndarray:
     return (v.astype(jnp.int32) << sh) >> sh
 
 
-def _decode_bc6h_mode_rows(words, row: int, signed: bool):
-    """Decode ALL blocks assuming mode row `row`, lane-major.
-    words [4, NB] u32 -> [16][3] lists of [NB] int32 half-bit rows.
-    Row-structured for the pallas decode mega-kernel
-    (pallas_kernels.bc6h_decode_pallas); _decode_bc6h_mode_t converts
-    to f32 and stacks for the jnp path."""
+def _bc6h_unpack_endpoints(words, row: int, signed: bool):
+    """Header-field extraction for mode row `row`: shape + ABSOLUTE
+    quantized endpoints (sign-extended, inverse delta transform applied —
+    Decode BC6HBC7.cpp:1719-1736 + TransformInverse :1153, stopping
+    before Unquantize). Shared by the decoder and the winner-refine
+    unpack. words [4, NB] -> (shape [NB] i32,
+    e dict {(region, end, ch): [NB] i32})."""
     _, partitions, transformed, iprec, precW, precX, precY, precZ = \
         BC6H_MODE_INFO[row]
     nb = words.shape[1]
@@ -1707,6 +1708,20 @@ def _decode_bc6h_mode_rows(words, row: int, signed: bool):
                 if signed:
                     v = _sext(v, precW[ch])
                 e[key] = v
+    return shape, e
+
+
+def _decode_bc6h_mode_rows(words, row: int, signed: bool):
+    """Decode ALL blocks assuming mode row `row`, lane-major.
+    words [4, NB] u32 -> [16][3] lists of [NB] int32 half-bit rows.
+    Row-structured for the pallas decode mega-kernel
+    (pallas_kernels.bc6h_decode_pallas); _decode_bc6h_mode_t converts
+    to f32 and stacks for the jnp path."""
+    _, partitions, transformed, iprec, precW, precX, precY, precZ = \
+        BC6H_MODE_INFO[row]
+    nb = words.shape[1]
+    header_bits = 82 if partitions else 65
+    shape, e = _bc6h_unpack_endpoints(words, row, signed)
 
     u = {}
     for (reg, ab, ch), v in e.items():
@@ -2160,20 +2175,441 @@ def _bc6h_emit(row: int, shape, q_pairs, idx, nb) -> jnp.ndarray:
     return words
 
 
-# BC6H max-quality tier: logarithmic quantized-endpoint hill climb
-# (OptimizeOne/PerturbOne analog, BC6HBC7.cpp:2081-2226 — the reference
-# sweeps step = 2^(prec-1) .. 1 per endpoint channel, alternating
-# endpoints). _BC6H_PERTURB_ROUNDS alternating A/B sweep rounds
-# approximate its do-until-no-improvement loop; the start step is capped
-# at 2^_BC6H_PERTURB_MAXSTEP (the LS refit already places endpoints, so
-# half-range jumps on the 16-bit rows only bloat the unrolled graph).
-# Quality/cost vs the compiled reference encoder: see BASELINE.md.
-_BC6H_PERTURB_ROUNDS = 2
-_BC6H_PERTURB_MAXSTEP = 5
+# ---------------------------------------------------------------------------
+# BC6H winner-refine (r3): unpack each encoded block's winning state and
+# run the quantized-endpoint perturbation ladder on it only — the BC6H
+# analog of refine_bc7_words (OptimizeEndPoints, BC6HBC7.cpp:2081-2226).
+# All 14 mode rows merge into TWO ladder units (one-region / two-region)
+# by carrying the endpoint precision as a per-lane value: precW is
+# channel-uniform in every BC6H mode (ms_aInfo :1013-1067), so the
+# unquantize/clip grids become lane-wise shifts instead of 14 static
+# variants.
+# ---------------------------------------------------------------------------
+
+def _bc6h_unquantize_dyn(comp, bits, signed: bool):
+    """_bc6h_unquantize with per-lane bit widths (bits [NB] i32)."""
+    if signed:
+        s = comp < 0
+        c = jnp.abs(comp)
+        full = bits >= 16
+        unq = jnp.where(c == 0, 0,
+                        jnp.where(c >= (1 << (bits - 1)) - 1, 0x7FFF,
+                                  ((c << 15) + 0x4000) >> (bits - 1)))
+        unq = jnp.where(full, c, unq)
+        return jnp.where(s, -unq, unq)
+    full = bits >= 15
+    safe = jnp.where(full, 0, comp)       # keep comp<<16 inside int32
+    unq = jnp.where(comp == 0, 0,
+                    jnp.where(comp == (1 << bits) - 1, 0xFFFF,
+                              ((safe << 16) + 0x8000) >> bits))
+    return jnp.where(full, comp, unq)
 
 
-def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed,
-                         maxq: bool = False):
+def _bc6h_palette_err_dyn(px3, mask, q0, q1, precw, iprec: int, signed):
+    """_bc6h_palette_err_t with per-lane endpoint precision precw [NB].
+    px3: per-channel [16, NB] i32 F16-int pixel planes (kernel-friendly
+    — no [16, 3, NB] middle axis)."""
+    u = [(_bc6h_unquantize_dyn(q0[c], precw, signed),
+          _bc6h_unquantize_dyn(q1[c], precw, signed)) for c in range(3)]
+    K = 1 << iprec
+    f0 = [_bc6h_finish_unquantize(u[c][0], signed).astype(jnp.float32)
+          for c in range(3)]
+    f1 = [_bc6h_finish_unquantize(u[c][1], signed).astype(jnp.float32)
+          for c in range(3)]
+    dot = jnp.zeros(px3[0].shape, jnp.float32)
+    span = jnp.zeros((px3[0].shape[1],), jnp.float32)
+    for c in range(3):
+        e = f1[c] - f0[c]
+        dot = dot + (px3[c].astype(jnp.float32) - f0[c][None, :]) \
+            * e[None, :]
+        span = span + e * e
+    p64 = jnp.clip(dot * (64.0 / jnp.where(span > 0, span, 1.0))[None, :],
+                   0.0, 64.0)
+    kf = jnp.round(p64 * ((K - 1) / 64.0)).astype(jnp.int32)
+    kf = jnp.clip(kf, 0, K - 1)
+    wk = _pal_weight(kf, K)
+    wkp = _pal_weight(jnp.minimum(kf + 1, K - 1), K)
+    wkm = _pal_weight(jnp.maximum(kf - 1, 0), K)
+    up = (kf < K - 1) & (2.0 * p64 > (wk + wkp).astype(jnp.float32))
+    dn = (kf > 0) & (2.0 * p64 < (wk + wkm).astype(jnp.float32))
+    idx = jnp.where(up, kf + 1, jnp.where(dn, kf - 1, kf))
+    wk = _pal_weight(idx, K)
+    best = jnp.zeros_like(dot)
+    for c in range(3):
+        pal = (u[c][0][None, :] * (64 - wk) + u[c][1][None, :] * wk
+               + 32) >> 6
+        pal = _bc6h_finish_unquantize(pal, signed)
+        dd = (px3[c] - pal).astype(jnp.float32)
+        best = best + dd * dd
+    err = jnp.sum(jnp.where(mask, best, 0.0), axis=0)
+    return idx, err
+
+
+def _bc6h_cherr_dyn(px_c, mask, u0c, u1c, wk, signed):
+    """One channel's exact masked SSE at fixed palette weights wk [16, NB]
+    (the BC6H analog of _perturb_channels_t's cherr)."""
+    pal = (u0c[None, :] * (64 - wk) + u1c[None, :] * wk + 32) >> 6
+    pal = _bc6h_finish_unquantize(pal, signed)
+    d = (px_c - pal).astype(jnp.float32)
+    return jnp.sum(jnp.where(mask, d * d, 0.0), axis=0)
+
+
+def _bc6h_perturb_dyn(px3, mask, q0, q1, wk, precw, signed,
+                      rounds: int, deltas):
+    """Fixed-index per-channel endpoint ladder with per-lane precision.
+
+    q0/q1 [3, NB] quantized endpoints; wk [16, NB] palette weights held
+    fixed (the caller re-assigns indices once afterwards, like
+    refine_bc7_words); precw [NB]. Returns (q0, q1, err, err0)."""
+    if signed:
+        qhi = jnp.where(precw >= 16, _F16MAX, (1 << (precw - 1)) - 1)
+        qlo = -qhi
+    else:
+        qhi = jnp.where(precw >= 15, _F16MAX, (1 << precw) - 1)
+        qlo = jnp.zeros_like(qhi)
+    q0r = [q0[c] for c in range(3)]
+    q1r = [q1[c] for c in range(3)]
+    ch_err = []
+    for c in range(3):
+        u0c = _bc6h_unquantize_dyn(q0r[c], precw, signed)
+        u1c = _bc6h_unquantize_dyn(q1r[c], precw, signed)
+        ch_err.append(_bc6h_cherr_dyn(px3[c], mask, u0c, u1c,
+                                      wk, signed))
+    err0 = sum(ch_err)
+    for _ in range(rounds):
+        for c in range(3):
+            base = ch_err[c]
+            for which in (0, 1):
+                rows = q0r if which == 0 else q1r
+                other_u = _bc6h_unquantize_dyn(
+                    (q1r if which == 0 else q0r)[c], precw, signed)
+                for delta in deltas:
+                    for sgn in (delta, -delta):
+                        qt = jnp.clip(rows[c] + sgn, qlo, qhi)
+                        ut = _bc6h_unquantize_dyn(qt, precw, signed)
+                        e = (_bc6h_cherr_dyn(px3[c], mask, ut,
+                                             other_u, wk, signed)
+                             if which == 0 else
+                             _bc6h_cherr_dyn(px3[c], mask,
+                                             other_u, ut, wk, signed))
+                        better = e < base
+                        rows[c] = jnp.where(better, qt, rows[c])
+                        base = jnp.minimum(e, base)
+            ch_err[c] = base
+    return (jnp.stack(q0r), jnp.stack(q1r), sum(ch_err), err0)
+
+
+def _bc6h_perturb_remap_dyn(px3, mask, q0, q1, precw, iprec, signed,
+                            rounds: int, deltas):
+    """Re-mapping endpoint ladder: every probe re-assigns indices via the
+    full projection scorer (the reference's PerturbOne re-maps per step,
+    BC6HBC7.cpp:2128 via MapColors) — joint endpoint+index moves reach
+    interpolated exact representations the fixed-index ladder cannot
+    (e.g. a constant block hit exactly at weight 4 with both endpoints
+    individually off-grid). ~4x the cost of _bc6h_perturb_dyn per probe.
+    Returns (q0 [3, NB], q1 [3, NB], idx, err, err0)."""
+    if signed:
+        qhi = jnp.where(precw >= 16, _F16MAX, (1 << (precw - 1)) - 1)
+        qlo = -qhi
+    else:
+        # the full field range, not F16MAX: Unquantize's upper half is
+        # how bright values become reachable at W16 (PerturbOne clips to
+        # the field range, not the source range)
+        qhi = (1 << precw) - 1
+        qlo = jnp.zeros_like(qhi)
+    q0r = [q0[c] for c in range(3)]
+    q1r = [q1[c] for c in range(3)]
+    idx, err = _bc6h_palette_err_dyn(px3, mask, q0r, q1r, precw, iprec,
+                                     signed)
+    err0 = err
+    for _ in range(rounds):
+        for c in range(3):
+            for which in (0, 1):
+                rows = q0r if which == 0 else q1r
+                for delta in deltas:
+                    for sgn in (delta, -delta):
+                        qt = jnp.clip(rows[c] + sgn, qlo, qhi)
+                        keep, rows[c] = rows[c], qt
+                        idx_t, err_t = _bc6h_palette_err_dyn(
+                            px3, mask, q0r, q1r, precw, iprec, signed)
+                        bt = err_t < err
+                        rows[c] = jnp.where(bt, qt, keep)
+                        idx = jnp.where(bt[None, :], idx_t, idx)
+                        err = jnp.minimum(err_t, err)
+    return jnp.stack(q0r), jnp.stack(q1r), idx, err, err0
+
+
+# Winner-refine ladder tiers (rounds, deltas) — see BC6H_LADDER notes in
+# BASELINE.md for the measured quality/cost of each.
+BC6H_LADDER_LIGHT = (1, (1,))
+BC6H_LADDER_FULL = (2, (16, 4, 1))
+# maxq tier: re-mapping ladder with log-spaced deltas — measured best on
+# every content (benchmarks/quality_bc6h_refine.py), closes the sun_sky
+# hot-disk gap fully (the reference's PerturbOne climb reaches joint
+# endpoint+index states the fixed-index ladder cannot).
+BC6H_LADDER_MAXQ = (2, (32, 16, 8, 4, 2, 1))
+
+
+def refine_bc6h_words(px_int, words, ladder, signed: bool,
+                      remap: bool = False, cross2: bool = False,
+                      ladder2=None):
+    """Winner-refine pass: unpack each block's winning (mode row, shape,
+    endpoints, indices) from its packed words, run the quantized-endpoint
+    perturbation ladder on that state only, re-assign indices once, and
+    re-emit where the error improved AND the row's delta-transform still
+    fits (EndPointsFit :1948 — the ladder can push a delta out of its
+    field range, in which case the original block is kept).
+
+    remap=True uses the re-mapping ladder (_bc6h_perturb_remap_dyn):
+    indices re-assigned per probe, reference PerturbOne semantics.
+    cross2=True ladders 2-region winners at every 2-region precision
+    group (like unit A's cross-precision refine) — the maxq tier.
+
+    px_int [16, 3, NB] i32 F16-int pixels; words [NB, 4] u32.
+    Returns refined words [NB, 4]."""
+    nb = px_int.shape[2]
+    px3 = tuple(px_int[:, c, :] for c in range(3))
+    words_t = jnp.transpose(words)
+
+    def emit(row, shp, pairs, idx, a2):
+        return jnp.transpose(_bc6h_emit(row, shp, pairs, idx, nb))
+
+    out_t = _refine_bc6h_core(px3, words_t, ladder, signed, remap,
+                              cross2, emit, ladder2)
+    return jnp.transpose(out_t)
+
+
+def _refine_bc6h_core(px3, words_t, ladder, signed, remap, cross2, emit,
+                      ladder2=None):
+    """Lane-major refine body shared by the jnp wrapper and the pallas
+    kernel (pallas_kernels._bc6h_refine_kernel). px3: 3x [16, NB] i32;
+    words_t [4, NB] u32; emit(row, shape, pairs, idx, a2) -> [4, NB].
+    ladder2: the 2-region unit's (rounds, deltas), defaults to ladder —
+    the cross-row groups saturate at smaller deltas than unit A's
+    cross-precision ladder, so maxq runs them cheaper.
+    Returns refined words [4, NB]."""
+    nb = words_t.shape[1]
+    ladder_b = ladder2 if ladder2 is not None else ladder
+
+    # mode row per block (ms_aModeToInfo :1069): 2-bit mode values 0/1,
+    # else the full 5-bit field
+    b5 = (words_t[0] & 0x1F).astype(jnp.int32)
+    mode_val = jnp.where((b5 & 3) < 2, b5 & 3, b5)
+    row_idx = jnp.full((nb,), -1, jnp.int32)
+    for mv in range(32):
+        r = int(BC6H_MODE_TO_INFO[mv])
+        if r >= 0:
+            row_idx = jnp.where(mode_val == mv, r, row_idx)
+
+    # merge the 14 rows' unpacked states into per-unit planes
+    qm = {k: jnp.zeros((3, nb), jnp.int32)
+          for k in ((0, 0), (0, 1), (1, 0), (1, 1))}
+    shape = jnp.zeros((nb,), jnp.int32)
+    precw = jnp.full((nb,), 10, jnp.int32)
+    for row in range(14):
+        hit = row_idx == row
+        s_r, e = _bc6h_unpack_endpoints(words_t, row, signed)
+        info = BC6H_MODE_INFO[row]
+        precw = jnp.where(hit, info[4][0], precw)
+        if info[1]:
+            shape = jnp.where(hit, s_r, shape)
+        for key in qm:
+            if info[1] or key[0] == 0:
+                vals = jnp.stack([e[(key[0], key[1], c)]
+                                  for c in range(3)])
+                qm[key] = jnp.where(hit[None, :], vals, qm[key])
+
+    ones = jnp.ones((16, nb), bool)
+    out = words_t
+
+    # ---- unit A: one-region rows 10-13 (iprec 4, header 65) ----
+    # The winner is laddered at ALL FOUR one-region precisions, not just
+    # its own: each precision's Unquantize/FinishUnquantize grid
+    # (:1892/:1930) reaches different F16 values, so a block's exact
+    # representation can exist at W11 but not W12 (the sun_sky hot-disk
+    # constant blocks) — the reference finds it because its climb runs
+    # per mode (:2081). Fold keeps the best fitting row.
+    idx1 = jnp.stack([
+        _gb_t(words_t, 65 + 4 * i - (1 if i > 0 else 0),
+              4 - (1 if i == 0 else 0)).astype(jnp.int32)
+        for i in range(16)])
+    wk1 = _pal_weight(idx1, 16)
+    # the winner's endpoints in F16-int space, for re-quantization at
+    # the other rows' precisions
+    ef = [jnp.stack([_bc6h_finish_unquantize(
+        _bc6h_unquantize_dyn(qm[(0, e)][c], precw, signed), signed)
+        for c in range(3)]) for e in (0, 1)]
+    unit_a = {}
+    err1_old = None
+    for row in range(10, 14):
+        precA = BC6H_MODE_INFO[row][4][0]
+        pA = jnp.full((nb,), precA, jnp.int32)
+        same = precw == precA
+        q0s = jnp.where(same[None, :], qm[(0, 0)], jnp.stack(
+            [_bc6h_quantize(ef[0][c], precA, signed) for c in range(3)]))
+        q1s = jnp.where(same[None, :], qm[(0, 1)], jnp.stack(
+            [_bc6h_quantize(ef[1][c], precA, signed) for c in range(3)]))
+        if remap:
+            q0n, q1n, idx1f, err1_new, err0 = _bc6h_perturb_remap_dyn(
+                px3, ones, q0s, q1s, pA, 4, signed,
+                ladder[0], ladder[1])
+        else:
+            q0n, q1n, err_l, err0 = _bc6h_perturb_dyn(
+                px3, ones, q0s, q1s, wk1, pA, signed,
+                ladder[0], ladder[1])
+            idx_t, err_t = _bc6h_palette_err_dyn(px3, ones, q0n, q1n,
+                                                 pA, 4, signed)
+            keep = err_t < err_l
+            idx1f = jnp.where(keep[None, :], idx_t, idx1)
+            err1_new = jnp.minimum(err_t, err_l)
+        if err1_old is None:
+            # pre-ladder error at the winner's own precision = the bar
+            # every candidate row must beat
+            err1_old = jnp.where(same, err0, jnp.inf)
+        else:
+            err1_old = jnp.where(same, err0, err1_old)
+        swap = (idx1f[0] & 8) != 0
+        q0a = jnp.where(swap[None, :], q1n, q0n)
+        q1a = jnp.where(swap[None, :], q0n, q1n)
+        idx1f = jnp.where(swap[None, :], 15 - idx1f, idx1f)
+        unit_a[row] = (err1_new, q0a, q1a, idx1f)
+
+    # ---- unit B: two-region rows 0-9 (iprec 3, header 82) ----
+    pa_tab = tuple(int(FIXUPS[1, sv, 1]) for sv in range(32))
+    pp_tab = tuple(int(sum(int(PARTITIONS[1][sv, i]) << (2 * i)
+                           for i in range(16))) for sv in range(32))
+    a2 = jnp.zeros((nb,), jnp.int32)
+    pp = jnp.zeros((nb,), jnp.uint32)
+    for sv in range(32):
+        hit = shape == sv
+        a2 = jnp.where(hit, pa_tab[sv], a2)
+        pp = jnp.where(hit, jnp.uint32(pp_tab[sv]), pp)
+    pm = jnp.stack([((pp >> (2 * i)) & 1).astype(jnp.int32)
+                    for i in range(16)])
+    mask_list = [pm == 0, pm == 1]
+    idx2_rows = []
+    for i in range(16):
+        before = (1 if i > 0 else 0) + (a2 < i).astype(jnp.int32)
+        is_anchor = jnp.where((i == 0) | (a2 == i), 1, 0)
+        start = 82 + 3 * i - before
+        idx2_rows.append(_gb_dyn_t(words_t, start, is_anchor,
+                                   3).astype(jnp.int32))
+    idx2 = jnp.stack(idx2_rows)
+    wk2 = _pal_weight(idx2, 8)
+
+    # cross2 (maxq): ladder the 2-region winner at EVERY 2-region
+    # precision group, not just its own — like unit A, a block's best
+    # representation can live at a different endpoint precision/delta
+    # layout than the row the search picked (the in-search ladder found
+    # these by perturbing every candidate; measured on dim_smooth,
+    # benchmarks/quality_bc6h_refine.py). Winner endpoints re-quantized
+    # per group from F16-int space; fold keeps the best fitting row.
+    if cross2:
+        groups = _bc6h_row_groups()
+        ef2 = {}
+        for sub in (0, 1):
+            for e in (0, 1):
+                ef2[(sub, e)] = [_bc6h_finish_unquantize(
+                    _bc6h_unquantize_dyn(qm[(sub, e)][c], precw, signed),
+                    signed) for c in range(3)]
+    else:
+        groups = [None]
+
+    unit_b = []
+    err2_old = None
+    for g in groups:
+        if g is None:
+            pB = precw
+            same = None
+        else:
+            precB = BC6H_MODE_INFO[g[0]][4][0]
+            pB = jnp.full((nb,), precB, jnp.int32)
+            same = precw == precB
+        q2 = {}
+        err2_new = jnp.zeros((nb,), jnp.float32)
+        err2_pre = jnp.zeros((nb,), jnp.float32)
+        idx2f = idx2
+        for sub, mask in enumerate(mask_list):
+            if g is None:
+                q0s, q1s = qm[(sub, 0)], qm[(sub, 1)]
+            else:
+                q0s = jnp.where(same[None, :], qm[(sub, 0)], jnp.stack(
+                    [_bc6h_quantize(ef2[(sub, 0)][c], precB, signed)
+                     for c in range(3)]))
+                q1s = jnp.where(same[None, :], qm[(sub, 1)], jnp.stack(
+                    [_bc6h_quantize(ef2[(sub, 1)][c], precB, signed)
+                     for c in range(3)]))
+            if remap:
+                q0n2, q1n2, idx_t2, err_n2, err02 = \
+                    _bc6h_perturb_remap_dyn(
+                        px3, mask, q0s, q1s, pB, 3,
+                        signed, ladder_b[0], ladder_b[1])
+                idx2f = jnp.where(mask, idx_t2, idx2f)
+            else:
+                q0n2, q1n2, err_l2, err02 = _bc6h_perturb_dyn(
+                    px3, mask, q0s, q1s, wk2, pB,
+                    signed, ladder_b[0], ladder_b[1])
+                idx_t2, err_t2 = _bc6h_palette_err_dyn(
+                    px3, mask, q0n2, q1n2, pB, 3, signed)
+                keep2 = err_t2 < err_l2
+                idx2f = jnp.where(keep2[None, :] & mask, idx_t2, idx2f)
+                err_n2 = jnp.minimum(err_t2, err_l2)
+            q2[sub] = (q0n2, q1n2)
+            err2_new = err2_new + err_n2
+            err2_pre = err2_pre + err02
+        # anchor swaps (SwapIndices :2228)
+        for sub, (mask, anchor) in enumerate(zip(mask_list, (0, a2))):
+            if isinstance(anchor, int):
+                a_idx = idx2f[anchor]
+            else:
+                a_idx = jnp.zeros(nb, jnp.int32)
+                for i in range(16):
+                    a_idx = jnp.where(anchor == i, idx2f[i], a_idx)
+            swap2 = (a_idx & 4) != 0
+            q0s, q1s = q2[sub]
+            q2[sub] = (jnp.where(swap2[None, :], q1s, q0s),
+                       jnp.where(swap2[None, :], q0s, q1s))
+            idx2f = jnp.where(swap2[None, :] & mask, 7 - idx2f, idx2f)
+        unit_b.append((g, err2_new, q2, idx2f))
+        if g is None:
+            err2_old = err2_pre
+        else:
+            # pre-ladder error at the winner's own precision = the bar
+            prev = jnp.full((nb,), jnp.inf, jnp.float32) \
+                if err2_old is None else err2_old
+            err2_old = jnp.where(same, err2_pre, prev)
+
+    # ---- per-row delta transform + fit + emit, fold where improved ----
+    # 1-region winners fold over all four rows (cross-precision refine);
+    # 2-region winners over their own row (default) or every row whose
+    # precision group was laddered (cross2) — running-best on error.
+    shape_u = shape.astype(jnp.uint32)
+    best1 = err1_old
+    for row in range(10, 14):
+        err1_new, q0a, q1a, idx1f = unit_a[row]
+        errf, pairs = _bc6h_transform_fit_t(
+            [(q0a, q1a)], err1_new, row, signed, nb)
+        wn = emit(row, 0, pairs, idx1f, None)
+        better = (row_idx >= 10) & (errf < best1)
+        best1 = jnp.where(better, errf, best1)
+        out = jnp.where(better[None, :], wn, out)
+
+    is2 = (row_idx >= 0) & (row_idx <= 9)
+    best2 = err2_old
+    for g, err2_new, q2, idx2f in unit_b:
+        rows_g = range(10) if g is None else g
+        for row in rows_g:
+            errf, pairs = _bc6h_transform_fit_t(
+                [q2[0], q2[1]], err2_new, row, signed, nb)
+            wn = emit(row, shape_u, pairs, idx2f, a2)
+            gate = is2 if g is not None else (row_idx == row)
+            better = gate & (errf < best2)
+            best2 = jnp.where(better, errf, best2)
+            out = jnp.where(better[None, :], wn, out)
+    return out
+
+
+def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed):
     """One (mode, shape) candidate over lane-major planes.
 
     px_int/px_f [16, 3, NB]; masks [16, NB]. Returns (err [NB], emit_pairs,
@@ -2235,40 +2671,6 @@ def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed,
         q1 = jnp.where(better[None, :], q1b, q1)
         idx = jnp.where(better[None, :], idx_b, idx)
         err = jnp.minimum(err_b, err)
-
-        if maxq:
-            # greedy quantized-endpoint hill climb, logarithmic step
-            # ladder over the full field range per channel (PerturbOne):
-            # each accepted move updates the working endpoints
-            qlo = [(-(1 << (precW[c] - 1)) + 1) if signed else 0
-                   for c in range(3)]
-            qhi = [((1 << (precW[c] - 1)) - 1) if signed
-                   else ((1 << precW[c]) - 1) for c in range(3)]
-            for _ in range(_BC6H_PERTURB_ROUNDS):
-                for side in (0, 1):
-                    for c in range(3):
-                        step = 1 << min(precW[c] - 1,
-                                        _BC6H_PERTURB_MAXSTEP)
-                        while step:
-                            for sgn in (step, -step):
-                                t0, t1 = q0, q1
-                                moved = (t0 if side == 0 else t1) \
-                                    .at[c].add(sgn)
-                                moved = moved.at[c].set(
-                                    jnp.clip(moved[c], qlo[c], qhi[c]))
-                                if side == 0:
-                                    t0 = moved
-                                else:
-                                    t1 = moved
-                                idx_t, err_t = _bc6h_palette_err_t(
-                                    px_int, mask, t0, t1, precW, iprec,
-                                    signed)
-                                bt = err_t < err
-                                q0 = jnp.where(bt[None, :], t0, q0)
-                                q1 = jnp.where(bt[None, :], t1, q1)
-                                idx = jnp.where(bt[None, :], idx_t, idx)
-                                err = jnp.minimum(err_t, err)
-                            step >>= 1
 
         total_err = total_err + err
         q_pairs.append((q0, q1))
@@ -2332,14 +2734,32 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool,
                 flags: int = 0) -> jnp.ndarray:
     """[NB, 16, 4] f32 -> [NB, 16] u8 (D3DXEncodeBC6HU/S, BC6HBC7.cpp:1817).
 
-    The max-quality flag adds the quantized-endpoint perturbation ladder
-    (_BC6H_PERTURB_DELTAS) on the jnp path."""
+    The max-quality flag runs the default search, then the re-mapping
+    winner-refine ladder (refine_bc6h_words, BC6H_LADDER_MAXQ) on each
+    block's winning state — OptimizeEndPoints/PerturbOne analog,
+    BC6HBC7.cpp:2081-2226."""
     rgb = jnp.asarray(blocks, jnp.float32)[..., :3]
     nb = rgb.shape[0]
     maxq = bool(flags & _BC7_MAXQUALITY)
     # lane-major [16, 3, NB]
     px_int = _f16_to_int(jnp.transpose(rgb, (1, 2, 0)), signed)
     px_f = px_int.astype(jnp.float32)
+
+    if maxq:
+        # Winner-refine maxq (r3): run the default search (the pallas
+        # mega kernel on TPU), then the re-mapping perturbation ladder
+        # on each block's winning state only — the BC6H analog of the
+        # BC7 maxq architecture and of OptimizeEndPoints/PerturbOne
+        # (BC6HBC7.cpp:2081-2226). Beats the old in-search ladder on
+        # every probe at a fraction of its cost, and keeps maxq on the
+        # kernel path (the in-search tier disabled pallas entirely).
+        words8 = encode_bc6h(blocks, signed, flags & ~_BC7_MAXQUALITY)
+        w32 = lax.bitcast_convert_type(
+            words8.reshape(nb, 4, 4), jnp.uint32)
+        refined = refine_bc6h_words(px_int, w32, BC6H_LADDER_MAXQ,
+                                    signed, remap=True, cross2=True)
+        return lax.bitcast_convert_type(refined, jnp.uint8).reshape(
+            nb, 16)
 
     best_err = jnp.full((nb,), jnp.inf, jnp.float32)
     best_words = jnp.zeros((nb, 4), jnp.uint32)
@@ -2348,8 +2768,7 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool,
     try:
         from .pallas_kernels import (_use_pallas, bc6h_1region_pallas,
                                      bc6h_2region_pallas)
-        # the perturbation tier runs on the jnp path (no pallas port)
-        use_pallas = _use_pallas() and not maxq
+        use_pallas = _use_pallas()
     except Exception:
         pass
 
@@ -2369,7 +2788,7 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool,
         return (jnp.minimum(err, best_err),
                 jnp.where(better[:, None], words, best_words))
 
-    if BC6H_SHARED_FIT and not maxq:
+    if BC6H_SHARED_FIT:
         # Shared-fit search (r3): one precision-free fit trajectory per
         # (shape candidate, region family); each precision group only
         # quantizes + rescores it. Same structure as the pallas mega
@@ -2416,24 +2835,16 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool,
         return lax.bitcast_convert_type(best_words, jnp.uint8).reshape(
             nb, 16)
 
-    def eval_variants(mask_list, anchors, row, s_blk):
-        """The base candidate, plus the perturbed one under maxq — the
-        perturbation can push endpoints out of the delta-transform fit
-        range (EndPointsFit :1948), so the unperturbed variant stays in
-        the fold as the fallback."""
-        out = []
-        variants = (False, True) if maxq else (False,)
-        for mq in variants:
-            err, pairs, idx = _bc6h_eval_candidate(
-                px_int, px_f, mask_list, anchors, row, signed, maxq=mq)
-            out.append((err, _bc6h_emit(row, s_blk, pairs, idx, nb)))
-        return out
+    def eval_one(mask_list, anchors, row, s_blk):
+        err, pairs, idx = _bc6h_eval_candidate(
+            px_int, px_f, mask_list, anchors, row, signed)
+        return err, _bc6h_emit(row, s_blk, pairs, idx, nb)
 
     # 1-region modes (rows 10-13): one candidate each
     for row in range(10, 14):
-        for err, words in eval_variants([ones], [0], row, 0):
-            best_err, best_words = fold_candidate(best_err, best_words,
-                                                  err, words)
+        err, words = eval_one([ones], [0], row, 0)
+        best_err, best_words = fold_candidate(best_err, best_words,
+                                              err, words)
 
     # 2-region modes (rows 0-9): shared estimate over the 32 BC6H shapes,
     # then full refinement of the best BC7_SHAPE_CANDIDATES shapes per row.
@@ -2450,9 +2861,9 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool,
             pmask = parts_tab[s_blk].T                   # [16, NB]
             mask_list = [pmask == 0, pmask == 1]
             anchors = [0, fix_tab[s_blk, 1].astype(jnp.int32)]
-            for err, words in eval_variants(mask_list, anchors, row,
-                                            s_blk.astype(jnp.uint32)):
-                best_err, best_words = fold_candidate(best_err, best_words,
-                                                      err, words)
+            err, words = eval_one(mask_list, anchors, row,
+                                  s_blk.astype(jnp.uint32))
+            best_err, best_words = fold_candidate(best_err, best_words,
+                                                  err, words)
 
     return lax.bitcast_convert_type(best_words, jnp.uint8).reshape(nb, 16)

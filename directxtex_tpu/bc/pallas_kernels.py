@@ -2607,6 +2607,66 @@ def _bc6h_all_kernel(px_ref, m_ref, err_ref, w_ref, *, signed: bool,
 _BC6H_ALL_TILE = 256
 
 
+def _bc6h_refine_kernel(px_ref, w_ref, wout_ref, *, ladder, ladder2,
+                        signed: bool, remap: bool, cross2: bool):
+    """BC6H winner-refine as a kernel: bc67._refine_bc6h_core with the
+    in-kernel emit (the core is lane-major throughout — same sharing
+    pattern as the decode mega-kernels)."""
+    from . import bc67
+    px3 = tuple(px_ref[c * 16:(c + 1) * 16, :] for c in range(3))
+    words = w_ref[...]
+
+    def emit(row, shp, pairs, idx, a2):
+        partitions = BC6H_MODE_INFO[row][1]
+        s_blk = (jnp.zeros_like(words[0], dtype=jnp.uint32)
+                 if isinstance(shp, int) else shp)
+        return _k_bc6h_emit(row, words[0], s_blk, pairs, idx,
+                            a2 if partitions else None)
+
+    wout_ref[...] = bc67._refine_bc6h_core(px3, words, ladder, signed,
+                                           remap, cross2, emit, ladder2)
+
+
+@functools.partial(jax.jit, static_argnames=("ladder", "ladder2",
+                                              "signed", "remap", "cross2",
+                                              "interpret", "tile"))
+def bc6h_refine_pallas(px_int: jnp.ndarray, words: jnp.ndarray, ladder,
+                       signed: bool, remap: bool = True,
+                       cross2: bool = False, ladder2=None,
+                       interpret: bool = False,
+                       tile: int = _BC6H_ALL_TILE):
+    """Winner-refine as one pallas dispatch (bc67.refine_bc6h_words
+    twin). px_int [16, 3, NB] i32 F16-int; words [NB, 4] u32.
+    Returns refined words [NB, 4] u32."""
+    from jax.experimental import pallas as pl
+
+    nb = px_int.shape[2]
+    nb_pad = -(-nb // tile) * tile
+    pad = nb_pad - nb
+    px_cm = jnp.transpose(px_int, (1, 0, 2)).reshape(48, nb)
+    wt = jnp.transpose(words)
+    if pad:
+        px_cm = jnp.pad(px_cm, ((0, 0), (0, pad)))
+        # pad lanes carry zero words (header mode 0 = a valid 2-region
+        # row over zero pixels); whatever the refine does to them is
+        # sliced off below
+        wt = jnp.pad(wt, ((0, 0), (0, pad)))
+
+    wout = pl.pallas_call(
+        functools.partial(_bc6h_refine_kernel, ladder=ladder,
+                          ladder2=ladder2, signed=signed, remap=remap,
+                          cross2=cross2),
+        grid=(nb_pad // tile,),
+        in_specs=[pl.BlockSpec((48, tile), lambda i: (0, i)),
+                  pl.BlockSpec((4, tile), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((4, nb_pad), jnp.uint32),
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(px_cm, wt)
+    return wout[:, :nb].T
+
+
 @functools.partial(jax.jit, static_argnames=("signed", "n_cand",
                                               "interpret", "tile",
                                               "rows_sel"))

@@ -232,12 +232,21 @@ def make_photo_corpus():
     return out
 
 
-def gen_corpus():
+def gen_corpus(refresh_psnr_only: bool = False):
+    """refresh_psnr_only: keep the frozen content images byte-identical
+    (reload them from the existing corpus.npz) and re-measure only the
+    psnr_* entries — the sanctioned path when a deliberate, measured
+    encoder config change shifts the frozen round-trip numbers (the
+    refparity gates vs the compiled reference remain the quality bar)."""
     import jax.numpy as jnp
     from directxtex_tpu.bc import bc123, bc45, bc67
     from directxtex_tpu.bc.common import image_to_blocks
 
-    corpus = make_corpus()
+    if refresh_psnr_only:
+        old = np.load(HERE / "corpus.npz")
+        corpus = {k: old[k] for k in old.files if not k.startswith("psnr_")}
+    else:
+        corpus = make_corpus()
 
     def psnr(a, b, ch=4):
         m = float(np.mean((np.asarray(a)[..., :ch] - np.asarray(b)[..., :ch]) ** 2))
@@ -351,6 +360,9 @@ def gen_containers():
 
 
 if __name__ == "__main__":
-    gen_decode_vectors()
-    gen_corpus()
-    gen_containers()
+    if "--refresh-psnr" in sys.argv:
+        gen_corpus(refresh_psnr_only=True)
+    else:
+        gen_decode_vectors()
+        gen_corpus()
+        gen_containers()
