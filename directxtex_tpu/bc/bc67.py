@@ -2441,6 +2441,17 @@ def _refine_bc6h_core(px3, words_t, ladder, signed, remap, cross2, emit,
         for c in range(3)]) for e in (0, 1)]
     unit_a = {}
     err1_old = None
+    if remap:
+        # Acceptance bar = the winner's pre-ladder error at its STORED
+        # indices (the non-remap path's fixed-wk err0), not the error
+        # after index re-assignment: otherwise an index-only remap
+        # improvement ties the bar and the strict '<' fold drops it.
+        err1_old = jnp.zeros((nb,), jnp.float32)
+        for c in range(3):
+            u0w = _bc6h_unquantize_dyn(qm[(0, 0)][c], precw, signed)
+            u1w = _bc6h_unquantize_dyn(qm[(0, 1)][c], precw, signed)
+            err1_old = err1_old + _bc6h_cherr_dyn(px3[c], ones, u0w,
+                                                  u1w, wk1, signed)
     for row in range(10, 14):
         precA = BC6H_MODE_INFO[row][4][0]
         pA = jnp.full((nb,), precA, jnp.int32)
@@ -2462,12 +2473,13 @@ def _refine_bc6h_core(px3, words_t, ladder, signed, remap, cross2, emit,
             keep = err_t < err_l
             idx1f = jnp.where(keep[None, :], idx_t, idx1)
             err1_new = jnp.minimum(err_t, err_l)
-        if err1_old is None:
-            # pre-ladder error at the winner's own precision = the bar
-            # every candidate row must beat
-            err1_old = jnp.where(same, err0, jnp.inf)
-        else:
-            err1_old = jnp.where(same, err0, err1_old)
+        if not remap:
+            if err1_old is None:
+                # pre-ladder error at the winner's own precision = the
+                # bar every candidate row must beat
+                err1_old = jnp.where(same, err0, jnp.inf)
+            else:
+                err1_old = jnp.where(same, err0, err1_old)
         swap = (idx1f[0] & 8) != 0
         q0a = jnp.where(swap[None, :], q1n, q0n)
         q1a = jnp.where(swap[None, :], q0n, q1n)
@@ -2496,6 +2508,18 @@ def _refine_bc6h_core(px3, words_t, ladder, signed, remap, cross2, emit,
                                    3).astype(jnp.int32))
     idx2 = jnp.stack(idx2_rows)
     wk2 = _pal_weight(idx2, 8)
+    err2_stored = None
+    if remap:
+        # same stored-index bar as unit A (see err1_old above)
+        err2_stored = jnp.zeros((nb,), jnp.float32)
+        for sub, mask_s in enumerate(mask_list):
+            for c in range(3):
+                u0w = _bc6h_unquantize_dyn(qm[(sub, 0)][c], precw,
+                                           signed)
+                u1w = _bc6h_unquantize_dyn(qm[(sub, 1)][c], precw,
+                                           signed)
+                err2_stored = err2_stored + _bc6h_cherr_dyn(
+                    px3[c], mask_s, u0w, u1w, wk2, signed)
 
     # cross2 (maxq): ladder the 2-region winner at EVERY 2-region
     # precision group, not just its own — like unit A, a block's best
@@ -2516,7 +2540,7 @@ def _refine_bc6h_core(px3, words_t, ladder, signed, remap, cross2, emit,
         groups = [None]
 
     unit_b = []
-    err2_old = None
+    err2_old = err2_stored
     for g in groups:
         if g is None:
             pB = precw
@@ -2571,13 +2595,14 @@ def _refine_bc6h_core(px3, words_t, ladder, signed, remap, cross2, emit,
                        jnp.where(swap2[None, :], q0s, q1s))
             idx2f = jnp.where(swap2[None, :] & mask, 7 - idx2f, idx2f)
         unit_b.append((g, err2_new, q2, idx2f))
-        if g is None:
-            err2_old = err2_pre
-        else:
-            # pre-ladder error at the winner's own precision = the bar
-            prev = jnp.full((nb,), jnp.inf, jnp.float32) \
-                if err2_old is None else err2_old
-            err2_old = jnp.where(same, err2_pre, prev)
+        if not remap:
+            if g is None:
+                err2_old = err2_pre
+            else:
+                # pre-ladder error at the winner's own precision = bar
+                prev = jnp.full((nb,), jnp.inf, jnp.float32) \
+                    if err2_old is None else err2_old
+                err2_old = jnp.where(same, err2_pre, prev)
 
     # ---- per-row delta transform + fit + emit, fold where improved ----
     # 1-region winners fold over all four rows (cross-precision refine);
@@ -2756,8 +2781,18 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool,
         words8 = encode_bc6h(blocks, signed, flags & ~_BC7_MAXQUALITY)
         w32 = lax.bitcast_convert_type(
             words8.reshape(nb, 4, 4), jnp.uint32)
-        refined = refine_bc6h_words(px_int, w32, BC6H_LADDER_MAXQ,
-                                    signed, remap=True, cross2=True)
+        use_pallas = False
+        try:
+            from .pallas_kernels import _use_pallas, bc6h_refine_pallas
+            use_pallas = _use_pallas()
+        except Exception:
+            pass
+        if use_pallas:
+            refined = bc6h_refine_pallas(px_int, w32, BC6H_LADDER_MAXQ,
+                                         signed, remap=True, cross2=True)
+        else:
+            refined = refine_bc6h_words(px_int, w32, BC6H_LADDER_MAXQ,
+                                        signed, remap=True, cross2=True)
         return lax.bitcast_convert_type(refined, jnp.uint8).reshape(
             nb, 16)
 

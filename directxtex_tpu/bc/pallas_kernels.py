@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bc67 import _ON_AXIS_W, _POWER_ITERS
+from .bc67 import _MODE4_IMS, _ON_AXIS_W, _POWER_ITERS
 from .bc67_tables import WEIGHTS2, WEIGHTS3, WEIGHTS4
 
 _WEIGHTS = {2: WEIGHTS2, 3: WEIGHTS3, 4: WEIGHTS4}
@@ -1076,11 +1076,14 @@ def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
                                               "m4_ims"))
 def single_modes_pallas(px_i: jnp.ndarray, interpret: bool = False,
                         aw: float = 1.0, rots: tuple = (0, 1, 2, 3),
-                        m4_ims: tuple = (0, 1)):
+                        m4_ims: tuple | None = None):
     """Modes 4, 5, 6 fused. px_i [16, 4, NB] i32. Returns
-    {mode: (err [NB], words [NB, 4] u32)}."""
+    {mode: (err [NB], words [NB, 4] u32)}. m4_ims=None resolves to the
+    jnp twin's default (bc67._MODE4_IMS) so both sides share one scope."""
     from jax.experimental import pallas as pl
 
+    if m4_ims is None:
+        m4_ims = _MODE4_IMS
     nb = px_i.shape[2]
     nb_pad = -(-nb // _TILE) * _TILE
     pad = nb_pad - nb
@@ -1340,18 +1343,21 @@ _BC7_ALL_TILE = 256
 def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
                       interpret: bool = False, tile: int = _BC7_ALL_TILE,
                       aw: float = 1.0, rots: tuple = (0, 1, 2, 3),
-                      m4_ims: tuple = (0, 1)):
+                      m4_ims: tuple | None = None):
     """Full BC7 search as ONE pallas dispatch over modes ⊆ {0..7}
     folded in `modes` order (mode-7 errors are inf-masked for opaque
     blocks in-kernel; modes 0/2 ride a second 3-subset mask matrix).
     The endpoint-perturbation ladder runs on the cross-mode winner in a
     separate dispatch (bc7_refine_pallas) — in-search laddering measured
     304 -> 117 Mtexels/s on v5e for LESS quality than winner-refine.
-    px_i [16, 4, NB] i32. Returns (err [NB] f32, words [NB, 4] u32)."""
+    px_i [16, 4, NB] i32. Returns (err [NB] f32, words [NB, 4] u32).
+    m4_ims=None resolves to bc67._MODE4_IMS (shared twin default)."""
     from jax.experimental import pallas as pl
 
     from .bc67_tables import PARTITIONS
 
+    if m4_ims is None:
+        m4_ims = _MODE4_IMS
     nb = px_i.shape[2]
     nb_pad = -(-nb // tile) * tile
     pad = nb_pad - nb

@@ -287,6 +287,19 @@ def gen_corpus(refresh_psnr_only: bool = False):
        lambda b: bc67.encode_bc6h(b, signed=False),
        lambda e: bc67.decode_bc6h(e, signed=False), quality=log_psnr)
 
+    if refresh_psnr_only:
+        # print the old-vs-new deltas so a refresh leaves an auditable
+        # record (paste into the commit message); the refparity gates vs
+        # the compiled reference stay the primary quality bar.
+        print("refresh deltas (old -> new):")
+        for k, v in measured.items():
+            key = f"psnr_{k}"
+            if key in old.files:
+                prev = float(old[key])
+                print(f"  {k}: {prev:.3f} -> {v:.3f} ({v - prev:+.3f} dB)")
+            else:
+                print(f"  {k}: (new) {v:.3f}")
+
     data = dict(corpus)
     for k, v in measured.items():
         data[f"psnr_{k}"] = np.float32(v)

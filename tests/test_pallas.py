@@ -397,6 +397,47 @@ def test_bc6h_single_dispatch_matches_jnp(signed):
         np.testing.assert_allclose(mse_p, mse_r, rtol=5e-2, atol=1e-4)
 
 
+@pytest.mark.parametrize("signed", [False, True])
+def test_bc6h_refine_pallas_matches_jnp(signed):
+    """bc6h_refine_pallas (winner-ladder dispatch) vs the jnp twin
+    refine_bc6h_words on mixed 1-/2-region winner words (the maxq path,
+    OptimizeEndPoints/PerturbOne analog BC6HBC7.cpp:2081-2226)."""
+    from directxtex_tpu.bc.pallas_kernels import bc6h_refine_pallas
+    from directxtex_tpu.bc.bc67 import (
+        BC6H_LADDER_LIGHT, BC6H_LADDER_MAXQ, _f16_to_int,
+        refine_bc6h_words)
+    from jax import lax
+
+    rng = np.random.default_rng(23)
+    nb = 160
+    scale = 8.0 if not signed else 4.0
+    rgb = rng.random((nb, 16, 3)).astype(np.float32) * scale
+    # two-region structure on half the blocks so 2-region rows win some
+    rgb[: nb // 2, 8:, :] += scale
+    if signed:
+        rgb = rgb - scale / 2
+    blocks = np.concatenate([rgb, np.ones((nb, 16, 1), np.float32)], -1)
+
+    words8 = bc67.encode_bc6h(jnp.asarray(blocks), signed)
+    w32 = lax.bitcast_convert_type(
+        words8.reshape(nb, 4, 4), jnp.uint32)
+    px_int = _f16_to_int(jnp.asarray(np.transpose(rgb, (1, 2, 0))), signed)
+
+    if os.environ.get("DXT_HEAVY_TESTS"):
+        ladder, cross2 = BC6H_LADDER_MAXQ, True   # the real maxq config
+    else:
+        ladder, cross2 = BC6H_LADDER_LIGHT, False  # CPU-compilable slice
+
+    ref = np.asarray(refine_bc6h_words(px_int, w32, ladder, signed,
+                                       remap=True, cross2=cross2))
+    got = np.asarray(bc6h_refine_pallas(px_int, w32, ladder, signed,
+                                        remap=True, cross2=cross2,
+                                        interpret=True))
+    differ = np.any(got != ref, axis=1)
+    # float associativity may flip near-tie accept folds on a few blocks
+    assert differ.sum() <= max(2, nb // 50), f"{differ.sum()}/{nb}"
+
+
 @pytest.mark.parametrize("mode_id", [4, 5, 6, 7])
 def test_alpha_weight_kernels_match_jnp(mode_id):
     """aw-weighted kernels vs the jnp path at the same alpha_weight
