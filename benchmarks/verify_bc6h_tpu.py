@@ -34,6 +34,10 @@ def _inputs(signed: bool):
     rgb = rng.random((nb, 16, 3)).astype(np.float32) * scale
     if signed:
         rgb -= scale / 2
+        # sign-crossing bimodal content (the BC6H_LS_MAG_CAP pathology):
+        # two-region structure with both signs at large magnitude
+        rgb[:40, 8:, :] += scale
+        rgb[:40, :8, :] -= scale
     return rgb
 
 
@@ -49,7 +53,10 @@ def make_ref():
         blocks = np.concatenate(
             [rgb, np.ones((rgb.shape[0], 16, 1), np.float32)], -1)
         ref = np.asarray(bc67.encode_bc6h(jnp.asarray(blocks), signed))
-        np.savez(f"{REF_DIR}/ref_{int(signed)}.npz", ref=ref, rgb=rgb)
+        ref_maxq = np.asarray(bc67.encode_bc6h(
+            jnp.asarray(blocks), signed, flags=bc67._BC7_MAXQUALITY))
+        np.savez(f"{REF_DIR}/ref_{int(signed)}.npz", ref=ref,
+                 ref_maxq=ref_maxq, rgb=rgb)
         print(f"wrote ref_{int(signed)}.npz")
 
 
@@ -58,7 +65,8 @@ def verify():
     import jax.numpy as jnp
     from directxtex_tpu.bc import bc67
     from directxtex_tpu.bc.bc67 import _f16_to_int
-    from directxtex_tpu.bc.pallas_kernels import bc6h_encode_pallas
+    from directxtex_tpu.bc.pallas_kernels import (bc6h_encode_pallas,
+                                                  bc6h_refine_pallas)
 
     assert jax.default_backend() == "tpu", "run this step on the TPU"
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -94,6 +102,36 @@ def verify():
             print(f"  worst MSE regression on disagreeing blocks: {worst:.5f}")
             # near-tie fold flips are fine; only a real quality loss fails
             if np.any(mse_p > mse_r * 1.05 + 1e-3):
+                ok = False
+
+        # maxq tier: the winner-ladder kernel (bc6h_refine_pallas) vs the
+        # jnp twin on identical inputs, plus aggregate parity vs the CPU
+        # maxq reference (mirrors verify_bc7_tpu's tier structure)
+        if "ref_maxq" in data:
+            rw = bc6h_refine_pallas(px_int, words, bc67.BC6H_LADDER_MAXQ,
+                                    signed, remap=True, cross2=True)
+            jw = bc67.refine_bc6h_words(px_int, words,
+                                        bc67.BC6H_LADDER_MAXQ, signed,
+                                        remap=True, cross2=True)
+            gp = np.ascontiguousarray(np.asarray(rw)).view(
+                np.uint8).reshape(nb, 16)
+            gj = np.ascontiguousarray(np.asarray(jw)).view(
+                np.uint8).reshape(nb, 16)
+            kdiff = np.any(gp != gj, axis=1)
+            print(f"signed={signed} maxq refine: {kdiff.sum()}/{nb} "
+                  "blocks differ from jnp refine on identical inputs")
+            if kdiff.sum() > max(2, nb // 25):
+                ok = False
+            rq = data["ref_maxq"]
+
+            def _mse_all(w8):
+                dec = np.asarray(bc67.decode_bc6h(w8, signed))
+                return float(((dec[..., :3] - rgb) ** 2).sum())
+
+            mq_p, mq_r = _mse_all(gp), _mse_all(rq)
+            print(f"signed={signed} maxq e2e: total MSE {mq_p:.2f} vs "
+                  f"ref {mq_r:.2f}")
+            if mq_p > mq_r * 1.01 + 1e-3:
                 ok = False
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1

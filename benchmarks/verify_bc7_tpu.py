@@ -53,11 +53,17 @@ def make_ref():
     os.makedirs(REF_DIR, exist_ok=True)
     blocks = _inputs()
     ref = np.asarray(bc67.encode_bc7(jnp.asarray(blocks)))
-    # max-quality tier (in-kernel perturbation ladder) reference
+    # max-quality tier (winner-refine ladder x2) reference
     ref_maxq = np.asarray(bc67.encode_bc7(jnp.asarray(blocks),
                                           flags=0x200000))
+    # QUICK tier (mode-6-only, TEX_COMPRESS_BC7_QUICK) and the
+    # alpha-weight scoring path (CompressOptions.alphaWeight)
+    ref_quick = np.asarray(bc67.encode_bc7(jnp.asarray(blocks),
+                                           flags=0x100000))
+    ref_aw2 = np.asarray(bc67.encode_bc7(jnp.asarray(blocks),
+                                         alpha_weight=2.0))
     np.savez(f"{REF_DIR}/ref.npz", ref=ref, ref_maxq=ref_maxq,
-             blocks=blocks)
+             ref_quick=ref_quick, ref_aw2=ref_aw2, blocks=blocks)
     print("wrote ref.npz")
 
 
@@ -91,21 +97,34 @@ def verify():
     modes = (1, 3, 5, 6, 7, 4)  # encode_bc7 non-opaque mode order
 
     # tiers mirror bc67.encode_bc7 exactly: default = light ladder x1 +
-    # the measured mode-4 index-mode cut; maxq = full ladder x2 at full
-    # index-mode scope
-    tiers = [("default", [bc67.LADDER_LIGHT], bc67._MODE4_IMS, ref)]
+    # the measured mode-4 index-mode cut + the no-mode-6 refine scope
+    # (r4); maxq = full ladder x2 at full scope; aw2 = the alpha-weight
+    # scoring kernels (CompressOptions.alphaWeight, BC7Encode.hlsl:241)
+    def _scoped(ms):
+        return tuple(m for m in ms if m != 6)
+
+    tiers = [("default", [bc67.LADDER_LIGHT], bc67._MODE4_IMS,
+              _scoped(modes), 1.0, ref)]
     if "ref_maxq" in data:
-        tiers.append(("maxq", [bc67.LADDER_FULL] * 2, (0, 1),
+        tiers.append(("maxq", [bc67.LADDER_FULL] * 2, (0, 1), modes, 1.0,
                       data["ref_maxq"]))
+    if "ref_aw2" in data:
+        tiers.append(("aw2", [bc67.LADDER_LIGHT], bc67._MODE4_IMS,
+                      _scoped(modes), 2.0, data["ref_aw2"]))
     src_all = np.clip(blocks * 255.0 + 0.01, 0, 255).astype(
         np.int32).astype(np.float32)
 
-    def _mse(words_u8):
+    def _mse(words_u8, aw=1.0):
         dec = np.asarray(bc67.decode_bc7(words_u8)) * 255.0
-        return ((dec - src_all) ** 2).sum(axis=(1, 2))
+        d2 = (dec - src_all) ** 2
+        if aw != 1.0:
+            d2 = d2.copy()
+            d2[..., 3] *= aw   # compare tiers by the metric they optimize
+        return d2.sum(axis=(1, 2))
 
-    for tier, ladders, m4_ims, tier_ref in tiers:
-        _, base_words = bc7_encode_pallas(px_i, modes, m4_ims=m4_ims)
+    for tier, ladders, m4_ims, rmodes, aw, tier_ref in tiers:
+        _, base_words = bc7_encode_pallas(px_i, modes, m4_ims=m4_ims,
+                                          aw=aw)
         # (a) kernel equivalence: pallas refine vs the jnp twin on the
         # SAME input words (both on-device). Any ladder-path divergence
         # seeded by a near-tie search winner is excluded by construction,
@@ -114,9 +133,10 @@ def verify():
         words = base_words
         jwords = base_words
         for ladder in ladders:
-            words = bc7_refine_pallas(px_i, words, ladder, modes=modes)
+            words = bc7_refine_pallas(px_i, words, ladder, modes=rmodes,
+                                      aw=aw)
             jwords = bc67.refine_bc7_words(px_i, jwords, ladder,
-                                           modes=modes)
+                                           modes=rmodes, aw=aw)
         got = np.ascontiguousarray(
             np.asarray(lax.bitcast_convert_type(words, jnp.uint8).reshape(
                 nb, 16)))
@@ -129,8 +149,8 @@ def verify():
         if kdiff.sum() > max(2, nb // 25):
             ok = False
         if kdiff.any():
-            mse_p = _mse(got)[kdiff]
-            mse_j = _mse(got_j)[kdiff]
+            mse_p = _mse(got, aw)[kdiff]
+            mse_j = _mse(got_j, aw)[kdiff]
             worst = float(np.max(mse_p - mse_j))
             print(f"  worst MSE regression vs jnp refine: {worst:.5f}")
             # near-tie fold flips are fine; only a real quality loss fails
@@ -141,8 +161,8 @@ def verify():
         # different ladder paths, so per-block divergence is expected;
         # the gate is aggregate quality parity over the whole set.
         differ = np.any(got != tier_ref, axis=1)
-        mse_e2e_p = float(_mse(got).sum())
-        mse_e2e_r = float(_mse(tier_ref).sum())
+        mse_e2e_p = float(_mse(got, aw).sum())
+        mse_e2e_r = float(_mse(tier_ref, aw).sum())
         print(f"bc7 encode [{tier}]: {differ.sum()}/{nb} blocks differ "
               f"from jnp ref; total MSE {mse_e2e_p:.1f} vs "
               f"ref {mse_e2e_r:.1f}")
@@ -150,6 +170,33 @@ def verify():
             ok = False
         if mse_e2e_p > mse_e2e_r * 1.001 + 1e-3:
             ok = False
+
+    # QUICK tier (TEX_COMPRESS_BC7_QUICK, mode 6 only, no refine): the
+    # smallest production graph — byte-level agreement expected (single
+    # deterministic mode; only axis-fit near-ties can differ)
+    if "ref_quick" in data:
+        _, qwords = bc7_encode_pallas(px_i, (6,))
+        gotq = np.ascontiguousarray(
+            np.asarray(lax.bitcast_convert_type(
+                qwords, jnp.uint8).reshape(nb, 16)))
+        qdiff = np.any(gotq != data["ref_quick"], axis=1)
+        mq_p = float(_mse(gotq).sum())
+        mq_r = float(_mse(data["ref_quick"]).sum())
+        print(f"bc7 encode [quick]: {qdiff.sum()}/{nb} blocks differ; "
+              f"total MSE {mq_p:.1f} vs ref {mq_r:.1f}")
+        if qdiff.sum() > max(2, nb // 25) or mq_p > mq_r * 1.001 + 1e-3:
+            ok = False
+
+    # fused winner-ladder kernel variant (bc7_encode_pallas(ladder=...)):
+    # not the production path (measured slower, profile_fused.py) but a
+    # supported option — must be bit-identical to the two-dispatch chain
+    _, ws = bc7_encode_pallas(px_i, modes, m4_ims=bc67._MODE4_IMS)
+    wr = bc7_refine_pallas(px_i, ws, bc67.LADDER_LIGHT, modes=modes)
+    _, wf = bc7_encode_pallas(px_i, modes, m4_ims=bc67._MODE4_IMS,
+                              ladder=bc67.LADDER_LIGHT)
+    fused_ok = bool(np.array_equal(np.asarray(wf), np.asarray(wr)))
+    print(f"bc7 fused-ladder == two-dispatch: {fused_ok}")
+    ok = ok and fused_ok
 
     # decode mega-kernels: bit-exact vs the frozen golden vectors
     v = np.load(GOLDEN)

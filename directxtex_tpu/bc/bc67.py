@@ -1499,6 +1499,13 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
     # full search on every corpus content; full's extra 0.007-0.056 dB
     # doubles the refine dispatch, so it rides the maxq tier instead.
     ladders = [LADDER_FULL, LADDER_FULL] if maxq else [LADDER_LIGHT]
+    # Default-tier refine scope skips mode 6 (r4): its 7777+pbit
+    # endpoints sit at the search's LS optimum already — laddering it
+    # measured +0.000..0.003 dB on every corpus content for ~0.50 ms of
+    # the 4.53 ms refine dispatch at 2K
+    # (benchmarks/quality_refine_modes.py + profile_refine_modes.py).
+    # maxq keeps the full scope. Modes 4/5 and 1/3 each carry real
+    # quality (-0.05..-0.48 dB if dropped) and stay.
     # maxq keeps the reference's full mode-4 index-mode scope; the
     # default tier takes the measured im0 cut (see _MODE4_IMS)
     m4_ims = (0, 1) if maxq else _MODE4_IMS
@@ -1517,18 +1524,28 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
     except Exception:
         pass
 
+    refine_modes = tuple(modes) if maxq \
+        else tuple(m for m in modes if m != 6)
+
     if use_pallas:
         # the whole search (shape ranking, every mode, cross-mode fold,
-        # mode-7 opaque masking) as ONE pallas dispatch
+        # mode-7 opaque masking) as ONE pallas dispatch, then the
+        # winner-ladder as a second dispatch. Fusing the LIGHT ladder
+        # into the search kernel's tail measured SLOWER (265.1 -> 247.9
+        # Mt/s at 2K, benchmarks/profile_fused.py): the refine
+        # "overhead" is unpack/score/emit COMPUTE that fusion still
+        # pays, the saved HBM pixel re-read is ~0.1 ms, and the bigger
+        # kernel loses more to VMEM pressure at every tile size.
         _, best_words = bc7_encode_pallas(px_i, tuple(modes),
                                           BC7_SHAPE_CANDIDATES,
                                           aw=alpha_weight,
                                           rots=_MODE45_ROTS,
                                           m4_ims=m4_ims)
         for ladder in ladders:
-            best_words = bc7_refine_pallas(px_i, best_words, ladder,
-                                           aw=alpha_weight,
-                                           modes=tuple(modes))
+            if refine_modes:
+                best_words = bc7_refine_pallas(px_i, best_words, ladder,
+                                               aw=alpha_weight,
+                                               modes=refine_modes)
         return lax.bitcast_convert_type(best_words,
                                         jnp.uint8).reshape(nb, 16)
 
@@ -1557,8 +1574,10 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
         best_words = jnp.where(better[:, None], words, best_words)
 
     for ladder in ladders:
-        best_words = refine_bc7_words(px_i, best_words, ladder,
-                                      aw=alpha_weight, modes=tuple(modes))
+        if refine_modes:
+            best_words = refine_bc7_words(px_i, best_words, ladder,
+                                          aw=alpha_weight,
+                                          modes=refine_modes)
     return lax.bitcast_convert_type(best_words, jnp.uint8).reshape(nb, 16)
 
 
@@ -1603,6 +1622,19 @@ BC6H_SHARED_ROUNDS = 3
 # gate delta by threshold: 10 -> -0.013 (W10 groups DO need it),
 # 11 -> +0.018, 12/17 -> +0.017.
 BC6H_GROUP_REFIT_MINPREC = 11
+
+# LS-refit endpoint magnitude cap, in F16-int units (r4). The search
+# metric is SSE over F16-ints (INTColor Norm, BC6HBC7.cpp:1167) — linear
+# in int units — but float VALUE is exponential in them (1024 int = one
+# exponent octave). An LS solution that extrapolates endpoint magnitude
+# far past the subset's data (legal under the int metric: the clip was
+# only ±F16MAX) decodes to float values orders of magnitude outside the
+# source: sign-crossing content measured -13.4 dB vs the compiled
+# reference before the cap (hdr_signed probe; the reference never hits
+# this because its fit is min/max + PerturbOne steps, which stay near
+# the data). One octave of headroom above max|data| keeps every
+# legitimate extrapolation (unsigned corpus gates unchanged).
+BC6H_LS_MAG_CAP = 1024.0
 
 
 def _bc6h_unquantize(comp: jnp.ndarray, bits: int, signed: bool) -> jnp.ndarray:
@@ -1965,6 +1997,8 @@ def _bc6h_shared_fit(px_f, mask_list, iprec, signed):
         m3 = mask[:, None, :]
         mi = jnp.min(jnp.where(m3, px_f, big), axis=0)
         ma = jnp.max(jnp.where(m3, px_f, -big), axis=0)
+        cap = jnp.maximum(jnp.abs(mi), jnp.abs(ma)) \
+            + jnp.float32(BC6H_LS_MAG_CAP)
         idx_b, err0 = _bc6h_palette_err_f(px_f, mask, mi, ma, iprec)
         e0f, e1f = mi, ma
         err_b = err0
@@ -1983,8 +2017,12 @@ def _bc6h_shared_fit(px_f, mask_list, iprec, signed):
             for c in range(3):
                 r0 = jnp.sum(a * px_f[:, c, :], axis=0)
                 r1 = jnp.sum(b * px_f[:, c, :], axis=0)
-                n0 = jnp.clip((C * r0 - B * r1) * inv, lo, lim)
-                n1 = jnp.clip((A * r1 - B * r0) * inv, lo, lim)
+                n0 = jnp.clip((C * r0 - B * r1) * inv,
+                              jnp.maximum(lo, -cap[c]),
+                              jnp.minimum(lim, cap[c]))
+                n1 = jnp.clip((A * r1 - B * r0) * inv,
+                              jnp.maximum(lo, -cap[c]),
+                              jnp.minimum(lim, cap[c]))
                 rows0.append(jnp.where(ok, n0, e0f[c]))
                 rows1.append(jnp.where(ok, n1, e1f[c]))
             e0f = jnp.stack(rows0)
@@ -2027,6 +2065,12 @@ def _bc6h_group_rescore(px_int, mask_list, anchors, shared, row, signed):
                                        signed)
         if precW[0] < BC6H_GROUP_REFIT_MINPREC:
             # quantized-domain refit round (coarse-precision groups only)
+            big = jnp.float32(1e9)
+            m3 = mask[:, None, :]
+            cap = jnp.maximum(
+                jnp.abs(jnp.min(jnp.where(m3, px_f, big), axis=0)),
+                jnp.abs(jnp.max(jnp.where(m3, px_f, -big), axis=0))) \
+                + jnp.float32(BC6H_LS_MAG_CAP)
             x = _pal_weight(idx, 1 << iprec).astype(jnp.float32) \
                 * jnp.float32(1 / 64)
             mm = mask.astype(jnp.float32)
@@ -2042,8 +2086,12 @@ def _bc6h_group_rescore(px_int, mask_list, anchors, shared, row, signed):
             for c in range(3):
                 r0 = jnp.sum(a * px_f[:, c, :], axis=0)
                 r1 = jnp.sum(b * px_f[:, c, :], axis=0)
-                n0 = jnp.clip((C * r0 - B * r1) * inv, lo, lim)
-                n1 = jnp.clip((A * r1 - B * r0) * inv, lo, lim)
+                n0 = jnp.clip((C * r0 - B * r1) * inv,
+                              jnp.maximum(lo, -cap[c]),
+                              jnp.minimum(lim, cap[c]))
+                n1 = jnp.clip((A * r1 - B * r0) * inv,
+                              jnp.maximum(lo, -cap[c]),
+                              jnp.minimum(lim, cap[c]))
                 rows0.append(jnp.where(ok, n0, e0[c]))
                 rows1.append(jnp.where(ok, n1, e1[c]))
             q0r = quant(jnp.stack(rows0))
@@ -2254,6 +2302,34 @@ def _bc6h_cherr_dyn(px_c, mask, u0c, u1c, wk, signed):
     return jnp.sum(jnp.where(mask, d * d, 0.0), axis=0)
 
 
+def _bc6h_quantize_dyn(v, precw, signed: bool):
+    """_bc6h_quantize with per-lane precision precw [NB]."""
+    if signed:
+        s = v < 0
+        a = jnp.abs(v)
+        q = jnp.where(precw >= 16, a,
+                      (a << jnp.maximum(precw - 1, 0)) // (_F16MAX + 1))
+        return jnp.where(s, -q, q)
+    return jnp.where(precw >= 15, v, (v << precw) // (_F16MAX + 1))
+
+
+def _bc6h_ladder_caps(px3, mask, q0, q1, precw, signed):
+    """Per-channel q-space magnitude cap for the perturbation ladders:
+    the subset's data magnitude + one F16 octave (see BC6H_LS_MAG_CAP —
+    int-linear steps past the data are float-exponential), never below
+    the entry state's own magnitude so a legitimate start is not
+    clipped into a jump."""
+    caps = []
+    for c in range(3):
+        capint = jnp.max(jnp.where(mask, jnp.abs(px3[c]), 0),
+                         axis=0) + int(BC6H_LS_MAG_CAP)
+        capq = _bc6h_quantize_dyn(capint, precw, signed)
+        caps.append(jnp.maximum(capq,
+                                jnp.maximum(jnp.abs(q0[c]),
+                                            jnp.abs(q1[c]))))
+    return caps
+
+
 def _bc6h_perturb_dyn(px3, mask, q0, q1, wk, precw, signed,
                       rounds: int, deltas):
     """Fixed-index per-channel endpoint ladder with per-lane precision.
@@ -2267,6 +2343,9 @@ def _bc6h_perturb_dyn(px3, mask, q0, q1, wk, precw, signed,
     else:
         qhi = jnp.where(precw >= 15, _F16MAX, (1 << precw) - 1)
         qlo = jnp.zeros_like(qhi)
+    caps = _bc6h_ladder_caps(px3, mask, q0, q1, precw, signed)
+    qhi_c = [jnp.minimum(qhi, caps[c]) for c in range(3)]
+    qlo_c = [jnp.maximum(qlo, -caps[c]) for c in range(3)]
     q0r = [q0[c] for c in range(3)]
     q1r = [q1[c] for c in range(3)]
     ch_err = []
@@ -2285,7 +2364,7 @@ def _bc6h_perturb_dyn(px3, mask, q0, q1, wk, precw, signed,
                     (q1r if which == 0 else q0r)[c], precw, signed)
                 for delta in deltas:
                     for sgn in (delta, -delta):
-                        qt = jnp.clip(rows[c] + sgn, qlo, qhi)
+                        qt = jnp.clip(rows[c] + sgn, qlo_c[c], qhi_c[c])
                         ut = _bc6h_unquantize_dyn(qt, precw, signed)
                         e = (_bc6h_cherr_dyn(px3[c], mask, ut,
                                              other_u, wk, signed)
@@ -2317,6 +2396,9 @@ def _bc6h_perturb_remap_dyn(px3, mask, q0, q1, precw, iprec, signed,
         # the field range, not the source range)
         qhi = (1 << precw) - 1
         qlo = jnp.zeros_like(qhi)
+    caps = _bc6h_ladder_caps(px3, mask, q0, q1, precw, signed)
+    qhi_c = [jnp.minimum(qhi, caps[c]) for c in range(3)]
+    qlo_c = [jnp.maximum(qlo, -caps[c]) for c in range(3)]
     q0r = [q0[c] for c in range(3)]
     q1r = [q1[c] for c in range(3)]
     idx, err = _bc6h_palette_err_dyn(px3, mask, q0r, q1r, precw, iprec,
@@ -2328,7 +2410,7 @@ def _bc6h_perturb_remap_dyn(px3, mask, q0, q1, precw, iprec, signed,
                 rows = q0r if which == 0 else q1r
                 for delta in deltas:
                     for sgn in (delta, -delta):
-                        qt = jnp.clip(rows[c] + sgn, qlo, qhi)
+                        qt = jnp.clip(rows[c] + sgn, qlo_c[c], qhi_c[c])
                         keep, rows[c] = rows[c], qt
                         idx_t, err_t = _bc6h_palette_err_dyn(
                             px3, mask, q0r, q1r, precw, iprec, signed)
@@ -2664,6 +2746,8 @@ def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed):
         # least-squares refinement in int space
         e0f, e1f = mi, ma
         q0b, q1b, idx_b, err_b = q0, q1, idx, err
+        cap = jnp.maximum(jnp.abs(mi), jnp.abs(ma)) \
+            + jnp.float32(BC6H_LS_MAG_CAP)
         for _ in range(BC6H_REFIT_ROUNDS):
             x = _pal_weight(idx_b, 1 << iprec).astype(jnp.float32) \
                 * jnp.float32(1 / 64)
@@ -2682,8 +2766,12 @@ def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed):
             for c in range(3):
                 r0 = jnp.sum(a * px_f[:, c, :], axis=0)
                 r1 = jnp.sum(b * px_f[:, c, :], axis=0)
-                n0 = jnp.clip((C * r0 - B * r1) * inv, lo, lim)
-                n1 = jnp.clip((A * r1 - B * r0) * inv, lo, lim)
+                n0 = jnp.clip((C * r0 - B * r1) * inv,
+                              jnp.maximum(lo, -cap[c]),
+                              jnp.minimum(lim, cap[c]))
+                n1 = jnp.clip((A * r1 - B * r0) * inv,
+                              jnp.maximum(lo, -cap[c]),
+                              jnp.minimum(lim, cap[c]))
                 rows0.append(jnp.where(ok, n0, e0f[c]))
                 rows1.append(jnp.where(ok, n1, e1f[c]))
             e0f = jnp.stack(rows0)

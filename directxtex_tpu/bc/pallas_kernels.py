@@ -1251,7 +1251,7 @@ def partition_shapes_pallas(px_i: jnp.ndarray, partitions: int,
 
 def _bc7_all_kernel(px_ref, m_ref, *refs, modes: tuple,
                     n_cand: int, aw: float = 1.0,
-                    rots=(0, 1, 2, 3), m4_ims=(0, 1)):
+                    rots=(0, 1, 2, 3), m4_ims=(0, 1), ladder=None):
     """The whole BC7 encode in one dispatch: shape ranking, every mode's
     candidate evaluation, anchor swaps, emit, and the cross-mode fold all
     happen in VMEM — HBM sees the pixel planes in and one (err, words)
@@ -1328,6 +1328,31 @@ def _bc7_all_kernel(px_ref, m_ref, *refs, modes: tuple,
             bt = e < best_e
             best_e = jnp.where(bt, e, best_e)
             best_w = jnp.where(bt[None, :], w, best_w)
+
+    if ladder is not None:
+        # fused winner-ladder (r4): run the endpoint-perturbation ladder
+        # on the cross-mode winner in the SAME kernel, after the fold —
+        # the search intermediates are dead here, and the pixel planes
+        # are already in VMEM, so this reclaims the separate refine
+        # dispatch's fixed unpack/score/emit overhead plus its second
+        # HBM read of the pixels (the reference's single final
+        # EncodeBlockCS pass, BCDirectCompute.cpp:373+).
+        b0 = (best_w[0] & 0xFF).astype(jnp.int32)
+        mode = jnp.full_like(b0, 8)
+        for mv in range(8):
+            hit = (b0 & (1 << mv)) != 0
+            mode = jnp.where((mode == 8) & hit, mv, mode)
+        for mv in modes:
+            if mv in (4, 5):
+                e_n, e_0, wn = _k_refine_mode45(xf, best_w, mv, ladder,
+                                                aw)
+            else:
+                e_n, e_0, wn = _k_refine_subsets(xf, best_w, mv, ladder,
+                                                 aw)
+            better = (mode == mv) & (e_n < e_0)
+            best_w = jnp.where(better[None, :], wn, best_w)
+            best_e = jnp.where(better, e_n, best_e)
+
     err_ref[...] = jnp.broadcast_to(best_e[None, :], err_ref.shape)
     w_ref[...] = best_w
 
@@ -1339,17 +1364,22 @@ _BC7_ALL_TILE = 256
 
 @functools.partial(jax.jit, static_argnames=("modes", "n_cand",
                                               "interpret", "tile", "aw",
-                                              "rots", "m4_ims"))
+                                              "rots", "m4_ims", "ladder"))
 def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
                       interpret: bool = False, tile: int = _BC7_ALL_TILE,
                       aw: float = 1.0, rots: tuple = (0, 1, 2, 3),
-                      m4_ims: tuple | None = None):
+                      m4_ims: tuple | None = None,
+                      ladder: tuple | None = None):
     """Full BC7 search as ONE pallas dispatch over modes ⊆ {0..7}
     folded in `modes` order (mode-7 errors are inf-masked for opaque
     blocks in-kernel; modes 0/2 ride a second 3-subset mask matrix).
-    The endpoint-perturbation ladder runs on the cross-mode winner in a
-    separate dispatch (bc7_refine_pallas) — in-search laddering measured
-    304 -> 117 Mtexels/s on v5e for LESS quality than winner-refine.
+    `ladder` (rounds, deltas) fuses the winner-refine perturbation
+    ladder into the kernel tail after the cross-mode fold (r4) — same
+    math as a bc7_refine_pallas dispatch on the result, minus that
+    dispatch's fixed overhead and second HBM pixel read. In-search
+    laddering of every CANDIDATE measured 304 -> 117 Mtexels/s on v5e
+    for LESS quality than winner-refine; laddering the folded WINNER
+    in-kernel is the cheap shape.
     px_i [16, 4, NB] i32. Returns (err [NB] f32, words [NB, 4] u32).
     m4_ims=None resolves to bc67._MODE4_IMS (shared twin default)."""
     from jax.experimental import pallas as pl
@@ -1381,7 +1411,7 @@ def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
 
     err8, words = pl.pallas_call(
         functools.partial(_bc7_all_kernel, modes=modes, n_cand=n_cand,
-                          aw=aw, rots=rots, m4_ims=m4_ims),
+                          aw=aw, rots=rots, m4_ims=m4_ims, ladder=ladder),
         grid=(nb_pad // tile,),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((8, tile), lambda i: (0, i)),
@@ -1941,10 +1971,15 @@ def _k_bc6h_subsets(xf3, masks, row: int, signed: bool):
     idx, errs = _k_bc6h_palette_err_px(xf3, masks, q0_s, q1_s, precW,
                                        iprec, signed)
 
-    from .bc67 import BC6H_REFIT_ROUNDS
+    from .bc67 import BC6H_LS_MAG_CAP, BC6H_REFIT_ROUNDS
 
     lim = float(_BC6H_F16MAX)
     lo = -lim if signed else 0.0
+    # LS magnitude cap (bc67.BC6H_LS_MAG_CAP): int-linear extrapolation
+    # past the data is float-exponential — see the bc67 constant note
+    cap_s = [[jnp.maximum(jnp.abs(mi_s[p][c]), jnp.abs(ma_s[p][c]))
+              + jnp.float32(BC6H_LS_MAG_CAP) for c in range(3)]
+             for p in range(n_sub)]
     e0f_s, e1f_s = mi_s, ma_s
     q0b_s, q1b_s, idx_b, errs_b = q0_s, q1_s, idx, errs
     for _ in range(BC6H_REFIT_ROUNDS):
@@ -1966,8 +2001,12 @@ def _k_bc6h_subsets(xf3, masks, row: int, signed: bool):
             for c in range(3):
                 r0 = msum(avx[c], p)
                 r1 = msum(bvx[c], p)
-                n0 = jnp.clip((C * r0 - B * r1) * inv, lo, lim)
-                n1 = jnp.clip((A * r1 - B * r0) * inv, lo, lim)
+                n0 = jnp.clip((C * r0 - B * r1) * inv,
+                              jnp.maximum(lo, -cap_s[p][c]),
+                              jnp.minimum(lim, cap_s[p][c]))
+                n1 = jnp.clip((A * r1 - B * r0) * inv,
+                              jnp.maximum(lo, -cap_s[p][c]),
+                              jnp.minimum(lim, cap_s[p][c]))
                 r0l.append(jnp.where(ok, n0, e0f_s[p][c]))
                 r1l.append(jnp.where(ok, n1, e1f_s[p][c]))
             e0n_s.append(r0l)
@@ -2069,6 +2108,10 @@ def _k_bc6h_shared_fit(xf3, masks, iprec: int, signed: bool):
     idx_b, errs0 = _k_bc6h_palette_err_f(xf3, masks, mi_s, ma_s, iprec)
     lim = float(_BC6H_F16MAX)
     lo = -lim if signed else 0.0
+    from .bc67 import BC6H_LS_MAG_CAP
+    cap_s = [[jnp.maximum(jnp.abs(mi_s[p][c]), jnp.abs(ma_s[p][c]))
+              + jnp.float32(BC6H_LS_MAG_CAP) for c in range(3)]
+             for p in range(n_sub)]
     e0f_s, e1f_s = mi_s, ma_s
     errs_b = errs0
     for _ in range(BC6H_SHARED_ROUNDS):
@@ -2090,8 +2133,12 @@ def _k_bc6h_shared_fit(xf3, masks, iprec: int, signed: bool):
             for c in range(3):
                 r0 = msum(avx[c], p)
                 r1 = msum(bvx[c], p)
-                n0 = jnp.clip((C * r0 - B * r1) * inv, lo, lim)
-                n1 = jnp.clip((A * r1 - B * r0) * inv, lo, lim)
+                n0 = jnp.clip((C * r0 - B * r1) * inv,
+                              jnp.maximum(lo, -cap_s[p][c]),
+                              jnp.minimum(lim, cap_s[p][c]))
+                n1 = jnp.clip((A * r1 - B * r0) * inv,
+                              jnp.maximum(lo, -cap_s[p][c]),
+                              jnp.minimum(lim, cap_s[p][c]))
                 r0l.append(jnp.where(ok, n0, e0f_s[p][c]))
                 r1l.append(jnp.where(ok, n1, e1f_s[p][c]))
             e0n_s.append(r0l)
@@ -2165,6 +2212,19 @@ def _k_bc6h_group_rescore(xf3, pm, a2, shared, row: int, signed: bool):
     # quantized-domain refit round (bc67._bc6h_group_rescore)
     lim = float(_BC6H_F16MAX)
     lo = -lim if signed else 0.0
+    from .bc67 import BC6H_LS_MAG_CAP
+    big = jnp.float32(1e9)
+    cap_s = []
+    for p in range(n_sub):
+        if masks[p] is None:
+            cap_s.append([jnp.maximum(jnp.abs(jnp.min(f, axis=0)),
+                                      jnp.abs(jnp.max(f, axis=0)))
+                          + jnp.float32(BC6H_LS_MAG_CAP) for f in xf3])
+        else:
+            cap_s.append([jnp.maximum(
+                jnp.abs(jnp.min(jnp.where(masks[p], f, big), axis=0)),
+                jnp.abs(jnp.max(jnp.where(masks[p], f, -big), axis=0)))
+                + jnp.float32(BC6H_LS_MAG_CAP) for f in xf3])
     x = _pal_weight_f(idx_full, 1 << iprec) * jnp.float32(1 / 64)
     av = 1.0 - x
     bv = x
@@ -2183,8 +2243,12 @@ def _k_bc6h_group_rescore(xf3, pm, a2, shared, row: int, signed: bool):
         for c in range(3):
             r0 = msum(avx[c], p)
             r1 = msum(bvx[c], p)
-            n0 = jnp.clip((C * r0 - B * r1) * inv, lo, lim)
-            n1 = jnp.clip((A * r1 - B * r0) * inv, lo, lim)
+            n0 = jnp.clip((C * r0 - B * r1) * inv,
+                          jnp.maximum(lo, -cap_s[p][c]),
+                          jnp.minimum(lim, cap_s[p][c]))
+            n1 = jnp.clip((A * r1 - B * r0) * inv,
+                          jnp.maximum(lo, -cap_s[p][c]),
+                          jnp.minimum(lim, cap_s[p][c]))
             r0l.append(jnp.where(ok, n0, e0f_s[p][c]))
             r1l.append(jnp.where(ok, n1, e1f_s[p][c]))
         e0n_s.append(r0l)

@@ -162,6 +162,21 @@ def compress(tex: Texture, fmt: DXGIFormat,
     return compress_many([tex], fmt, flags, threshold, alpha_weight)[0]
 
 
+def _bucket_size(n: int) -> int:
+    """Round a block count up to a coarse geometric grid so mixed-size
+    batches reuse jit traces: every distinct block count is a fresh
+    trace of the encode mega-kernels, and TPU compiles here run minutes
+    (CLAUDE.md) — a heterogeneous library would make nearly every batch
+    a persistent-cache miss. Grid = multiples of 1/8th of the count's
+    power of two (>= one 256 lane tile): <= 12.5% padded work, <= 8
+    traces per octave, and every exact power of two (the common 2^k
+    texture sizes) maps to itself."""
+    if n <= 256:
+        return 256
+    g = max(256, 1 << (max(n.bit_length() - 1, 0) - 3))
+    return -(-n // g) * g
+
+
 def compress_many(texs, fmt: DXGIFormat, flags: TC = TC.DEFAULT,
                   threshold: float = 0.5,
                   alpha_weight: float = 1.0) -> list[CompressedTexture]:
@@ -208,8 +223,16 @@ def compress_many(texs, fmt: DXGIFormat, flags: TC = TC.DEFAULT,
                 all_blocks.append(blocks)
             counts.append((n, per_item))
         tex_counts.append(counts)
-    packed = _encode_blocks(kind, jnp.concatenate(all_blocks, axis=0),
-                            threshold, bcflags, opaque, alpha_weight)
+    cat = jnp.concatenate(all_blocks, axis=0)
+    n_real = cat.shape[0]
+    n_pad = _bucket_size(n_real) - n_real
+    if n_pad:
+        # pad with copies of the first block (valid content for every
+        # codec incl. signed BC6H); results sliced off below
+        cat = jnp.concatenate(
+            [cat, jnp.broadcast_to(cat[:1], (n_pad,) + cat.shape[1:])])
+    packed = _encode_blocks(kind, cat, threshold, bcflags, opaque,
+                            alpha_weight)[:n_real]
 
     out = []
     off = 0
@@ -254,7 +277,15 @@ def decompress(ctex: CompressedTexture,
         for i in range(lvl.shape[0]):
             raws.append(lvl[i].reshape(-1, bpb))
         shapes.append((lvl.shape[0], h, w, raws[-1].shape[0]))
-    texels = _decode_blocks(kind, jnp.concatenate(raws, axis=0))
+    rcat = jnp.concatenate(raws, axis=0)
+    n_real = rcat.shape[0]
+    n_pad = _bucket_size(n_real) - n_real
+    if n_pad:
+        # same trace-bucketing as compress_many (decode mega-kernel
+        # traces are also per-block-count)
+        rcat = jnp.concatenate(
+            [rcat, jnp.broadcast_to(rcat[:1], (n_pad,) + rcat.shape[1:])])
+    texels = _decode_blocks(kind, rcat)[:n_real]
 
     levels = []
     off = 0

@@ -199,6 +199,62 @@ def make_corpus():
         "hdr": hdr.astype(np.float32),
     }
     out.update(make_photo_corpus())
+    out.update(make_hdr_corpus(out))
+    return out
+
+
+def make_hdr_corpus(base):
+    """HDR contents beyond the 64² synthetic gradient probe (r4):
+    photographic-derived radiance maps (linearized photos under a
+    ±2-stop spatial exposure sweep with a highlight boost), a sun-disk
+    environment (the classic BC6H stress: a >3-decade hot spot over a
+    smooth sky), and a real-content signed probe (log-centered radiance,
+    bipolar). These pin the BC6H gates on more than one content
+    (BC6HBC7.cpp:1817-1859 reference scope)."""
+    out = {}
+    for name in ("photo_china", "photo_flower"):
+        if name not in base:
+            continue
+        rgb = base[name][..., :3].astype(np.float32)
+        lin = np.power(np.maximum(rgb, 0.0), 2.2)
+        n = rgb.shape[0]
+        x = np.linspace(-1.0, 1.0, n, dtype=np.float32)
+        gx, _ = np.meshgrid(x, x)
+        exposure = np.float32(2.0) ** (2.0 * gx)      # 4-stop sweep
+        lum = lin.mean(-1, keepdims=True)
+        boost = 1.0 + 15.0 * np.clip(lum - 0.35, 0, 1) ** 2
+        hdrp = lin * exposure[..., None] * boost * 2.0 + 1e-3
+        out["hdr_" + name.split("_")[1]] = np.concatenate(
+            [hdrp, np.ones((n, n, 1), np.float32)],
+            -1).astype(np.float32)
+
+    # sun-disk environment: smooth sky gradient (0.05..1.6) + a ~900x
+    # hot disk with a soft halo — exercises the coarse-precision rows'
+    # quantize snap and the 1-region W11+ constant-block paths
+    n = 64
+    x = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    gx, gy = np.meshgrid(x, x)
+    sky_t = 1.0 - gy
+    sky = np.stack([0.10 + 0.50 * sky_t,
+                    0.18 + 0.75 * sky_t,
+                    0.35 + 1.25 * sky_t], -1)
+    d2 = (gx - 0.68) ** 2 + (gy - 0.30) ** 2
+    disk = np.exp(-d2 / (2 * 0.018 ** 2)) * 900.0
+    halo = np.exp(-d2 / (2 * 0.10 ** 2)) * 18.0
+    sun = (disk + halo)[..., None] * np.float32([1.0, 0.92, 0.78])
+    env = sky + sun
+    out["hdr_sun"] = np.concatenate(
+        [env, np.ones((n, n, 1), np.float32)], -1).astype(np.float32)
+
+    # real-content signed probe: log-centered radiance of the china
+    # photo (bipolar, smooth zero crossings — the BC6H_SF16 case)
+    if "hdr_china" in out:
+        hc = out["hdr_china"][..., :3]
+        sgn = np.log2(np.maximum(hc, 1e-3))
+        sgn = (sgn - np.median(sgn)) * 0.5
+        out["hdr_signed"] = np.concatenate(
+            [sgn, np.ones(sgn.shape[:2] + (1,), np.float32)],
+            -1).astype(np.float32)
     return out
 
 
@@ -245,6 +301,13 @@ def gen_corpus(refresh_psnr_only: bool = False):
     if refresh_psnr_only:
         old = np.load(HERE / "corpus.npz")
         corpus = {k: old[k] for k in old.files if not k.startswith("psnr_")}
+        # content keys introduced since the freeze are added (derived
+        # deterministically from the frozen images); existing images
+        # stay byte-identical
+        for k, v in make_hdr_corpus(corpus).items():
+            if k not in corpus:
+                corpus[k] = v
+                print(f"  added new content {k}")
     else:
         corpus = make_corpus()
 
@@ -283,9 +346,25 @@ def gen_corpus(refresh_psnr_only: bool = False):
                bc123.decode_bc1, ch=3)
             rt(f"bc7_{content}", corpus[content], bc67.encode_bc7,
                bc67.decode_bc7)
-    rt("bc6h_hdr", corpus["hdr"],
-       lambda b: bc67.encode_bc6h(b, signed=False),
-       lambda e: bc67.decode_bc6h(e, signed=False), quality=log_psnr)
+    for content in ("hdr", "hdr_china", "hdr_flower", "hdr_sun"):
+        if content not in corpus:
+            continue
+        rt(f"bc6h_{content}", corpus[content],
+           lambda b: bc67.encode_bc6h(b, signed=False),
+           lambda e: bc67.decode_bc6h(e, signed=False), quality=log_psnr)
+    if "hdr_signed" in corpus:
+        # signed probe is bipolar: log-PSNR is meaningless; use linear
+        # PSNR against the content's own peak
+        blocks = jnp.asarray(image_to_blocks(corpus["hdr_signed"])[0])
+        d = np.asarray(bc67.decode_bc6h(
+            np.asarray(bc67.encode_bc6h(blocks, signed=True)),
+            signed=True))
+        peak = float(np.abs(np.asarray(blocks)[..., :3]).max())
+        m = float(np.mean(
+            (d[..., :3] - np.asarray(blocks)[..., :3]) ** 2))
+        measured["bc6hs_hdr_signed"] = 10 * np.log10(
+            peak * peak / max(m, 1e-30))
+        print(f"  bc6hs_hdr_signed: {measured['bc6hs_hdr_signed']:.2f} dB")
 
     if refresh_psnr_only:
         # print the old-vs-new deltas so a refresh leaves an auditable

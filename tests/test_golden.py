@@ -120,6 +120,13 @@ PSNR_FLOORS = {
     "bc7_photo_china": 38.61,
     "bc1_photo_flower": 30.18,
     "bc7_photo_flower": 39.33,
+    # r4 HDR contents (photographic radiance maps, sun-disk env,
+    # real-content signed probe; log-PSNR for unsigned, peak-linear for
+    # the signed probe — matches generate.py)
+    "bc6h_hdr_china": 32.68,
+    "bc6h_hdr_flower": 31.38,
+    "bc6h_hdr_sun": 51.02,
+    "bc6hs_hdr_signed": 29.75,
 }
 
 
@@ -150,6 +157,15 @@ def _roundtrip_psnr(corpus, name):
         "bc5": (bc45.encode_bc5u, bc45.decode_bc5u, 2),
         "bc7": (bc67.encode_bc7, bc67.decode_bc7, 4),
     }
+    if codec == "bc6hs":
+        # signed: peak-linear PSNR (log is meaningless on bipolar data)
+        dec = np.asarray(bc67.decode_bc6h(
+            np.asarray(bc67.encode_bc6h(blocks, signed=True)),
+            signed=True))
+        src = np.asarray(blocks)
+        peak = float(np.abs(src[..., :3]).max())
+        m = float(np.mean((dec[..., :3] - src[..., :3]) ** 2))
+        return 10 * np.log10(peak * peak / max(m, 1e-30))
     if codec == "bc6h":
         dec = bc67.decode_bc6h(
             np.asarray(bc67.encode_bc6h(blocks, signed=False)), signed=False)

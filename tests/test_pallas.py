@@ -206,7 +206,8 @@ def _assert_equivalent_bc6h(err_p, err_r, words_p, words_r):
 def test_bc7_single_dispatch_3subset_matches_jnp():
     """Modes 0/2 (BC_FLAGS_USE_3SUBSETS) inside the one-dispatch kernel:
     3-region content so the 3-subset modes actually win some blocks."""
-    from directxtex_tpu.bc.pallas_kernels import bc7_encode_pallas
+    from directxtex_tpu.bc.pallas_kernels import (bc7_encode_pallas,
+                                                  bc7_refine_pallas)
 
     rng = np.random.default_rng(41)
     nb = 64
@@ -223,13 +224,12 @@ def test_bc7_single_dispatch_3subset_matches_jnp():
     px_i = jnp.clip(jnp.transpose(bj, (1, 2, 0)) * 255.0 + 0.01,
                     0.0, 255.0).astype(jnp.int32)
 
-    from directxtex_tpu.bc.pallas_kernels import bc7_refine_pallas
-
     ref = np.asarray(bc67.encode_bc7(bj, flags=0x80000, opaque=True))
     modes = (0, 2, 1, 3, 5, 6, 4)
     err_p, words_p = bc7_encode_pallas(px_i, modes, interpret=True)
+    # default-tier refine scope: mode 6 skipped (see encode_bc7)
     words_p = bc7_refine_pallas(px_i, words_p, bc67.LADDER_LIGHT,
-                                modes=modes, interpret=True)
+                                modes=(0, 2, 1, 3, 5, 4), interpret=True)
     got = np.asarray(words_p).view(np.uint8).reshape(nb, 16)
 
     differ = np.any(got != ref, axis=1)
@@ -247,19 +247,20 @@ def test_bc7_single_dispatch_3subset_matches_jnp():
 def test_bc7_single_dispatch_matches_jnp(opaque):
     """bc7_encode_pallas (one-dispatch full encode) vs the full jnp
     encode_bc7 path at identical settings."""
-    from directxtex_tpu.bc.pallas_kernels import bc7_encode_pallas
+    from directxtex_tpu.bc.pallas_kernels import (bc7_encode_pallas,
+                                                  bc7_refine_pallas)
 
     px_i, _ = _mk_blocks(seed=31, alpha=not opaque)
     nb = px_i.shape[2]
     blocks = jnp.transpose(px_i, (2, 0, 1)).astype(jnp.float32) / 255.0
 
-    from directxtex_tpu.bc.pallas_kernels import bc7_refine_pallas
-
     ref = np.asarray(bc67.encode_bc7(blocks, opaque=opaque))
     modes = (1, 3, 5, 6, 4) if opaque else (1, 3, 5, 6, 7, 4)
     err_p, words_p = bc7_encode_pallas(px_i, modes, interpret=True)
+    # default-tier refine scope: mode 6 skipped (see encode_bc7)
     words_p = bc7_refine_pallas(px_i, words_p, bc67.LADDER_LIGHT,
-                                modes=modes, interpret=True)
+                                modes=tuple(m for m in modes if m != 6),
+                                interpret=True)
     got = np.asarray(words_p).view(np.uint8).reshape(nb, 16)
 
     differ = np.any(got != ref, axis=1)
@@ -323,6 +324,29 @@ def test_bc7_refine_kernel_alpha_weight_matches_jnp():
                                        aw=2.0, modes=modes,
                                        interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.skipif(not os.environ.get("DXT_HEAVY_TESTS"),
+                    reason="three big-kernel CPU compiles; the fused "
+                           "tail is a measured-slower optional path "
+                           "(benchmarks/profile_fused.py) not used by "
+                           "production (DXT_HEAVY_TESTS=1 to force)")
+def test_bc7_fused_ladder_matches_two_dispatch():
+    """bc7_encode_pallas(ladder=L) — the winner-ladder fused into the
+    search kernel's tail — must be bit-identical to the two-dispatch
+    chain (search kernel + bc7_refine_pallas at the same ladder/modes):
+    same math, same fold order, just one dispatch."""
+    from directxtex_tpu.bc.pallas_kernels import (bc7_encode_pallas,
+                                                  bc7_refine_pallas)
+
+    px_i, _ = _mk_blocks(seed=43, alpha=False)
+    modes = (1, 3, 5, 6, 4)
+    _, words_s = bc7_encode_pallas(px_i, modes, interpret=True)
+    ref = np.asarray(bc7_refine_pallas(px_i, words_s, bc67.LADDER_LIGHT,
+                                       modes=modes, interpret=True))
+    _, words_f = bc7_encode_pallas(px_i, modes, interpret=True,
+                                   ladder=bc67.LADDER_LIGHT)
+    np.testing.assert_array_equal(np.asarray(words_f), ref)
 
 
 @pytest.mark.skipif(not os.environ.get("DXT_HEAVY_TESTS"),

@@ -180,31 +180,52 @@ def test_encode_psnr_vs_reference(name, codec, content, ours, ch,
         f"(delta {our_psnr - ref_psnr:+.2f} < {min_delta:+.2f})")
 
 
-def test_bc6h_encode_psnr_vs_reference():
+# BC6H gates across contents and tiers (r4): the 64² synthetic gradient
+# probe, two photographic-derived radiance maps, a sun-disk environment,
+# and a real-content signed probe. Floors = measured deltas (ours -
+# reference full search, linear PSNR against content peak) minus a
+# small guard. The hdr_signed content is what exposed the LS magnitude
+# blow-up (see bc67.BC6H_LS_MAG_CAP: -13.4 dB before the cap).
+BC6H_GATES = [
+    # (content, signed, maxq, min dB delta; measured r4)
+    ("hdr",        False, False, 0.0),    # +0.018 (thin; the r2-r3 gate)
+    ("hdr",        False, True,  0.05),   # +0.105
+    ("hdr_china",  False, False, 0.40),   # +0.460
+    ("hdr_china",  False, True,  0.48),   # +0.546
+    ("hdr_flower", False, False, 0.90),   # +0.997
+    ("hdr_flower", False, True,  1.10),   # +1.212
+    ("hdr_sun",    False, False, 2.70),   # +2.839
+    ("hdr_sun",    False, True,  2.50),   # +2.632
+    ("hdr_signed", True,  False, 3.30),   # +3.483
+    ("hdr_signed", True,  True,  3.40),   # +3.651
+]
+
+
+@pytest.mark.parametrize(
+    "content,signed,maxq,min_delta", BC6H_GATES,
+    ids=[f"{c}{'-maxq' if m else ''}" for c, _, m, _ in BC6H_GATES])
+def test_bc6h_encode_psnr_vs_reference(content, signed, maxq, min_delta):
     corpus = np.load(os.path.join(GOLDEN, "corpus.npz"))
-    img = corpus["hdr"]
+    img = corpus[content]
     blocks = np.asarray(image_to_blocks(jnp.asarray(img))[0])
-    ref_bc = refcodec.encode(refcodec.BC6HU, blocks)
-    our_bc = np.asarray(
-        bc67.encode_bc6h(jnp.asarray(blocks), signed=False)).reshape(-1, 16)
+    codec = refcodec.BC6HS if signed else refcodec.BC6HU
+    ref_bc = refcodec.encode(codec, blocks)
+    flags = bc67._BC7_MAXQUALITY if maxq else 0
+    our_bc = np.asarray(bc67.encode_bc6h(
+        jnp.asarray(blocks), signed=signed, flags=flags)).reshape(-1, 16)
     peak = float(np.abs(img[..., :3]).max())
-    ref_psnr = _psnr(refcodec.decode(refcodec.BC6HU, ref_bc), blocks, 3,
-                     peak)
-    our_psnr = _psnr(refcodec.decode(refcodec.BC6HU, our_bc), blocks, 3,
-                     peak)
-    # the off-axis shape ranking closed the r2 gap: 46.42 -> 47.37 vs
-    # the reference's 47.33 (see _shape_estimates_table)
-    assert our_psnr - ref_psnr >= 0.0, (
-        f"bc6h: ours {our_psnr:.2f} vs ref {ref_psnr:.2f}")
+    ref_psnr = _psnr(refcodec.decode(codec, ref_bc), blocks, 3, peak)
+    our_psnr = _psnr(refcodec.decode(codec, our_bc), blocks, 3, peak)
+    assert our_psnr - ref_psnr >= min_delta, (
+        f"bc6h {content}: ours {our_psnr:.2f} vs ref {ref_psnr:.2f} "
+        f"(delta {our_psnr - ref_psnr:+.3f} < {min_delta:+.2f})")
 
 
 def test_bc6hs_encode_psnr_vs_reference():
     """Signed BC6H encode parity on smooth zero-crossing HDR content
-    (measured 28.90 vs the reference's 28.91). Per-pixel bipolar NOISE is
-    pathological for BOTH encoders — the shared sign-magnitude F16-int
-    error metric (INTColor norm / _bc6h_palette_err_t) diverges from
-    float error across sign changes, and the reference itself decodes
-    such blocks to values far outside the source range."""
+    (r4: +0.46 after the ladder magnitude cap — the cap keeps the
+    perturbation walk near the data, which happens to also beat the
+    reference's unguarded climb here)."""
     yy, xx = np.mgrid[0:32, 0:32] / 32.0
     img = np.stack([xx * 2 - 1, yy - 0.5, np.sin(xx * 6) * 0.8,
                     np.ones((32, 32))], -1).astype(np.float32)
@@ -217,7 +238,7 @@ def test_bc6hs_encode_psnr_vs_reference():
                      peak)
     our_psnr = _psnr(refcodec.decode(refcodec.BC6HS, our_bc), blocks, 3,
                      peak)
-    assert our_psnr - ref_psnr >= -0.05, (
+    assert our_psnr - ref_psnr >= 0.40, (
         f"bc6hs: ours {our_psnr:.2f} vs ref {ref_psnr:.2f}")
 
 
