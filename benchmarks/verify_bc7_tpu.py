@@ -106,8 +106,8 @@ def verify():
     tiers = [("default", [bc67.LADDER_LIGHT], bc67._MODE4_IMS,
               _scoped(modes), 1.0, ref)]
     if "ref_maxq" in data:
-        tiers.append(("maxq", [bc67.LADDER_FULL] * 2, (0, 1), modes, 1.0,
-                      data["ref_maxq"]))
+        tiers.append(("maxq", [bc67.LADDER_MOMENT, bc67.LADDER_FULL],
+                      (0, 1), modes, 1.0, data["ref_maxq"]))
     if "ref_aw2" in data:
         tiers.append(("aw2", [bc67.LADDER_LIGHT], bc67._MODE4_IMS,
                       _scoped(modes), 2.0, data["ref_aw2"]))

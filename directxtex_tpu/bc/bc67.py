@@ -800,6 +800,110 @@ def _perturb_channels_t(px_i, mask, m, shared_p, q0, q1, p0, p1, wk_ch,
     return jnp.stack(q0r), jnp.stack(q1r), err, err0
 
 
+# Ladder sentinel: the analytic moment ladder (r4). Instead of 12-16
+# exact palette evaluations per subset (the ±1 probe grid), compute the
+# 5 residual/weight moments per channel and pick the best joint
+# (d_endpoint0, d_endpoint1) ∈ {-1,0,+1}² q-step move from the exact
+# quadratic model of the fixed-index error (the palette is affine in
+# each endpoint up to the >>6 floor); ONE exact re-assignment +
+# rescore then accepts or rejects the combined move, so quality can
+# never regress below the unrefined search. Joint moves also reach
+# (±1, ±1) corners the sequential exact ladder only finds when the
+# first axis move helps on its own.
+LADDER_MOMENT = "moment"
+
+
+def _moment_channels_t(px_i, mask, m, shared_p, q0, q1, p0, p1, wk_ch,
+                       aw: float = 1.0, alpha_ch: int = 3, w_rows=None):
+    """Analytic single-step endpoint move per channel (LADDER_MOMENT):
+    the quadratic-model argmin over the 3x3 q-step grid. Same signature
+    contract as _perturb_channels_t but err_l is +inf — the caller's
+    one exact re-assignment supplies the accept/reject error. Per-lane
+    channel weights scale a channel's quadratic uniformly, so the pick
+    is weight-independent; err0 keeps them (acceptance bar)."""
+    p1u = p0 if shared_p else p1
+    q0r = [q0[c] for c in range(4)]
+    q1r = [q1[c] for c in range(4)]
+    nb = px_i.shape[2]
+    chans = [c for c in range(4) if m.rgba_prec[c] > 0]
+
+    err0 = jnp.zeros((nb,), jnp.float32)
+    full = jnp.full((nb,), 255, jnp.int32)
+    moments_cache = {}
+    for c in range(4):
+        if m.rgba_prec[c] == 0:
+            d = (px_i[:, c, :] - 255).astype(jnp.float32)
+            r2 = d * d
+            if w_rows is not None:
+                r2 = r2 * w_rows[c][None, :]
+            elif c == alpha_ch and aw != 1.0:
+                r2 = r2 * aw
+            err0 = err0 + jnp.sum(jnp.where(mask, r2, 0.0), axis=0)
+            continue
+        prec, prec_p = m.rgba_prec[c], m.rgba_prec_p[c]
+        maxq = (1 << prec) - 1
+        u0c = _unquant_channel_t(q0r[c], p0, prec, prec_p)
+        u1c = _unquant_channel_t(q1r[c], p1u, prec, prec_p)
+        wk = wk_ch[c]
+        pal = ((64 - wk) * u0c[None, :] + wk * u1c[None, :] + 32) >> 6
+        r = (px_i[:, c, :] - pal).astype(jnp.float32)
+        r2 = r * r
+        if w_rows is not None:
+            r2 = r2 * w_rows[c][None, :]
+        elif c == alpha_ch and aw != 1.0:
+            r2 = r2 * aw
+        err0 = err0 + jnp.sum(jnp.where(mask, r2, 0.0), axis=0)
+
+        key = id(wk)
+        if key not in moments_cache:
+            a = (64 - wk).astype(jnp.float32) * jnp.float32(1 / 64)
+            b = wk.astype(jnp.float32) * jnp.float32(1 / 64)
+            moments_cache[key] = (
+                a, b,
+                jnp.sum(jnp.where(mask, a * a, 0.0), axis=0),
+                jnp.sum(jnp.where(mask, a * b, 0.0), axis=0),
+                jnp.sum(jnp.where(mask, b * b, 0.0), axis=0))
+        a, b, saa, sab, sbb = moments_cache[key]
+        sra = jnp.sum(jnp.where(mask, r * a, 0.0), axis=0)
+        srb = jnp.sum(jnp.where(mask, r * b, 0.0), axis=0)
+
+        # exact unquantized steps of a ±1 q move (0 at the field rail)
+        q0p, q0m = jnp.minimum(q0r[c] + 1, maxq), jnp.maximum(q0r[c] - 1, 0)
+        q1p, q1m = jnp.minimum(q1r[c] + 1, maxq), jnp.maximum(q1r[c] - 1, 0)
+        d0 = {0: jnp.zeros((nb,), jnp.float32),
+              1: (_unquant_channel_t(q0p, p0, prec, prec_p)
+                  - u0c).astype(jnp.float32),
+              -1: (_unquant_channel_t(q0m, p0, prec, prec_p)
+                   - u0c).astype(jnp.float32)}
+        d1 = {0: jnp.zeros((nb,), jnp.float32),
+              1: (_unquant_channel_t(q1p, p1u, prec, prec_p)
+                  - u1c).astype(jnp.float32),
+              -1: (_unquant_channel_t(q1m, p1u, prec, prec_p)
+                   - u1c).astype(jnp.float32)}
+        qs0 = {0: q0r[c], 1: q0p, -1: q0m}
+        qs1 = {0: q1r[c], 1: q1p, -1: q1m}
+
+        best = jnp.zeros((nb,), jnp.float32)
+        bq0, bq1 = q0r[c], q1r[c]
+        for s0 in (0, 1, -1):
+            for s1 in (0, 1, -1):
+                if s0 == 0 and s1 == 0:
+                    continue
+                e0, e1 = d0[s0], d1[s1]
+                de = (e0 * e0 * saa + e1 * e1 * sbb
+                      + 2.0 * e0 * e1 * sab
+                      - 2.0 * (e0 * sra + e1 * srb))
+                better = de < best
+                best = jnp.minimum(de, best)
+                bq0 = jnp.where(better, qs0[s0], bq0)
+                bq1 = jnp.where(better, qs1[s1], bq1)
+        q0r[c] = bq0
+        q1r[c] = bq1
+
+    errl = jnp.full((nb,), jnp.inf, jnp.float32)
+    return jnp.stack(q0r), jnp.stack(q1r), errl, err0
+
+
 def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id,
                            aw: float = 1.0):
     """Evaluate one (mode, shape) candidate for all blocks.
@@ -1293,9 +1397,15 @@ def _refine_mode_subsets(px_i, words_t, mode_id: int, ladder, aw: float):
     err_new = jnp.zeros((nb,), jnp.float32)
     err_old = jnp.zeros((nb,), jnp.float32)
     for sub, mask in enumerate(mask_list):
-        q0t, q1t, err_l, err0 = _perturb_channels_t(
-            px_i, mask, m, shared_p, q0s[sub], q1s[sub], p0s[sub],
-            p1s[sub], [wk] * 4, aw=aw, rounds=ladder[0], deltas=ladder[1])
+        if ladder == LADDER_MOMENT:
+            q0t, q1t, err_l, err0 = _moment_channels_t(
+                px_i, mask, m, shared_p, q0s[sub], q1s[sub], p0s[sub],
+                p1s[sub], [wk] * 4, aw=aw)
+        else:
+            q0t, q1t, err_l, err0 = _perturb_channels_t(
+                px_i, mask, m, shared_p, q0s[sub], q1s[sub], p0s[sub],
+                p1s[sub], [wk] * 4, aw=aw, rounds=ladder[0],
+                deltas=ladder[1])
         u0, u1 = _unquantize_with_p_t(q0t, q1t, p0s[sub], p1s[sub], m,
                                       shared_p)
         idx_t, err_t = _assign_indices_t(px_i, u0, u1, prec, mask, aw=aw)
@@ -1374,9 +1484,14 @@ def _refine_mode45(px_i, words_t, mode_id: int, ladder, aw: float):
     wka = jnp.where(im0_16, _pal_weight(aidx, 1 << prec2),
                     _pal_weight(aidx, 1 << prec1))
 
-    q0t, q1t, err_l, err0 = _perturb_channels_t(
-        pr_i, mask, m, False, q0, q1, p0, p1, [wkc, wkc, wkc, wka],
-        aw=aw, rounds=ladder[0], deltas=ladder[1], w_rows=w_rows)
+    if ladder == LADDER_MOMENT:
+        q0t, q1t, err_l, err0 = _moment_channels_t(
+            pr_i, mask, m, False, q0, q1, p0, p1, [wkc, wkc, wkc, wka],
+            aw=aw, w_rows=w_rows)
+    else:
+        q0t, q1t, err_l, err0 = _perturb_channels_t(
+            pr_i, mask, m, False, q0, q1, p0, p1, [wkc, wkc, wkc, wka],
+            aw=aw, rounds=ladder[0], deltas=ladder[1], w_rows=w_rows)
     u0, u1 = _unquantize_with_p_t(q0t, q1t, p0, p1, m, False)
     cidx_a, cerr_a = _assign_indices_t(pr_i, u0, u1, prec1, mask,
                                        channels=3, aw=aw, w_rows=w_rows)
@@ -1498,7 +1613,12 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
     # The default tier takes light x1 — it already beats the reference
     # full search on every corpus content; full's extra 0.007-0.056 dB
     # doubles the refine dispatch, so it rides the maxq tier instead.
-    ladders = [LADDER_FULL, LADDER_FULL] if maxq else [LADDER_LIGHT]
+    # maxq = moment dispatch then FULL exact ladder (r4): beats the old
+    # FULL x2 on EVERY corpus content (+0.140 -> +0.165 albedo ... see
+    # benchmarks/quality_moment.py) at lower cost — the joint (±1,±1)
+    # moment move reaches corners the sequential exact climb cannot,
+    # then FULL polishes.
+    ladders = [LADDER_MOMENT, LADDER_FULL] if maxq else [LADDER_LIGHT]
     # Default-tier refine scope skips mode 6 (r4): its 7777+pbit
     # endpoints sit at the search's LS optimum already — laddering it
     # measured +0.000..0.003 dB on every corpus content for ~0.50 ms of

@@ -542,6 +542,101 @@ def _k_perturb_subset(xf, mask, prec_spec, q0l, q1l, p0, p1, wk_ch,
     return q0r, q1r, sum(ch_err), err0
 
 
+def _k_moment_subset(xf, mask, prec_spec, q0l, q1l, p0, p1, wk_ch,
+                     aw: float = 1.0, alpha_ch: int = 3, w_rows=None):
+    """In-kernel twin of bc67._moment_channels_t (LADDER_MOMENT): one
+    analytic joint (±1, ±1) q-step endpoint move per channel picked
+    from the 5 residual/weight moments of the fixed-index quadratic
+    error model, instead of 12-16 exact palette probes. The caller's
+    joint re-assignment + exact rescore accepts or rejects the move
+    (err_l returned as +inf so re-assigned indices always supersede
+    the model). All moment math is exact-in-f32 integers/64ths, so it
+    reproduces the jnp twin bit-for-bit."""
+    rgba_prec, rgba_prec_p, shared_p = prec_spec
+    p1u = p0 if shared_p else p1
+    q0r = list(q0l)
+    q1r = list(q1l)
+
+    def wsum(plane, c):
+        if w_rows is not None:
+            plane = plane * w_rows[c][None, :]
+        elif c == alpha_ch and aw != 1.0:
+            plane = plane * aw
+        return jnp.sum(plane if mask is None
+                       else jnp.where(mask, plane, 0.0), axis=0)
+
+    def msum(plane):
+        return jnp.sum(plane if mask is None
+                       else jnp.where(mask, plane, 0.0), axis=0)
+
+    err0 = None
+    moments_cache = {}
+    for c in range(4):
+        if rgba_prec[c] == 0:
+            r = xf[c] - 255.0
+            e = wsum(r * r, c)
+            err0 = e if err0 is None else err0 + e
+            continue
+        prec, prec_p = rgba_prec[c], rgba_prec_p[c]
+        maxq = (1 << prec) - 1
+        u0c = _k_unquant_channel(q0r[c], p0, prec, prec_p)
+        u1c = _k_unquant_channel(q1r[c], p1u, prec, prec_p)
+        u0f = u0c.astype(jnp.float32)[None, :]
+        u1f = u1c.astype(jnp.float32)[None, :]
+        wk = wk_ch[c]
+        pal = jnp.floor(((64.0 - wk) * u0f + wk * u1f + 32.0)
+                        * jnp.float32(1 / 64))
+        r = xf[c] - pal
+        e = wsum(r * r, c)
+        err0 = e if err0 is None else err0 + e
+
+        key = id(wk)
+        if key not in moments_cache:
+            a = (64.0 - wk) * jnp.float32(1 / 64)
+            b = wk * jnp.float32(1 / 64)
+            moments_cache[key] = (a, b, msum(a * a), msum(a * b),
+                                  msum(b * b))
+        a, b, saa, sab, sbb = moments_cache[key]
+        sra = msum(r * a)
+        srb = msum(r * b)
+
+        q0p, q0m = jnp.minimum(q0r[c] + 1, maxq), jnp.maximum(q0r[c] - 1, 0)
+        q1p, q1m = jnp.minimum(q1r[c] + 1, maxq), jnp.maximum(q1r[c] - 1, 0)
+        zero = jnp.zeros_like(sra)
+        d0 = {0: zero,
+              1: (_k_unquant_channel(q0p, p0, prec, prec_p)
+                  - u0c).astype(jnp.float32),
+              -1: (_k_unquant_channel(q0m, p0, prec, prec_p)
+                   - u0c).astype(jnp.float32)}
+        d1 = {0: zero,
+              1: (_k_unquant_channel(q1p, p1u, prec, prec_p)
+                  - u1c).astype(jnp.float32),
+              -1: (_k_unquant_channel(q1m, p1u, prec, prec_p)
+                   - u1c).astype(jnp.float32)}
+        qs0 = {0: q0r[c], 1: q0p, -1: q0m}
+        qs1 = {0: q1r[c], 1: q1p, -1: q1m}
+
+        best = zero
+        bq0, bq1 = q0r[c], q1r[c]
+        for s0 in (0, 1, -1):
+            for s1 in (0, 1, -1):
+                if s0 == 0 and s1 == 0:
+                    continue
+                e0, e1 = d0[s0], d1[s1]
+                de = (e0 * e0 * saa + e1 * e1 * sbb
+                      + 2.0 * e0 * e1 * sab
+                      - 2.0 * (e0 * sra + e1 * srb))
+                better = de < best
+                best = jnp.minimum(de, best)
+                bq0 = jnp.where(better, qs0[s0], bq0)
+                bq1 = jnp.where(better, qs1[s1], bq1)
+        q0r[c] = bq0
+        q1r[c] = bq1
+
+    errl = jnp.full_like(err0, jnp.inf)
+    return q0r, q1r, errl, err0
+
+
 def _k_anchor_index(idx, anchor):
     """idx value at the (data-dependent) anchor pixel: one-hot row select."""
     a_idx = jnp.zeros_like(idx[0])
@@ -1482,9 +1577,14 @@ def _k_refine_subsets(xf, words, mode_id: int, ladder, aw: float):
     prec_spec = (rgba_prec, rgba_prec_p, shared_p)
     q0t_s, q1t_s, errl_s, err0_s = [], [], [], []
     for p in range(n_sub):
-        q0t, q1t, errl, err0 = _k_perturb_subset(
-            xf, masks[p], prec_spec, q0s[p], q1s[p], p0s[p], p1s[p],
-            [wk] * 4, ladder, aw=aw)
+        if ladder == bc67.LADDER_MOMENT:
+            q0t, q1t, errl, err0 = _k_moment_subset(
+                xf, masks[p], prec_spec, q0s[p], q1s[p], p0s[p], p1s[p],
+                [wk] * 4, aw=aw)
+        else:
+            q0t, q1t, errl, err0 = _k_perturb_subset(
+                xf, masks[p], prec_spec, q0s[p], q1s[p], p0s[p], p1s[p],
+                [wk] * 4, ladder, aw=aw)
         q0t_s.append(q0t)
         q1t_s.append(q1t)
         errl_s.append(errl)
@@ -1594,9 +1694,14 @@ def _k_refine_mode45(xf, words, mode_id: int, ladder, aw: float):
     wka = jnp.where(im0_16, _pal_weight_f(aidx, 1 << iprec2),
                     _pal_weight_f(aidx, 1 << iprec))
 
-    q0t, q1t, errl, err0 = _k_perturb_subset(
-        xr, None, (rgba_prec, rgba_prec_p, False), q0, q1, zero, zero,
-        [wkc, wkc, wkc, wka], ladder, aw=aw, w_rows=w_rows)
+    if ladder == bc67.LADDER_MOMENT:
+        q0t, q1t, errl, err0 = _k_moment_subset(
+            xr, None, (rgba_prec, rgba_prec_p, False), q0, q1, zero,
+            zero, [wkc, wkc, wkc, wka], aw=aw, w_rows=w_rows)
+    else:
+        q0t, q1t, errl, err0 = _k_perturb_subset(
+            xr, None, (rgba_prec, rgba_prec_p, False), q0, q1, zero,
+            zero, [wkc, wkc, wkc, wka], ladder, aw=aw, w_rows=w_rows)
     u0 = [_k_unquant_channel(q0t[c], zero, rgba_prec[c], rgba_prec_p[c])
           for c in range(4)]
     u1 = [_k_unquant_channel(q1t[c], zero, rgba_prec[c], rgba_prec_p[c])

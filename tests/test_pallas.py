@@ -302,6 +302,32 @@ def test_bc7_refine_kernel_matches_jnp():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_bc7_refine_moment_ladder_matches_jnp():
+    """LADDER_MOMENT (analytic joint-step ladder, r4) twin equivalence:
+    all moment math is exact-in-f32 integers/64ths, so the kernel must
+    reproduce refine_bc7_words bit-for-bit."""
+    from directxtex_tpu.bc.pallas_kernels import bc7_refine_pallas
+
+    rng = np.random.default_rng(19)
+    nb = 192
+    blocks = rng.random((nb, 16, 4)).astype(np.float32)
+    blocks[:nb // 2, :, 3] = 1.0          # mixed alpha: all mode families
+    bj = jnp.asarray(blocks)
+    px_i = jnp.clip(jnp.transpose(bj, (1, 2, 0)) * 255.0 + 0.01,
+                    0.0, 255.0).astype(jnp.int32)
+    bc = np.asarray(bc67.encode_bc7(bj))
+    words = jnp.asarray(
+        np.ascontiguousarray(bc).view(np.uint32).reshape(-1, 4))
+
+    modes = (1, 3, 5, 7, 4)
+    ref = np.asarray(bc67.refine_bc7_words(px_i, words,
+                                           bc67.LADDER_MOMENT,
+                                           modes=modes))
+    got = np.asarray(bc7_refine_pallas(px_i, words, bc67.LADDER_MOMENT,
+                                       modes=modes, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_bc7_refine_kernel_alpha_weight_matches_jnp():
     """Refine with TEX_COMPRESS_BC7_ALPHA_WEIGHT != 1: the per-lane
     rotated-alpha weight rows must agree between kernel and jnp."""
@@ -366,9 +392,12 @@ def test_bc7_single_dispatch_maxq_matches_jnp():
 
     ref = np.asarray(bc67.encode_bc7(blocks, flags=0x200000, opaque=False))
     modes = (1, 3, 5, 6, 7, 4)
-    err_p, words_p = bc7_encode_pallas(px_i, modes, interpret=True)
-    for _ in range(2):
-        words_p = bc7_refine_pallas(px_i, words_p, bc67.LADDER_FULL,
+    # maxq keeps the full mode-4 index-mode scope (the default resolves
+    # to the im0 cut)
+    err_p, words_p = bc7_encode_pallas(px_i, modes, interpret=True,
+                                       m4_ims=(0, 1))
+    for ladder in (bc67.LADDER_MOMENT, bc67.LADDER_FULL):
+        words_p = bc7_refine_pallas(px_i, words_p, ladder,
                                     modes=modes, interpret=True)
     got = np.asarray(words_p).view(np.uint8).reshape(nb, 16)
 

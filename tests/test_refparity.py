@@ -144,21 +144,22 @@ ENCODERS = [
      lambda b: bc67.encode_bc7(b), 4, 0.05),
     ("bc7_photo_flower", refcodec.BC7, "photo_flower",
      lambda b: bc67.encode_bc7(b), 4, 0.05),
-    # max-quality tier (a second winner-refine pass): strictly above the
-    # default tier on every content (measured +0.145 / +0.384 / +2.995 /
-    # +0.487 / +0.272 / +0.164)
+    # max-quality tier (r4: moment dispatch + FULL exact ladder —
+    # benchmarks/quality_moment.py): strictly above the default tier on
+    # every content (measured +0.165 / +0.417 / +3.041 / +0.512 /
+    # +0.280 / +0.184)
     ("bc7mq_albedo", refcodec.BC7, "albedo",
-     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.12),
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.14),
     ("bc7mq_tworegion", refcodec.BC7, "tworegion",
-     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.35),
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.39),
     ("bc7mq_normal", refcodec.BC7, "normal",
-     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 2.95),
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 3.01),
     ("bc7mq_alphagrad", refcodec.BC7, "alphagrad",
-     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.45),
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.48),
     ("bc7mq_photo_china", refcodec.BC7, "photo_china",
-     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.24),
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.25),
     ("bc7mq_photo_flower", refcodec.BC7, "photo_flower",
-     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.13),
+     lambda b: bc67.encode_bc7(b, flags=bc67._BC7_MAXQUALITY), 4, 0.16),
 ]
 
 

@@ -133,8 +133,9 @@ def test_texconv_batched_multifile_compress(tmp_path, monkeypatch):
     rc = texconv.main(["-nologo", "-y", "-f", "BC1_UNORM", "-m", "1",
                        "-o", str(tmp_path)] + paths)
     assert rc == 0
-    # one dispatch for all 3 files: 3 * (16/4)^2 = 48 blocks
-    assert calls == [48], calls
+    # one dispatch for all 3 files: 3 * (16/4)^2 = 48 blocks, padded to
+    # the 256-block trace bucket (compress._bucket_size, r4)
+    assert calls == [256], calls
 
     outs = [load_texture(str(tmp_path / f"f{i}.dds")) for i in range(3)]
     for i, p in enumerate(paths):
