@@ -113,7 +113,7 @@ def make_flops():
 
     words = jnp.zeros((NB_SMALL, 4), jnp.uint32)
     j = jax.make_jaxpr(lambda p, w: bc67.refine_bc7_words(
-        p, w, bc67.LADDER_LIGHT, modes=rmodes))(px_i, words)
+        p, w, bc67.LADDER_MOMENT, modes=rmodes))(px_i, words)
     f_refine = _jaxpr_ops(j.jaxpr)
 
     j = jax.make_jaxpr(lambda b: bc67.encode_bc6h(b, signed=False))(
@@ -153,7 +153,7 @@ def rows():
              jnp.float32)),
         ("bc7 refine", "bc7_refine", px_i,
          lambda p: jnp.sum(bc7_refine_pallas(
-             p, base_words, bc67.LADDER_LIGHT,
+             p, base_words, bc67.LADDER_MOMENT,
              modes=rmodes)).astype(jnp.float32)),
         ("bc6h search", "bc6h_search", px6_i,
          lambda p: jnp.sum(bc6h_encode_pallas(p, False)[1]).astype(

@@ -103,13 +103,13 @@ def verify():
     def _scoped(ms):
         return tuple(m for m in ms if m != 6)
 
-    tiers = [("default", [bc67.LADDER_LIGHT], bc67._MODE4_IMS,
+    tiers = [("default", [bc67.LADDER_MOMENT], bc67._MODE4_IMS,
               _scoped(modes), 1.0, ref)]
     if "ref_maxq" in data:
         tiers.append(("maxq", [bc67.LADDER_MOMENT, bc67.LADDER_FULL],
                       (0, 1), modes, 1.0, data["ref_maxq"]))
     if "ref_aw2" in data:
-        tiers.append(("aw2", [bc67.LADDER_LIGHT], bc67._MODE4_IMS,
+        tiers.append(("aw2", [bc67.LADDER_MOMENT], bc67._MODE4_IMS,
                       _scoped(modes), 2.0, data["ref_aw2"]))
     src_all = np.clip(blocks * 255.0 + 0.01, 0, 255).astype(
         np.int32).astype(np.float32)

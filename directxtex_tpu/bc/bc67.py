@@ -1613,12 +1613,14 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
     # The default tier takes light x1 — it already beats the reference
     # full search on every corpus content; full's extra 0.007-0.056 dB
     # doubles the refine dispatch, so it rides the maxq tier instead.
-    # maxq = moment dispatch then FULL exact ladder (r4): beats the old
-    # FULL x2 on EVERY corpus content (+0.140 -> +0.165 albedo ... see
-    # benchmarks/quality_moment.py) at lower cost — the joint (±1,±1)
-    # moment move reaches corners the sequential exact climb cannot,
-    # then FULL polishes.
-    ladders = [LADDER_MOMENT, LADDER_FULL] if maxq else [LADDER_LIGHT]
+    # r4 ladders: default = one MOMENT dispatch (analytic joint-step
+    # ladder — beats exact LIGHT on 5/6 corpus contents, albedo +0.066
+    # -> +0.081, at equal dispatch cost and 281.6 vs 273.8 Mt/s e2e at
+    # 2K); maxq = MOMENT then FULL exact ladder (beats the old FULL x2
+    # on EVERY content — the joint (±1,±1) move reaches corners the
+    # sequential exact climb cannot, then FULL polishes). Measured:
+    # benchmarks/quality_moment.py + profile_moment.py.
+    ladders = [LADDER_MOMENT, LADDER_FULL] if maxq else [LADDER_MOMENT]
     # Default-tier refine scope skips mode 6 (r4): its 7777+pbit
     # endpoints sit at the search's LS optimum already — laddering it
     # measured +0.000..0.003 dB on every corpus content for ~0.50 ms of

@@ -270,15 +270,15 @@ def test_golden_hdr_roundtrip(containers):
 # tests/test_refparity.py re-derives them live when the tree is present)
 # ---------------------------------------------------------------------------
 
-# minimum (ours - reference) dB on the frozen corpus; the r3 default
-# tier beats the reference full search on every BC7 content (margins
-# mirror tests/test_refparity.py's ENCODERS floors)
+# minimum (ours - reference) dB on the frozen corpus; the r4 default
+# tier (MOMENT winner-ladder) beats the reference full search on every
+# BC7 content (margins mirror tests/test_refparity.py's ENCODERS floors)
 REF_PARITY_MARGINS = {
     "bc1_albedo": -0.03, "bc1_tworegion": -0.02,
     "bc2_alphagrad": -0.03, "bc3_alphagrad": -0.03,
     "bc4_normal": -0.02, "bc5_normal": -0.02,
-    "bc7_albedo": 0.04, "bc7_tworegion": 0.35,
-    "bc7_normal": 2.88, "bc7_alphagrad": 0.38,
+    "bc7_albedo": 0.06, "bc7_tworegion": 0.34,
+    "bc7_normal": 2.95, "bc7_alphagrad": 0.38,
 }
 
 

@@ -227,8 +227,8 @@ def test_bc7_single_dispatch_3subset_matches_jnp():
     ref = np.asarray(bc67.encode_bc7(bj, flags=0x80000, opaque=True))
     modes = (0, 2, 1, 3, 5, 6, 4)
     err_p, words_p = bc7_encode_pallas(px_i, modes, interpret=True)
-    # default-tier refine scope: mode 6 skipped (see encode_bc7)
-    words_p = bc7_refine_pallas(px_i, words_p, bc67.LADDER_LIGHT,
+    # default tier: MOMENT ladder, refine scope skips mode 6 (encode_bc7)
+    words_p = bc7_refine_pallas(px_i, words_p, bc67.LADDER_MOMENT,
                                 modes=(0, 2, 1, 3, 5, 4), interpret=True)
     got = np.asarray(words_p).view(np.uint8).reshape(nb, 16)
 
@@ -257,8 +257,8 @@ def test_bc7_single_dispatch_matches_jnp(opaque):
     ref = np.asarray(bc67.encode_bc7(blocks, opaque=opaque))
     modes = (1, 3, 5, 6, 4) if opaque else (1, 3, 5, 6, 7, 4)
     err_p, words_p = bc7_encode_pallas(px_i, modes, interpret=True)
-    # default-tier refine scope: mode 6 skipped (see encode_bc7)
-    words_p = bc7_refine_pallas(px_i, words_p, bc67.LADDER_LIGHT,
+    # default tier: MOMENT ladder, refine scope skips mode 6 (encode_bc7)
+    words_p = bc7_refine_pallas(px_i, words_p, bc67.LADDER_MOMENT,
                                 modes=tuple(m for m in modes if m != 6),
                                 interpret=True)
     got = np.asarray(words_p).view(np.uint8).reshape(nb, 16)

@@ -121,18 +121,18 @@ ENCODERS = [
      lambda b: bc45.encode_bc4u(b), 1, -0.02),
     ("bc5_normal", refcodec.BC5U, "normal",
      lambda b: bc45.encode_bc5u(b), 2, -0.02),
-    # r3: the DEFAULT tier (off-axis shape ranking, power=3, mode-4
-    # im0-only search + light winner-refine ladder) beats the reference
-    # full search on EVERY corpus content (measured deltas: +0.067 /
-    # +0.374 / +2.935 / +0.404 / +0.086 / +0.078 —
-    # benchmarks/quality_search_cuts.py c4-im0; floors = measured minus
-    # a small guard)
+    # r4: the DEFAULT tier (off-axis shape ranking, power=3, mode-4
+    # im0-only search + MOMENT winner-ladder, refine scope no-6) beats
+    # the reference full search on EVERY corpus content (measured
+    # deltas: +0.081 / +0.363 / +2.990 / +0.404 / +0.089 / +0.088 —
+    # benchmarks/quality_moment.py; floors = measured minus a small
+    # guard)
     ("bc7_albedo", refcodec.BC7, "albedo",
-     lambda b: bc67.encode_bc7(b), 4, 0.04),
+     lambda b: bc67.encode_bc7(b), 4, 0.06),
     ("bc7_tworegion", refcodec.BC7, "tworegion",
-     lambda b: bc67.encode_bc7(b), 4, 0.35),
+     lambda b: bc67.encode_bc7(b), 4, 0.34),
     ("bc7_normal", refcodec.BC7, "normal",
-     lambda b: bc67.encode_bc7(b), 4, 2.88),
+     lambda b: bc67.encode_bc7(b), 4, 2.95),
     ("bc7_alphagrad", refcodec.BC7, "alphagrad",
      lambda b: bc67.encode_bc7(b), 4, 0.38),
     # real photographic content (128², sklearn sample images; r3)
@@ -141,9 +141,9 @@ ENCODERS = [
     ("bc1_photo_flower", refcodec.BC1, "photo_flower",
      lambda b: bc123.encode_bc1(b, 0.5, 0), 3, -0.03),
     ("bc7_photo_china", refcodec.BC7, "photo_china",
-     lambda b: bc67.encode_bc7(b), 4, 0.05),
+     lambda b: bc67.encode_bc7(b), 4, 0.06),
     ("bc7_photo_flower", refcodec.BC7, "photo_flower",
-     lambda b: bc67.encode_bc7(b), 4, 0.05),
+     lambda b: bc67.encode_bc7(b), 4, 0.06),
     # max-quality tier (r4: moment dispatch + FULL exact ladder —
     # benchmarks/quality_moment.py): strictly above the default tier on
     # every content (measured +0.165 / +0.417 / +3.041 / +0.512 /
