@@ -172,6 +172,37 @@ def _project_assign_px(xf, u0px, u1px, e_px, span_px, prec: int,
     return idx, dist
 
 
+def _project_assign_px_dyn(xf, u0px, e_px, span_px, km1, fK,
+                           aw: float = 1.0):
+    """_project_assign_px with a per-lane index precision: km1 [T] f32
+    holds K-1 (7 for 3-bit, 3 for 2-bit indices), fK [T] f32 holds the
+    SAME np.float32(64/(K-1)) constants the static helper bakes in, so
+    each lane's arithmetic is bit-identical to _project_assign_px at
+    its K. km1 * (1/64) is exact in f32 (power-of-two denominator),
+    matching the static (K-1)/64.0 literal."""
+    d0 = [xf[c] - u0px[c] for c in range(4)]
+    dot = sum((d * e_px[c] for c, d in enumerate(d0)),
+              start=jnp.zeros_like(d0[0]))
+    p64 = jnp.clip(dot * (64.0 / jnp.where(span_px > 0, span_px, 1.0)),
+                   0.0, 64.0)
+    km1p = km1[None, :]
+    fKp = fK[None, :]
+    kf = jnp.clip(jnp.round(p64 * (km1p * jnp.float32(1 / 64))),
+                  0.0, km1p)
+    wk = jnp.floor(kf * fKp + 0.5)
+    wkp = jnp.floor(jnp.minimum(kf + 1.0, km1p) * fKp + 0.5)
+    wkm = jnp.floor(jnp.maximum(kf - 1.0, 0.0) * fKp + 0.5)
+    up = (kf < km1p) & (2.0 * p64 > wk + wkp)
+    dn = (kf > 0) & (2.0 * p64 < wk + wkm)
+    idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    wk = jnp.floor(idx * fKp + 0.5)
+    dist = jnp.zeros_like(p64)
+    for c, d in enumerate(d0):
+        r = d - jnp.floor(wk * e_px[c] * jnp.float32(1 / 64) + 0.5)
+        dist = dist + (r * r if (c != 3 or aw == 1.0) else r * r * aw)
+    return idx, dist
+
+
 # per-mode statics for the kernel helpers
 # mode_id: (rgba_prec, rgba_prec_p, index_prec, shared_p, with_alpha)
 _BC7_MODE_STATICS = {
@@ -602,39 +633,207 @@ def _k_moment_subset(xf, mask, prec_spec, q0l, q1l, p0, p1, wk_ch,
 
         q0p, q0m = jnp.minimum(q0r[c] + 1, maxq), jnp.maximum(q0r[c] - 1, 0)
         q1p, q1m = jnp.minimum(q1r[c] + 1, maxq), jnp.maximum(q1r[c] - 1, 0)
-        zero = jnp.zeros_like(sra)
-        d0 = {0: zero,
-              1: (_k_unquant_channel(q0p, p0, prec, prec_p)
+        d0 = {1: (_k_unquant_channel(q0p, p0, prec, prec_p)
                   - u0c).astype(jnp.float32),
               -1: (_k_unquant_channel(q0m, p0, prec, prec_p)
                    - u0c).astype(jnp.float32)}
-        d1 = {0: zero,
-              1: (_k_unquant_channel(q1p, p1u, prec, prec_p)
+        d1 = {1: (_k_unquant_channel(q1p, p1u, prec, prec_p)
                   - u1c).astype(jnp.float32),
               -1: (_k_unquant_channel(q1m, p1u, prec, prec_p)
                    - u1c).astype(jnp.float32)}
-        qs0 = {0: q0r[c], 1: q0p, -1: q0m}
-        qs1 = {0: q1r[c], 1: q1p, -1: q1m}
-
-        best = zero
-        bq0, bq1 = q0r[c], q1r[c]
-        for s0 in (0, 1, -1):
-            for s1 in (0, 1, -1):
-                if s0 == 0 and s1 == 0:
-                    continue
-                e0, e1 = d0[s0], d1[s1]
-                de = (e0 * e0 * saa + e1 * e1 * sbb
-                      + 2.0 * e0 * e1 * sab
-                      - 2.0 * (e0 * sra + e1 * srb))
-                better = de < best
-                best = jnp.minimum(de, best)
-                bq0 = jnp.where(better, qs0[s0], bq0)
-                bq1 = jnp.where(better, qs1[s1], bq1)
-        q0r[c] = bq0
-        q1r[c] = bq1
+        # plane-packed joint argmin (r4): the 8 combos' quadratic deltas
+        # evaluated as one [8, T] plane (rows = combos, full sublane
+        # occupancy) instead of 8 sequential [T]-row folds at 1/8
+        # occupancy. Bit-identical to the jnp twin's sequential fold:
+        # the per-combo expression tree is unchanged, and picking the
+        # EARLIEST row attaining the global min (accepted only when
+        # < 0) reproduces the strict `de < best` fold's tie-breaking.
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        # combo order (s0, s1): (0,1),(0,-1),(1,0),(1,1),(1,-1),
+        #                       (-1,0),(-1,1),(-1,-1)
+        e0p = jnp.where(rows8 < 2, 0.0,
+                        jnp.where(rows8 < 5, d0[1][None, :],
+                                  d0[-1][None, :]))
+        r3 = rows8 % 3
+        e1p = jnp.where(r3 == 0, d1[1][None, :],
+                        jnp.where(r3 == 1, d1[-1][None, :], 0.0))
+        de = (e0p * e0p * saa[None, :] + e1p * e1p * sbb[None, :]
+              + 2.0 * e0p * e1p * sab[None, :]
+              - 2.0 * (e0p * sra[None, :] + e1p * srb[None, :]))
+        minv = jnp.min(de, axis=0)
+        pick = jnp.min(jnp.where(de == minv[None, :],
+                                 jnp.broadcast_to(rows8, de.shape), 8),
+                       axis=0)
+        acc = minv < 0.0
+        q0r[c] = jnp.where(acc & (pick >= 2) & (pick < 5), q0p,
+                           jnp.where(acc & (pick >= 5), q0m, q0r[c]))
+        pm3 = pick % 3
+        q1r[c] = jnp.where(acc & (pm3 == 0), q1p,
+                           jnp.where(acc & (pm3 == 1), q1m, q1r[c]))
 
     errl = jnp.full_like(err0, jnp.inf)
     return q0r, q1r, errl, err0
+
+
+def _k_unquant_dyn(q, pbit, prec_p):
+    """_k_unquant_channel with a per-lane precision ROW (i32 [T]).
+    Every unified 2-subset mode (1/3/7) stores endpoints with p-bits
+    (rgba_prec_p == rgba_prec + 1), so the code always includes the p
+    bit. Exact-int shifts: identical values to the static helper at
+    each lane's precision (prec_p == 8 degenerates to c & 0xFF)."""
+    c = (q << 1) | pbit
+    c = (c << (8 - prec_p)) & 0xFF
+    return c | (c >> prec_p)
+
+
+def _k_moment_subset_dyn(xf, mask, prec_rows, q0l, q1l, p0, p1, wk_ch,
+                         a_enc, aw: float = 1.0):
+    """_k_moment_subset with per-lane precision rows: one pass serves
+    every 2-subset partition-family mode (1/3/7) simultaneously.
+    prec_rows = (prec_c, prec_p_c, prec_a, prec_p_a) i32 [T] rows
+    (RGB channels share one precision in these modes, ms_aInfo
+    BC6HBC7.cpp:1106-1125); a_enc [T] bool marks lanes whose mode
+    encodes alpha (mode 7) — other lanes score alpha against the
+    constant 255 and never move it, exactly like the static helper's
+    rgba_prec[c] == 0 branch (the palette of two 255 endpoints
+    reproduces floor((64*255+32)/64) == 255 exactly in f32)."""
+    prec_c, prec_p_c, prec_a, prec_p_a = prec_rows
+    q0r = list(q0l)
+    q1r = list(q1l)
+
+    def wsum(plane, c):
+        if c == 3 and aw != 1.0:
+            plane = plane * aw
+        return jnp.sum(plane if mask is None
+                       else jnp.where(mask, plane, 0.0), axis=0)
+
+    def msum(plane):
+        return jnp.sum(plane if mask is None
+                       else jnp.where(mask, plane, 0.0), axis=0)
+
+    err0 = None
+    moments_cache = {}
+    for c in range(4):
+        prec = prec_c if c < 3 else prec_a
+        prec_p = prec_p_c if c < 3 else prec_p_a
+        enc = None if c < 3 else a_enc
+        maxq = (1 << prec) - 1
+        u0c = _k_unquant_dyn(q0r[c], p0, prec_p)
+        u1c = _k_unquant_dyn(q1r[c], p1, prec_p)
+        if enc is not None:
+            u0c = jnp.where(enc, u0c, 255)
+            u1c = jnp.where(enc, u1c, 255)
+        u0f = u0c.astype(jnp.float32)[None, :]
+        u1f = u1c.astype(jnp.float32)[None, :]
+        wk = wk_ch[c]
+        pal = jnp.floor(((64.0 - wk) * u0f + wk * u1f + 32.0)
+                        * jnp.float32(1 / 64))
+        r = xf[c] - pal
+        e = wsum(r * r, c)
+        err0 = e if err0 is None else err0 + e
+
+        key = id(wk)
+        if key not in moments_cache:
+            a = (64.0 - wk) * jnp.float32(1 / 64)
+            b = wk * jnp.float32(1 / 64)
+            moments_cache[key] = (a, b, msum(a * a), msum(a * b),
+                                  msum(b * b))
+        a, b, saa, sab, sbb = moments_cache[key]
+        sra = msum(r * a)
+        srb = msum(r * b)
+
+        q0p, q0m = jnp.minimum(q0r[c] + 1, maxq), jnp.maximum(q0r[c] - 1, 0)
+        q1p, q1m = jnp.minimum(q1r[c] + 1, maxq), jnp.maximum(q1r[c] - 1, 0)
+
+        def delta(qt, pb, base):
+            d = (_k_unquant_dyn(qt, pb, prec_p) - base).astype(jnp.float32)
+            return d if enc is None else jnp.where(enc, d, 0.0)
+
+        d0 = {1: delta(q0p, p0, u0c), -1: delta(q0m, p0, u0c)}
+        d1 = {1: delta(q1p, p1, u1c), -1: delta(q1m, p1, u1c)}
+
+        # plane-packed joint argmin — see _k_moment_subset
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        e0p = jnp.where(rows8 < 2, 0.0,
+                        jnp.where(rows8 < 5, d0[1][None, :],
+                                  d0[-1][None, :]))
+        r3 = rows8 % 3
+        e1p = jnp.where(r3 == 0, d1[1][None, :],
+                        jnp.where(r3 == 1, d1[-1][None, :], 0.0))
+        de = (e0p * e0p * saa[None, :] + e1p * e1p * sbb[None, :]
+              + 2.0 * e0p * e1p * sab[None, :]
+              - 2.0 * (e0p * sra[None, :] + e1p * srb[None, :]))
+        minv = jnp.min(de, axis=0)
+        pick = jnp.min(jnp.where(de == minv[None, :],
+                                 jnp.broadcast_to(rows8, de.shape), 8),
+                       axis=0)
+        acc = minv < 0.0
+        q0r[c] = jnp.where(acc & (pick >= 2) & (pick < 5), q0p,
+                           jnp.where(acc & (pick >= 5), q0m, q0r[c]))
+        pm3 = pick % 3
+        q1r[c] = jnp.where(acc & (pm3 == 0), q1p,
+                           jnp.where(acc & (pm3 == 1), q1m, q1r[c]))
+
+    errl = jnp.full_like(err0, jnp.inf)
+    return q0r, q1r, errl, err0
+
+
+def _k_perturb_subset_dyn(xf, mask, prec_rows, q0l, q1l, p0, p1, wk_ch,
+                          ladder, a_enc, aw: float = 1.0):
+    """_k_perturb_subset with per-lane precision rows (see
+    _k_moment_subset_dyn). Lanes whose mode has no alpha field probe
+    alpha against the frozen 255 palette — every probe ties the base
+    error there, so alpha endpoints never move (matching the static
+    helper's chans filter)."""
+    rounds, deltas = ladder
+    prec_c, prec_p_c, prec_a, prec_p_a = prec_rows
+    q0r = list(q0l)
+    q1r = list(q1l)
+
+    def cherr(c, u0c, u1c):
+        u0f = u0c.astype(jnp.float32)[None, :]
+        u1f = u1c.astype(jnp.float32)[None, :]
+        pal = jnp.floor(((64.0 - wk_ch[c]) * u0f + wk_ch[c] * u1f + 32.0)
+                        * jnp.float32(1 / 64))
+        r = xf[c] - pal
+        w = aw if (c == 3 and aw != 1.0) else 1.0
+        r2 = r * r if w == 1.0 else r * r * w
+        return jnp.sum(r2 if mask is None else jnp.where(mask, r2, 0.0),
+                       axis=0)
+
+    def unq(qc, pb, c, enc):
+        u = _k_unquant_dyn(qc, pb, prec_p_c if c < 3 else prec_p_a)
+        return u if enc is None else jnp.where(enc, u, 255)
+
+    ch_err = []
+    for c in range(4):
+        enc = None if c < 3 else a_enc
+        ch_err.append(cherr(c, unq(q0r[c], p0, c, enc),
+                            unq(q1r[c], p1, c, enc)))
+
+    err0 = sum(ch_err)
+    for _ in range(rounds):
+        for c in range(4):
+            enc = None if c < 3 else a_enc
+            prec = prec_c if c < 3 else prec_a
+            qmax = (1 << prec) - 1
+            base = ch_err[c]
+            for which in (0, 1):
+                rows = q0r if which == 0 else q1r
+                pbit = p0 if which == 0 else p1
+                other_u = unq((q1r if which == 0 else q0r)[c],
+                              p1 if which == 0 else p0, c, enc)
+                for delta in deltas:
+                    for sgn in (delta, -delta):
+                        qt = jnp.clip(rows[c] + sgn, 0, qmax)
+                        ut = unq(qt, pbit, c, enc)
+                        e = cherr(c, ut, other_u) if which == 0 else \
+                            cherr(c, other_u, ut)
+                        better = e < base
+                        rows[c] = jnp.where(better, qt, rows[c])
+                        base = jnp.minimum(e, base)
+            ch_err[c] = base
+    return q0r, q1r, sum(ch_err), err0
 
 
 def _k_anchor_index(idx, anchor):
@@ -1650,6 +1849,155 @@ def _k_refine_subsets(xf, words, mode_id: int, ladder, aw: float):
     return err_new, err_old, words_n
 
 
+_GEN_2SUB = (1, 3, 7)
+
+
+def _k_refine_2sub(xf, words, mode, modes_g: tuple, ladder, aw: float):
+    """Unified winner-refine for the 2-subset partition-family modes
+    (1/3/7): ONE ladder + ONE fused re-assignment + ONE partition-table
+    fold serve all three families, with endpoint/index precision lifted
+    from python statics to per-lane DATA rows — the families differ
+    ONLY in field precisions (ms_aInfo, BC6HBC7.cpp:1106-1125), and
+    each lane belongs to exactly one family, so running three full
+    passes (as _k_refine_subsets per mode does) triples the [16, T]
+    plane work for no information. Per-lane bit-identical to
+    _k_refine_subsets at that lane's mode: the f32 expression trees
+    and integer quantization paths are unchanged (dyn helpers select
+    the same f32 constants); only python branches became where-selects.
+    Returns (err_new, err_old [T], {mode_id: words [4, T]})."""
+    from . import bc67
+    S = _BC7_FULL_STATICS
+    sts = {mv: bc67._bc7_unpack_mode(words, mv) for mv in modes_g}
+
+    def msel(get):
+        out = get(modes_g[0])
+        for mv in modes_g[1:]:
+            out = jnp.where(mode == mv, get(mv), out)
+        return out
+
+    def msel16(get):
+        m16 = mode[None, :]
+        out = get(modes_g[0])
+        for mv in modes_g[1:]:
+            out = jnp.where(m16 == mv, get(mv), out)
+        return out
+
+    def const_row(field, dtype=jnp.int32):
+        out = jnp.full(mode.shape, field(modes_g[0]), dtype)
+        for mv in modes_g[1:]:
+            out = jnp.where(mode == mv, jnp.asarray(field(mv), dtype), out)
+        return out
+
+    shape = msel(lambda mv: sts[mv][0])
+    q0s = [[msel(lambda mv: sts[mv][3][p][c]) for c in range(4)]
+           for p in range(2)]
+    q1s = [[msel(lambda mv: sts[mv][4][p][c]) for c in range(4)]
+           for p in range(2)]
+    p0s = [msel(lambda mv: sts[mv][5][p]) for p in range(2)]
+    p1s = [msel(lambda mv: sts[mv][6][p]) for p in range(2)]
+    idx_full = msel16(lambda mv: sts[mv][7]).astype(jnp.float32)
+
+    prec_rows = (const_row(lambda mv: S[mv][7][0]),
+                 const_row(lambda mv: S[mv][8][0]),
+                 const_row(lambda mv: S[mv][7][3]),
+                 const_row(lambda mv: S[mv][8][3]))
+    a_enc = const_row(lambda mv: S[mv][7][3]) > 0
+    km1 = const_row(lambda mv: float((1 << S[mv][5]) - 1), jnp.float32)
+    fK = const_row(lambda mv: np.float32(64.0 / ((1 << S[mv][5]) - 1)),
+                   jnp.float32)
+    msb = const_row(lambda mv: float(1 << (S[mv][5] - 1)), jnp.float32)
+
+    # one partition-table fold: every 2-subset mode indexes the same
+    # 64-shape table (g_aPartitionTable, BC6HBC7.cpp:58-262)
+    pp_tab, pa_tab = _packed_tables(1, 64)
+    pp = jnp.zeros_like(shape, dtype=jnp.uint32)
+    pa = jnp.zeros_like(shape)
+    for sv in range(64):
+        hit = shape == sv
+        pp = jnp.where(hit, jnp.uint32(pp_tab[sv]), pp)
+        pa = jnp.where(hit, pa_tab[sv], pa)
+    pm = jnp.stack([((pp >> (2 * i)) & 3).astype(jnp.int32)
+                    for i in range(16)])
+    masks = [pm == p for p in range(2)]
+    a2 = pa & 0xF
+
+    def msum(plane, p):
+        return jnp.sum(jnp.where(masks[p], plane, 0.0), axis=0)
+
+    wk = jnp.floor(idx_full * fK[None, :] + 0.5)
+    q0t_s, q1t_s, errl_s, err0_s = [], [], [], []
+    for p in range(2):
+        if ladder == bc67.LADDER_MOMENT:
+            q0t, q1t, errl, err0 = _k_moment_subset_dyn(
+                xf, masks[p], prec_rows, q0s[p], q1s[p], p0s[p], p1s[p],
+                [wk] * 4, a_enc, aw=aw)
+        else:
+            q0t, q1t, errl, err0 = _k_perturb_subset_dyn(
+                xf, masks[p], prec_rows, q0s[p], q1s[p], p0s[p], p1s[p],
+                [wk] * 4, ladder, a_enc, aw=aw)
+        q0t_s.append(q0t)
+        q1t_s.append(q1t)
+        errl_s.append(errl)
+        err0_s.append(err0)
+
+    def unq(qc, pb, c):
+        u = _k_unquant_dyn(qc, pb, prec_rows[1] if c < 3 else prec_rows[3])
+        return u if c < 3 else jnp.where(a_enc, u, 255)
+
+    # one fused re-assignment over both subsets (per-pixel endpoint sel)
+    u0f_s = [[unq(q0t_s[p][c], p0s[p], c).astype(jnp.float32)
+              for c in range(4)] for p in range(2)]
+    u1f_s = [[unq(q1t_s[p][c], p1s[p], c).astype(jnp.float32)
+              for c in range(4)] for p in range(2)]
+    u0px = [_k_sel_px(masks, [u0f_s[p][c] for p in range(2)])
+            for c in range(4)]
+    e_s = [[u1f_s[p][c] - u0f_s[p][c] for c in range(4)]
+           for p in range(2)]
+    span_s = [sum(e_s[p][c] * e_s[p][c] for c in range(4))
+              for p in range(2)]
+    e_px = [_k_sel_px(masks, [e_s[p][c] for p in range(2)])
+            for c in range(4)]
+    span_px = _k_sel_px(masks, span_s)
+    idx_t, dist_t = _project_assign_px_dyn(xf, u0px, e_px, span_px,
+                                           km1, fK, aw=aw)
+    err_new = None
+    err_old = None
+    for p in range(2):
+        err_t = msum(dist_t, p)
+        keep = err_t < errl_s[p]
+        err_t2 = jnp.minimum(err_t, errl_s[p])
+        bt = err_t2 < err0_s[p]
+        q0s[p] = [jnp.where(bt, q0t_s[p][c], q0s[p][c]) for c in range(4)]
+        q1s[p] = [jnp.where(bt, q1t_s[p][c], q1s[p][c]) for c in range(4)]
+        upd = (bt & keep)[None, :] & masks[p]
+        idx_full = jnp.where(upd, idx_t, idx_full)
+        en = jnp.minimum(err_t2, err0_s[p])
+        err_new = en if err_new is None else err_new + en
+        err_old = err0_s[p] if err_old is None else err_old + err0_s[p]
+
+    # anchor swaps on the refined state (AssignIndices, :3181-3194)
+    maxi = 2.0 * msb - 1.0
+    for p in range(2):
+        if p == 0:
+            a_idx = idx_full[0]
+        else:
+            a_idx = _k_anchor_index(idx_full, a2)
+        swap = a_idx >= msb                      # f32 idx: msb set test
+        q0s[p], q1s[p] = (
+            [jnp.where(swap, q1s[p][c], q0s[p][c]) for c in range(4)],
+            [jnp.where(swap, q0s[p][c], q1s[p][c]) for c in range(4)])
+        p0s[p], p1s[p] = (jnp.where(swap, p1s[p], p0s[p]),
+                          jnp.where(swap, p0s[p], p1s[p]))
+        upd = swap[None, :] & masks[p]
+        idx_full = jnp.where(upd, maxi[None, :] - idx_full, idx_full)
+
+    words_by_mode = {
+        mv: _k_emit(mv, err_new, shape.astype(jnp.uint32), 0, 0,
+                    q0s, q1s, p0s, p1s, idx_full, None, a2, None)
+        for mv in modes_g}
+    return err_new, err_old, words_by_mode
+
+
 def _k_refine_mode45(xf, words, mode_id: int, ladder, aw: float):
     """Refine modes 4/5: per-lane rotation and index-mode, ladder with
     separate color/alpha weight planes, dual re-assignment, independent
@@ -1759,7 +2107,7 @@ def _k_refine_mode45(xf, words, mode_id: int, ladder, aw: float):
 
 
 def _bc7_refine_kernel(px_ref, w_ref, wout_ref, *, modes: tuple,
-                       ladder, aw: float = 1.0):
+                       ladder, aw: float = 1.0, unified: bool = True):
     xf = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
           for c in range(4)]
     words = w_ref[...]
@@ -1769,7 +2117,18 @@ def _bc7_refine_kernel(px_ref, w_ref, wout_ref, *, modes: tuple,
         hit = (b0 & (1 << mv)) != 0
         mode = jnp.where((mode == 8) & hit, mv, mode)
     out = words
+    gen = tuple(mv for mv in modes if mv in _GEN_2SUB) if unified else ()
+    if len(gen) >= 2:
+        err_new, err0, wn_map = _k_refine_2sub(xf, words, mode, gen,
+                                               ladder, aw)
+        for mv in gen:
+            better = (mode == mv) & (err_new < err0)
+            out = jnp.where(better[None, :], wn_map[mv], out)
+    else:
+        gen = ()
     for mv in modes:
+        if mv in gen:
+            continue
         if mv in (4, 5):
             err_new, err0, wn = _k_refine_mode45(xf, words, mv, ladder, aw)
         else:
@@ -1781,13 +2140,16 @@ def _bc7_refine_kernel(px_ref, w_ref, wout_ref, *, modes: tuple,
 
 
 @functools.partial(jax.jit, static_argnames=("modes", "ladder",
-                                              "interpret", "tile", "aw"))
+                                              "interpret", "tile", "aw",
+                                              "unified"))
 def bc7_refine_pallas(px_i: jnp.ndarray, words: jnp.ndarray, ladder,
                       aw: float = 1.0, modes: tuple = (1, 3, 5, 6, 7, 4),
                       interpret: bool = False,
-                      tile: int = _BC7_ALL_TILE):
+                      tile: int = _BC7_ALL_TILE, unified: bool = True):
     """Winner-refine as one pallas dispatch (bc67.refine_bc7_words twin).
     px_i [16, 4, NB] i32; words [NB, 4] u32 packed blocks.
+    unified=False forces the per-mode 2-subset passes (A/B lever for
+    benchmarks; bit-identical either way).
     Returns refined words [NB, 4] u32."""
     from jax.experimental import pallas as pl
 
@@ -1804,7 +2166,7 @@ def bc7_refine_pallas(px_i: jnp.ndarray, words: jnp.ndarray, ladder,
 
     wout = pl.pallas_call(
         functools.partial(_bc7_refine_kernel, modes=modes, ladder=ladder,
-                          aw=aw),
+                          aw=aw, unified=unified),
         grid=(nb_pad // tile,),
         in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i)),
                   pl.BlockSpec((4, tile), lambda i: (0, i))],
