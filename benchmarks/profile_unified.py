@@ -51,6 +51,18 @@ if __name__ == "__main__":
         print(f"refine[no-6] moment unified={uni!s:5s} {t*1e3:8.2f} ms "
               f"{texels/t:8.1f} Mtex/s", flush=True)
 
+    # tile sweep for the unified refine: merged passes change VMEM
+    # pressure, so the 256 optimum may move
+    for tile in (128, 512):
+        def st(p, tile=tile):
+            w = bc7_refine_pallas(p, base_words, bc67.LADDER_MOMENT,
+                                  modes=rmodes, unified=True, tile=tile)
+            return jnp.sum(w).astype(jnp.float32)
+
+        t = chain_time(st, px_i)
+        print(f"refine[no-6] moment uni tile={tile:4d} {t*1e3:8.2f} ms "
+              f"{texels/t:8.1f} Mtex/s", flush=True)
+
     for uni in (False, True):
         def e2e(p, uni=uni):
             _, w = bc7_encode_pallas(p, modes)

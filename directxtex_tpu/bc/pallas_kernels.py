@@ -203,6 +203,35 @@ def _project_assign_px_dyn(xf, u0px, e_px, span_px, km1, fK,
     return idx, dist
 
 
+def _snap_dist_dyn(d0, e, p64, km1, fK, lo: int,
+                   aw: float = 1.0, alpha_ch: int = 3, w_rows=None):
+    """_snap_dist with a per-lane index precision: km1/fK [T] f32 rows
+    hold the SAME f32 constants the static helper bakes in at each
+    lane's K (see _project_assign_px_dyn), so each lane is bit-identical
+    to _snap_dist at its precision. Serves the unified modes-4/5 refine,
+    whose color/alpha index widths are per-lane (index-mode swap)."""
+    km1p = km1[None, :]
+    fKp = fK[None, :]
+    kf = jnp.clip(jnp.round(p64 * (km1p * jnp.float32(1 / 64))),
+                  0.0, km1p)
+    wk = jnp.floor(kf * fKp + 0.5)
+    wkp = jnp.floor(jnp.minimum(kf + 1.0, km1p) * fKp + 0.5)
+    wkm = jnp.floor(jnp.maximum(kf - 1.0, 0.0) * fKp + 0.5)
+    up = (kf < km1p) & (2.0 * p64 > wk + wkp)
+    dn = (kf > 0) & (2.0 * p64 < wk + wkm)
+    idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    wk = jnp.floor(idx * fKp + 0.5)
+    dist = jnp.zeros_like(p64)
+    for c, (d, ee) in enumerate(zip(d0, e), start=lo):
+        r = d - jnp.floor(wk * ee[None, :] * jnp.float32(1 / 64) + 0.5)
+        if w_rows is not None:
+            dist = dist + r * r * w_rows[c][None, :]
+        else:
+            dist = dist + (r * r if (c != alpha_ch or aw == 1.0)
+                           else r * r * aw)
+    return idx, dist
+
+
 # per-mode statics for the kernel helpers
 # mode_id: (rgba_prec, rgba_prec_p, index_prec, shared_p, with_alpha)
 _BC7_MODE_STATICS = {
@@ -686,8 +715,17 @@ def _k_unquant_dyn(q, pbit, prec_p):
     return c | (c >> prec_p)
 
 
+def _k_unquant_dyn_nop(q, prec):
+    """_k_unquant with a per-lane precision ROW (i32 [T]), for the
+    p-bit-free modes 4/5. prec == 8 degenerates correctly: q << 0 fits
+    8 bits and q >> 8 is 0, matching the static prec >= 8 passthrough."""
+    c = (q << (8 - prec)) & 0xFF
+    return c | (c >> prec)
+
+
 def _k_moment_subset_dyn(xf, mask, prec_rows, q0l, q1l, p0, p1, wk_ch,
-                         a_enc, aw: float = 1.0):
+                         a_enc, aw: float = 1.0, has_p: bool = True,
+                         w_rows=None):
     """_k_moment_subset with per-lane precision rows: one pass serves
     every 2-subset partition-family mode (1/3/7) simultaneously.
     prec_rows = (prec_c, prec_p_c, prec_a, prec_p_a) i32 [T] rows
@@ -696,13 +734,18 @@ def _k_moment_subset_dyn(xf, mask, prec_rows, q0l, q1l, p0, p1, wk_ch,
     encodes alpha (mode 7) — other lanes score alpha against the
     constant 255 and never move it, exactly like the static helper's
     rgba_prec[c] == 0 branch (the palette of two 255 endpoints
-    reproduces floor((64*255+32)/64) == 255 exactly in f32)."""
+    reproduces floor((64*255+32)/64) == 255 exactly in f32).
+    has_p=False selects the p-bit-free unquant (modes 4/5; prec_p rows
+    are ignored); w_rows: per-channel [T] error-weight rows overriding
+    (aw, 3) — the rotated alpha channel is per-lane under modes 4/5."""
     prec_c, prec_p_c, prec_a, prec_p_a = prec_rows
     q0r = list(q0l)
     q1r = list(q1l)
 
     def wsum(plane, c):
-        if c == 3 and aw != 1.0:
+        if w_rows is not None:
+            plane = plane * w_rows[c][None, :]
+        elif c == 3 and aw != 1.0:
             plane = plane * aw
         return jnp.sum(plane if mask is None
                        else jnp.where(mask, plane, 0.0), axis=0)
@@ -718,8 +761,12 @@ def _k_moment_subset_dyn(xf, mask, prec_rows, q0l, q1l, p0, p1, wk_ch,
         prec_p = prec_p_c if c < 3 else prec_p_a
         enc = None if c < 3 else a_enc
         maxq = (1 << prec) - 1
-        u0c = _k_unquant_dyn(q0r[c], p0, prec_p)
-        u1c = _k_unquant_dyn(q1r[c], p1, prec_p)
+        if has_p:
+            u0c = _k_unquant_dyn(q0r[c], p0, prec_p)
+            u1c = _k_unquant_dyn(q1r[c], p1, prec_p)
+        else:
+            u0c = _k_unquant_dyn_nop(q0r[c], prec)
+            u1c = _k_unquant_dyn_nop(q1r[c], prec)
         if enc is not None:
             u0c = jnp.where(enc, u0c, 255)
             u1c = jnp.where(enc, u1c, 255)
@@ -746,7 +793,9 @@ def _k_moment_subset_dyn(xf, mask, prec_rows, q0l, q1l, p0, p1, wk_ch,
         q1p, q1m = jnp.minimum(q1r[c] + 1, maxq), jnp.maximum(q1r[c] - 1, 0)
 
         def delta(qt, pb, base):
-            d = (_k_unquant_dyn(qt, pb, prec_p) - base).astype(jnp.float32)
+            u = (_k_unquant_dyn(qt, pb, prec_p) if has_p
+                 else _k_unquant_dyn_nop(qt, prec))
+            d = (u - base).astype(jnp.float32)
             return d if enc is None else jnp.where(enc, d, 0.0)
 
         d0 = {1: delta(q0p, p0, u0c), -1: delta(q0m, p0, u0c)}
@@ -779,12 +828,13 @@ def _k_moment_subset_dyn(xf, mask, prec_rows, q0l, q1l, p0, p1, wk_ch,
 
 
 def _k_perturb_subset_dyn(xf, mask, prec_rows, q0l, q1l, p0, p1, wk_ch,
-                          ladder, a_enc, aw: float = 1.0):
+                          ladder, a_enc, aw: float = 1.0,
+                          has_p: bool = True, w_rows=None):
     """_k_perturb_subset with per-lane precision rows (see
-    _k_moment_subset_dyn). Lanes whose mode has no alpha field probe
-    alpha against the frozen 255 palette — every probe ties the base
-    error there, so alpha endpoints never move (matching the static
-    helper's chans filter)."""
+    _k_moment_subset_dyn, incl. has_p/w_rows). Lanes whose mode has no
+    alpha field probe alpha against the frozen 255 palette — every
+    probe ties the base error there, so alpha endpoints never move
+    (matching the static helper's chans filter)."""
     rounds, deltas = ladder
     prec_c, prec_p_c, prec_a, prec_p_a = prec_rows
     q0r = list(q0l)
@@ -796,13 +846,19 @@ def _k_perturb_subset_dyn(xf, mask, prec_rows, q0l, q1l, p0, p1, wk_ch,
         pal = jnp.floor(((64.0 - wk_ch[c]) * u0f + wk_ch[c] * u1f + 32.0)
                         * jnp.float32(1 / 64))
         r = xf[c] - pal
-        w = aw if (c == 3 and aw != 1.0) else 1.0
-        r2 = r * r if w == 1.0 else r * r * w
+        if w_rows is not None:
+            r2 = r * r * w_rows[c][None, :]
+        else:
+            w = aw if (c == 3 and aw != 1.0) else 1.0
+            r2 = r * r if w == 1.0 else r * r * w
         return jnp.sum(r2 if mask is None else jnp.where(mask, r2, 0.0),
                        axis=0)
 
     def unq(qc, pb, c, enc):
-        u = _k_unquant_dyn(qc, pb, prec_p_c if c < 3 else prec_p_a)
+        if has_p:
+            u = _k_unquant_dyn(qc, pb, prec_p_c if c < 3 else prec_p_a)
+        else:
+            u = _k_unquant_dyn_nop(qc, prec_c if c < 3 else prec_a)
         return u if enc is None else jnp.where(enc, u, 255)
 
     ch_err = []
@@ -2106,6 +2162,152 @@ def _k_refine_mode45(xf, words, mode_id: int, ladder, aw: float):
     return err_new, err0, words_n
 
 
+def _k_refine_45uni(xf, words, mode, modes_g: tuple, ladder, aw: float):
+    """Unified winner-refine for the rotation-family modes (4/5): the
+    two families differ ONLY in endpoint precision (RGB5A6 vs RGB7A8)
+    and the second index width (3 vs 2 bits; ms_aInfo,
+    BC6HBC7.cpp:1106-1125), so one ladder + one dual re-assignment with
+    per-lane precision rows replaces the two full _k_refine_mode45
+    passes. Per-lane bit-identical to _k_refine_mode45 at that lane's
+    mode: the dyn helpers select the same f32 constants per lane, and
+    per-lane index widths collapse the static index-mode double-snap
+    into one snap at the selected width. Returns
+    (err_new, err_old [T], {mode_id: words [4, T]})."""
+    from . import bc67
+    S = _BC7_FULL_STATICS
+    sts = {mv: bc67._bc7_unpack_mode(words, mv) for mv in modes_g}
+
+    def msel(get):
+        out = get(modes_g[0])
+        for mv in modes_g[1:]:
+            out = jnp.where(mode == mv, get(mv), out)
+        return out
+
+    def msel16(get):
+        m16 = mode[None, :]
+        out = get(modes_g[0])
+        for mv in modes_g[1:]:
+            out = jnp.where(m16 == mv, get(mv), out)
+        return out
+
+    def const_row(field, dtype=jnp.int32):
+        out = jnp.full(mode.shape, field(modes_g[0]), dtype)
+        for mv in modes_g[1:]:
+            out = jnp.where(mode == mv, jnp.asarray(field(mv), dtype), out)
+        return out
+
+    rot = msel(lambda mv: sts[mv][1])
+    im = msel(lambda mv: sts[mv][2])
+    q0 = [msel(lambda mv: sts[mv][3][0][c]) for c in range(4)]
+    q1 = [msel(lambda mv: sts[mv][4][0][c]) for c in range(4)]
+    w1 = msel16(lambda mv: sts[mv][7]).astype(jnp.float32)
+    w2 = msel16(lambda mv: sts[mv][8]).astype(jnp.float32)
+    zero = jnp.zeros_like(rot)
+    rot16 = jnp.broadcast_to(rot[None, :], xf[0].shape)
+
+    # rotated pixel planes (channel rot-1 <-> alpha), per-lane — ONE set
+    # now serves both families (each per-mode pass built its own)
+    xr = []
+    for c in range(3):
+        xr.append(jnp.where(rot16 == c + 1, xf[3], xf[c]))
+    xa = xf[3]
+    for c in range(3):
+        xa = jnp.where(rot16 == c + 1, xf[c], xa)
+    xr.append(xa)
+
+    w_rows = None
+    if aw != 1.0:
+        w_rows = []
+        for c in range(4):
+            is_a = (rot == 0) if c == 3 else (rot == c + 1)
+            w_rows.append(jnp.where(is_a, jnp.float32(aw),
+                                    jnp.float32(1.0)))
+
+    im0 = im == 0
+    im0_16 = jnp.broadcast_to(im0[None, :], w1.shape)
+    cidx = jnp.where(im0_16, w1, w2)
+    aidx = jnp.where(im0_16, w2, w1)
+
+    # per-lane index widths: color set reads iprec when im==0 else iprec2
+    ip_row = const_row(lambda mv: S[mv][5])
+    ip2_row = const_row(lambda mv: S[mv][6])
+    kc_bits = jnp.where(im0, ip_row, ip2_row)
+    ka_bits = jnp.where(im0, ip2_row, ip_row)
+
+    def krows(bits):
+        # bits in {2, 3}: the same f32 constants the static helpers bake
+        km1 = jnp.where(bits == 3, jnp.float32(7.0), jnp.float32(3.0))
+        fK = jnp.where(bits == 3, jnp.float32(np.float32(64.0 / 7.0)),
+                       jnp.float32(np.float32(64.0 / 3.0)))
+        return km1, fK
+
+    kmc, fKc = krows(kc_bits)
+    kma, fKa = krows(ka_bits)
+    wkc = jnp.floor(cidx * fKc[None, :] + 0.5)
+    wka = jnp.floor(aidx * fKa[None, :] + 0.5)
+
+    prec_c = const_row(lambda mv: S[mv][7][0])
+    prec_a = const_row(lambda mv: S[mv][7][3])
+    prec_rows = (prec_c, prec_c, prec_a, prec_a)
+
+    if ladder == bc67.LADDER_MOMENT:
+        q0t, q1t, errl, err0 = _k_moment_subset_dyn(
+            xr, None, prec_rows, q0, q1, zero, zero,
+            [wkc, wkc, wkc, wka], None, aw=aw, has_p=False,
+            w_rows=w_rows)
+    else:
+        q0t, q1t, errl, err0 = _k_perturb_subset_dyn(
+            xr, None, prec_rows, q0, q1, zero, zero,
+            [wkc, wkc, wkc, wka], ladder, None, aw=aw, has_p=False,
+            w_rows=w_rows)
+    u0 = [_k_unquant_dyn_nop(q0t[c], prec_c if c < 3 else prec_a)
+          for c in range(4)]
+    u1 = [_k_unquant_dyn_nop(q1t[c], prec_c if c < 3 else prec_a)
+          for c in range(4)]
+    projc = _proj_p64(xr, u0, u1, 0, 3)
+    proja = _proj_p64(xr, u0, u1, 3, 4)
+    cidx_t, cdist = _snap_dist_dyn(*projc, kmc, fKc, 0, aw=aw,
+                                   w_rows=w_rows)
+    aidx_t, adist = _snap_dist_dyn(*proja, kma, fKa, 3, aw=aw,
+                                   w_rows=w_rows)
+    err_t = jnp.sum(cdist, axis=0) + jnp.sum(adist, axis=0)
+
+    keep = err_t < errl
+    keep16 = keep[None, :]
+    cidx_t2 = jnp.where(keep16, cidx_t, cidx)
+    aidx_t2 = jnp.where(keep16, aidx_t, aidx)
+    err_t2 = jnp.minimum(err_t, errl)
+    bt = err_t2 < err0
+    bt16 = bt[None, :]
+    q0f = [jnp.where(bt, q0t[c], q0[c]) for c in range(4)]
+    q1f = [jnp.where(bt, q1t[c], q1[c]) for c in range(4)]
+    cidx = jnp.where(bt16, cidx_t2, cidx)
+    aidx = jnp.where(bt16, aidx_t2, aidx)
+    err_new = jnp.minimum(err_t2, err0)
+
+    # independent anchor fixes (AssignIndices, BC6HBC7.cpp:3196-3216)
+    w1n = jnp.where(im0_16, cidx, aidx)
+    w2n = jnp.where(im0_16, aidx, cidx)
+    msb1 = const_row(lambda mv: 1 << (S[mv][5] - 1))
+    maxi1 = const_row(lambda mv: (1 << S[mv][5]) - 1)
+    msb2 = const_row(lambda mv: 1 << (S[mv][6] - 1))
+    maxi2 = const_row(lambda mv: (1 << S[mv][6]) - 1)
+    swap1 = w1n[0] >= msb1                       # f32 idx: msb set test
+    w1n = jnp.where(swap1[None, :], maxi1[None, :] - w1n, w1n)
+    swap2 = w2n[0] >= msb2
+    w2n = jnp.where(swap2[None, :], maxi2[None, :] - w2n, w2n)
+    swap_rgb = (im0 & swap1) | (~im0 & swap2)
+    swap_a = (im0 & swap2) | (~im0 & swap1)
+    sw = [swap_rgb, swap_rgb, swap_rgb, swap_a]
+    q0e = [jnp.where(sw[c], q1f[c], q0f[c]) for c in range(4)]
+    q1e = [jnp.where(sw[c], q0f[c], q1f[c]) for c in range(4)]
+    words_by_mode = {
+        mv: _k_emit(mv, err_new, 0, rot, im, [q0e], [q1e], [zero],
+                    [zero], w1n, w2n, None, None)
+        for mv in modes_g}
+    return err_new, err0, words_by_mode
+
+
 def _bc7_refine_kernel(px_ref, w_ref, wout_ref, *, modes: tuple,
                        ladder, aw: float = 1.0, unified: bool = True):
     xf = [px_ref[c * 16:(c + 1) * 16, :].astype(jnp.float32)
@@ -2126,8 +2328,17 @@ def _bc7_refine_kernel(px_ref, w_ref, wout_ref, *, modes: tuple,
             out = jnp.where(better[None, :], wn_map[mv], out)
     else:
         gen = ()
+    gen45 = tuple(mv for mv in modes if mv in (4, 5)) if unified else ()
+    if len(gen45) == 2:
+        err_new, err0, wn_map = _k_refine_45uni(xf, words, mode, gen45,
+                                                ladder, aw)
+        for mv in gen45:
+            better = (mode == mv) & (err_new < err0)
+            out = jnp.where(better[None, :], wn_map[mv], out)
+    else:
+        gen45 = ()
     for mv in modes:
-        if mv in gen:
+        if mv in gen or mv in gen45:
             continue
         if mv in (4, 5):
             err_new, err0, wn = _k_refine_mode45(xf, words, mv, ladder, aw)
