@@ -42,7 +42,7 @@ def main() -> int:
         env = dict(os.environ)
         env.update(env_over)
         proc = subprocess.run(argv, cwd="/root/repo", env=env,
-                              capture_output=True, text=True, timeout=3600)
+                              capture_output=True, text=True, timeout=7200)
         tail = (proc.stdout.strip().splitlines() or [""])[-6:]
         results[name] = {"rc": proc.returncode, "tail": tail}
         if proc.returncode != 0:

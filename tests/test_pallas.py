@@ -277,10 +277,14 @@ def test_bc7_single_dispatch_matches_jnp(opaque):
         np.testing.assert_allclose(mse_p, mse_r, rtol=2e-2, atol=4.0)
 
 
-def test_bc7_refine_kernel_matches_jnp():
+@pytest.mark.parametrize("unified", [True, False])
+def test_bc7_refine_kernel_matches_jnp(unified):
     """bc7_refine_pallas (winner-refine dispatch) vs refine_bc7_words,
     bit-exact: unpack, ladder, re-assign, anchor fixes and re-emit all
-    run the same exact-in-f32 integer math on both sides."""
+    run the same exact-in-f32 integer math on both sides. Parametrized
+    over the unified A/B lever so BOTH the per-lane-precision unified
+    passes (r4 production default) and the per-mode passes stay
+    twin-covered."""
     from directxtex_tpu.bc.pallas_kernels import bc7_refine_pallas
 
     rng = np.random.default_rng(11)
@@ -298,7 +302,8 @@ def test_bc7_refine_kernel_matches_jnp():
     ref = np.asarray(bc67.refine_bc7_words(px_i, words, bc67.LADDER_FULL,
                                            modes=modes))
     got = np.asarray(bc7_refine_pallas(px_i, words, bc67.LADDER_FULL,
-                                       modes=modes, interpret=True))
+                                       modes=modes, interpret=True,
+                                       unified=unified))
     np.testing.assert_array_equal(got, ref)
 
 
