@@ -61,11 +61,13 @@ if __name__ == "__main__":
         print(f"default e2e ladder={lname:7s}  {t*1e3:8.2f} ms "
               f"{texels/t:8.1f} Mtex/s", flush=True)
 
-    # maxq end-to-end (VERDICT r3 #4): full search scope + FULL ladder x2
+    # maxq end-to-end (VERDICT r3 #4): full search scope + the SHIPPING
+    # maxq ladder sequence (MOMENT then FULL, bc67.encode_bc7's ladders;
+    # the earlier 31.71 ms figure here measured the retired FULL x2)
     def maxq(p):
         _, w = bc7_encode_pallas(p, modes, m4_ims=(0, 1))
-        for _ in range(2):
-            w = bc7_refine_pallas(p, w, bc67.LADDER_FULL, modes=modes)
+        for ladder in (bc67.LADDER_MOMENT, bc67.LADDER_FULL):
+            w = bc7_refine_pallas(p, w, ladder, modes=modes)
         return jnp.sum(w).astype(jnp.float32)
 
     t = chain_time(maxq, px_i)
