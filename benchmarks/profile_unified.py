@@ -74,8 +74,11 @@ if __name__ == "__main__":
         print(f"default e2e moment unified={uni!s:5s}  {t*1e3:8.2f} ms "
               f"{texels/t:8.1f} Mtex/s", flush=True)
 
-    # maxq: full-scope FULL ladder x2 on top of MOMENT — the unified
-    # pass also serves the exact perturb ladder (_k_perturb_subset_dyn)
+    # maxq: one MOMENT dispatch then one FULL dispatch (the shipping
+    # sequence), full-search scope (m4_ims both) but the OPAQUE mode
+    # set — this is the config behind BASELINE.md's maxq headline. The
+    # unified pass also serves the exact perturb ladder
+    # (_k_perturb_subset_dyn).
     for uni in (False, True):
         def maxq(p, uni=uni):
             _, w = bc7_encode_pallas(p, modes, m4_ims=(0, 1))

@@ -307,10 +307,14 @@ def test_bc7_refine_kernel_matches_jnp(unified):
     np.testing.assert_array_equal(got, ref)
 
 
-def test_bc7_refine_moment_ladder_matches_jnp():
+@pytest.mark.parametrize("unified", [True, False])
+def test_bc7_refine_moment_ladder_matches_jnp(unified):
     """LADDER_MOMENT (analytic joint-step ladder, r4) twin equivalence:
     all moment math is exact-in-f32 integers/64ths, so the kernel must
-    reproduce refine_bc7_words bit-for-bit."""
+    reproduce refine_bc7_words bit-for-bit. Parametrized over the
+    unified A/B lever (like the LADDER_FULL test) so the per-mode
+    moment path (_k_moment_subset via modes 1/3/7/4/5, unified=False)
+    keeps twin coverage too."""
     from directxtex_tpu.bc.pallas_kernels import bc7_refine_pallas
 
     rng = np.random.default_rng(19)
@@ -329,7 +333,8 @@ def test_bc7_refine_moment_ladder_matches_jnp():
                                            bc67.LADDER_MOMENT,
                                            modes=modes))
     got = np.asarray(bc7_refine_pallas(px_i, words, bc67.LADDER_MOMENT,
-                                       modes=modes, interpret=True))
+                                       modes=modes, interpret=True,
+                                       unified=unified))
     np.testing.assert_array_equal(got, ref)
 
 
