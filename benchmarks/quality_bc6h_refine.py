@@ -37,6 +37,17 @@ LADDERS = {
     "x2-21": ((2, (1,)), True, True),
     "x2-full": (bc67.BC6H_LADDER_FULL, True, True),
     "x2-log": ((2, (32, 16, 8, 4, 2, 1)), True, True),
+    # r5 mid-tier candidates: 1-round remap ladders (VERDICT r4 #2 —
+    # moment + 1-round remap measured 60-95% of MAXQ's gains; the
+    # moment alone was worth <=0.013 dB, so the 1-round remap carries
+    # the tier). cross2 variants ladder the 2-region winner at every
+    # precision group like maxq.
+    "rm1-1": ((1, (1,)), True, False),
+    "rm1-41": ((1, (4, 1)), True, False),
+    "rm1-log": ((1, (16, 4, 1)), True, False),
+    "x21-1": ((1, (1,)), True, True),
+    "x21-41": ((1, (4, 1)), True, True),
+    "x21-log": ((1, (16, 4, 1)), True, True),
 }
 
 

@@ -1,0 +1,73 @@
+"""Quality cost of the r5 shared-fit trajectory for BC7 modes 1/3
+(BC7_SHARED2SUB), measured with the full default tier (off-axis ranking
++ MOMENT winner-refine, im0 cut) on the golden corpus vs the compiled
+reference full search — the same harness as quality_search_cuts.py.
+
+Sweeps the lever off/on and the trajectory knobs (rounds, float index
+width). CPU, deterministic. Usage:
+  PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python quality_shared13.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+
+import refcodec  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from directxtex_tpu.bc import bc67  # noqa: E402
+from directxtex_tpu.bc.common import image_to_blocks  # noqa: E402
+
+CONTENTS = ("albedo", "tworegion", "normal", "alphagrad",
+            "photo_china", "photo_flower")
+
+# (name, shared?, rounds, iprec)
+CONFIGS = (
+    ("independent (r4)", False, 0, 3),
+    ("shared r1 k8", True, 1, 3),
+    ("shared r2 k8", True, 2, 3),
+    ("shared r1 k4", True, 1, 2),
+)
+
+
+def _psnr(a, b, ch=4):
+    mse = np.mean((a[..., :ch].astype(np.float64)
+                   - b[..., :ch].astype(np.float64)) ** 2)
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def main():
+    corpus = np.load(os.path.join(REPO, "tests/golden/corpus.npz"))
+    ref_psnr = {}
+    blocks_by = {}
+    for content in CONTENTS:
+        blocks = np.asarray(image_to_blocks(jnp.asarray(corpus[content]))[0])
+        blocks_by[content] = blocks
+        ref_bc = refcodec.encode(refcodec.BC7, blocks)
+        ref_psnr[content] = _psnr(refcodec.decode(refcodec.BC7, ref_bc),
+                                  blocks)
+
+    for name, shared, rounds, iprec in CONFIGS:
+        bc67.BC7_SHARED2SUB = shared
+        bc67.BC7_SHARED2SUB_ROUNDS = rounds
+        bc67.BC7_SHARED2SUB_IPREC = iprec
+        deltas = []
+        for content in CONTENTS:
+            bc = np.asarray(bc67.encode_bc7(jnp.asarray(blocks_by[content])))
+            d = _psnr(refcodec.decode(refcodec.BC7, bc.reshape(-1, 16)),
+                      blocks_by[content]) - ref_psnr[content]
+            deltas.append(d)
+            print(f"{name:18s} {content:14s} {d:+.3f}", flush=True)
+        print(f"{name:18s} {'min':14s} {min(deltas):+.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

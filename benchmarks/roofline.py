@@ -101,15 +101,19 @@ def make_flops():
     modes = (1, 3, 5, 6, 4)
     rmodes = tuple(m for m in modes if m != 6)
 
-    # search-only twin: ladders zeroed
-    sl = bc67.LADDER_LIGHT
-    bc67.LADDER_LIGHT = (0, ())
+    # search-only twin: stub out the winner-refine dispatch entirely.
+    # (The r4 table zeroed LADDER_LIGHT instead, which stopped working
+    # when the default ladder became LADDER_MOMENT — the old bc7_search
+    # count INCLUDED the refine dispatch's ops, which is what pushed the
+    # search row to an impossible 106% of peak.)
+    rf = bc67.refine_bc7_words
+    bc67.refine_bc7_words = lambda p, w, ladder, **kw: w
     try:
         j = jax.make_jaxpr(lambda b: bc67.encode_bc7(b, opaque=True))(
             blocks)
         f_search = _jaxpr_ops(j.jaxpr)
     finally:
-        bc67.LADDER_LIGHT = sl
+        bc67.refine_bc7_words = rf
 
     words = jnp.zeros((NB_SMALL, 4), jnp.uint32)
     j = jax.make_jaxpr(lambda p, w: bc67.refine_bc7_words(
@@ -120,8 +124,24 @@ def make_flops():
         blocks6)
     f_bc6h = _jaxpr_ops(j.jaxpr)
 
+    # BC6H maxq winner-refine ladder (remap + cross2, VERDICT r4 #8)
+    j = jax.make_jaxpr(lambda p, w: bc67.refine_bc6h_words(
+        p, w, bc67.BC6H_LADDER_MAXQ, False, remap=True, cross2=True))(
+        px6_i, words)
+    f_bc6h_maxq = _jaxpr_ops(j.jaxpr)
+
+    # decode mega-kernel twins (words already transposed in the kernels;
+    # count the jnp twins on byte blocks)
+    bl7 = jnp.zeros((NB_SMALL, 16), jnp.uint8)
+    j = jax.make_jaxpr(bc67.decode_bc7)(bl7)
+    f_dec7 = _jaxpr_ops(j.jaxpr)
+    j = jax.make_jaxpr(lambda b: bc67.decode_bc6h(b, signed=False))(bl7)
+    f_dec6 = _jaxpr_ops(j.jaxpr)
+
     out = {"nb": NB_SMALL, "bc7_search": f_search,
-           "bc7_refine": f_refine, "bc6h_search": f_bc6h}
+           "bc7_refine": f_refine, "bc6h_search": f_bc6h,
+           "bc6h_maxq_refine": f_bc6h_maxq,
+           "bc7_decode": f_dec7, "bc6h_decode": f_dec6}
     with open(FLOPS_PATH, "w") as f:
         json.dump(out, f)
     print(json.dumps(out))
@@ -133,7 +153,10 @@ def rows():
     import jax.numpy as jnp
 
     from directxtex_tpu.bc import bc67
-    from directxtex_tpu.bc.pallas_kernels import (bc6h_encode_pallas,
+    from directxtex_tpu.bc.pallas_kernels import (bc6h_decode_pallas,
+                                                  bc6h_encode_pallas,
+                                                  bc6h_refine_pallas,
+                                                  bc7_decode_pallas,
                                                   bc7_encode_pallas,
                                                   bc7_refine_pallas)
 
@@ -146,6 +169,17 @@ def rows():
     rmodes = tuple(m for m in modes if m != 6)
     _, base_words = jax.jit(lambda p: bc7_encode_pallas(p, modes))(px_i)
     base_words.block_until_ready()
+    _, base6 = jax.jit(lambda p: bc6h_encode_pallas(p, False))(px6_i)
+    base6.block_until_ready()
+    # decode inputs as i32 (chain_time perturbs with an i32 zero; the
+    # lambdas bitcast back to u32 words)
+    rng = np.random.default_rng(5)
+    w7i = jnp.asarray(rng.integers(0, 2**32, (4, NB_FULL),
+                                   dtype=np.uint64).astype(np.uint32)
+                      .view(np.int32))
+
+    def _u32(w):
+        return jax.lax.bitcast_convert_type(w, jnp.uint32)
 
     cases = [
         ("bc7 search", "bc7_search", px_i,
@@ -157,6 +191,16 @@ def rows():
              modes=rmodes)).astype(jnp.float32)),
         ("bc6h search", "bc6h_search", px6_i,
          lambda p: jnp.sum(bc6h_encode_pallas(p, False)[1]).astype(
+             jnp.float32)),
+        ("bc6h maxq rf", "bc6h_maxq_refine", px6_i,
+         lambda p: jnp.sum(bc6h_refine_pallas(
+             p, base6, bc67.BC6H_LADDER_MAXQ, False, remap=True,
+             cross2=True)).astype(jnp.float32)),
+        ("bc7 decode", "bc7_decode", w7i,
+         lambda w: jnp.sum(bc7_decode_pallas(_u32(w))).astype(
+             jnp.float32)),
+        ("bc6h decode", "bc6h_decode", w7i,
+         lambda w: jnp.sum(bc6h_decode_pallas(_u32(w), False)).astype(
              jnp.float32)),
     ]
     for name, key, inp, fn in cases:

@@ -66,8 +66,10 @@ def make_ref():
         ref = np.asarray(bc67.encode_bc6h(jnp.asarray(blocks), signed))
         ref_maxq = np.asarray(bc67.encode_bc6h(
             jnp.asarray(blocks), signed, flags=bc67._BC7_MAXQUALITY))
+        ref_mid = np.asarray(bc67.encode_bc6h(
+            jnp.asarray(blocks), signed, flags=bc67._BC6H_MID))
         np.savez(f"{REF_DIR}/ref_{int(signed)}.npz", ref=ref,
-                 ref_maxq=ref_maxq, rgb=rgb)
+                 ref_maxq=ref_maxq, ref_mid=ref_mid, rgb=rgb)
         print(f"wrote ref_{int(signed)}.npz")
 
 
@@ -128,6 +130,32 @@ def verify():
         print(f"  aggregate int-metric: {tot_p:.3e} vs jnp {tot_r:.3e}")
         if tot_p > tot_r * 1.005:
             ok = False
+
+        # mid tier (r5): the BC6H_LADDER_MID remap kernel vs the jnp
+        # twin on identical inputs + aggregate parity vs the CPU mid
+        # reference
+        if "ref_mid" in data:
+            rw = bc6h_refine_pallas(px_int, words, bc67.BC6H_LADDER_MID,
+                                    signed, remap=True, cross2=False)
+            jw = jax.jit(lambda p, w: bc67.refine_bc6h_words(
+                p, w, bc67.BC6H_LADDER_MID, signed, remap=True,
+                cross2=False))(px_int, words)
+            gp = np.ascontiguousarray(np.asarray(rw)).view(
+                np.uint8).reshape(nb, 16)
+            gj = np.ascontiguousarray(np.asarray(jw)).view(
+                np.uint8).reshape(nb, 16)
+            kdiff = np.any(gp != gj, axis=1)
+            print(f"signed={signed} mid refine: {kdiff.sum()}/{nb} "
+                  "blocks differ from jnp refine on identical inputs")
+            if kdiff.sum() > max(2, nb // 25):
+                ok = False
+            rq = data["ref_mid"]
+            mq_p, mq_r = float(_int_err(gp).sum()), float(
+                _int_err(rq).sum())
+            print(f"signed={signed} mid e2e: aggregate int-metric "
+                  f"{mq_p:.3e} vs ref {mq_r:.3e}")
+            if mq_p > mq_r * 1.005:
+                ok = False
 
         # maxq tier: the winner-ladder kernel (bc6h_refine_pallas) vs the
         # jnp twin on identical inputs, plus aggregate parity vs the CPU

@@ -103,14 +103,17 @@ def verify():
     def _scoped(ms):
         return tuple(m for m in ms if m != 6)
 
+    # last tuple slot: share2sub — the r5 shared 2-subset fit serves the
+    # default tier; maxq keeps the independent evaluation (bc67.encode_bc7)
     tiers = [("default", [bc67.LADDER_MOMENT], bc67._MODE4_IMS,
-              _scoped(modes), 1.0, ref)]
+              _scoped(modes), 1.0, ref, bc67.BC7_SHARED2SUB)]
     if "ref_maxq" in data:
         tiers.append(("maxq", [bc67.LADDER_MOMENT, bc67.LADDER_FULL],
-                      (0, 1), modes, 1.0, data["ref_maxq"]))
+                      (0, 1), modes, 1.0, data["ref_maxq"], False))
     if "ref_aw2" in data:
         tiers.append(("aw2", [bc67.LADDER_MOMENT], bc67._MODE4_IMS,
-                      _scoped(modes), 2.0, data["ref_aw2"]))
+                      _scoped(modes), 2.0, data["ref_aw2"],
+                      bc67.BC7_SHARED2SUB))
     src_all = np.clip(blocks * 255.0 + 0.01, 0, 255).astype(
         np.int32).astype(np.float32)
 
@@ -122,9 +125,9 @@ def verify():
             d2[..., 3] *= aw   # compare tiers by the metric they optimize
         return d2.sum(axis=(1, 2))
 
-    for tier, ladders, m4_ims, rmodes, aw, tier_ref in tiers:
+    for tier, ladders, m4_ims, rmodes, aw, tier_ref, sh2 in tiers:
         _, base_words = bc7_encode_pallas(px_i, modes, m4_ims=m4_ims,
-                                          aw=aw)
+                                          aw=aw, share2sub=sh2)
         # (a) kernel equivalence: pallas refine vs the jnp twin on the
         # SAME input words (both on-device). Any ladder-path divergence
         # seeded by a near-tie search winner is excluded by construction,
@@ -170,6 +173,32 @@ def verify():
             ok = False
         if mse_e2e_p > mse_e2e_r * 1.001 + 1e-3:
             ok = False
+
+    # bench-scale quality gate (r5, VERDICT r4 #7): 512² real content
+    # (frozen reference full-search encode, tests/golden/bench512.npz —
+    # generate_bench512.py) — the TPU default tier must beat the
+    # reference's PSNR at bench-like scale, so a throughput-motivated
+    # kernel change can't silently trade large-content quality. Metric:
+    # ComputeMSE semantics (DirectXTexMisc.cpp:27-180), both encodes
+    # decoded through spec-exact decoders.
+    b512_path = "/root/repo/tests/golden/bench512.npz"
+    if os.path.exists(b512_path):
+        from directxtex_tpu.bc.common import image_to_blocks
+        b512 = np.load(b512_path)
+        ref_psnr512 = float(b512["ref_psnr"])
+        blocks512, _, _ = image_to_blocks(jnp.asarray(b512["img"]))
+        bc512 = np.asarray(bc67.encode_bc7(blocks512, opaque=True))
+        dec512 = np.asarray(bc67.decode_bc7(bc512)).astype(np.float64)
+        src512 = np.asarray(blocks512).astype(np.float64)
+        mse512 = np.mean((dec512 - src512) ** 2)
+        got_psnr512 = 10 * np.log10(1.0 / max(mse512, 1e-12))
+        d512 = got_psnr512 - ref_psnr512
+        print(f"bc7 bench-scale 512² default tier: {got_psnr512:.3f} dB "
+              f"vs reference {ref_psnr512:.3f} ({d512:+.3f})")
+        if d512 < 0.0:
+            ok = False
+    else:
+        print("bc7 bench-scale 512² gate SKIPPED (no bench512.npz)")
 
     # QUICK tier (TEX_COMPRESS_BC7_QUICK, mode 6 only, no refine): the
     # smallest production graph — byte-level agreement expected (single

@@ -381,6 +381,7 @@ def decode_bc7(blocks: jnp.ndarray) -> jnp.ndarray:
 _BC7_QUICK = 0x100000       # TEX_COMPRESS_BC7_QUICK / BC_FLAGS_FORCE_BC7_MODE6
 _BC7_USE_3SUBSETS = 0x80000
 _BC7_MAXQUALITY = 0x200000  # TEX_COMPRESS_BC7_MAXQUALITY (OptimizeEndPoints tier)
+_BC6H_MID = 0x400000        # extension: BC6H mid quality tier (r5)
 
 
 def _quantize_u8(c: jnp.ndarray, prec: int) -> jnp.ndarray:
@@ -972,6 +973,200 @@ def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id,
     return total_err, q0s, q1s, p0s, p1s, idx_full
 
 
+# Shared-fit trajectory for the BC7 2-subset mode family (r5): modes 1
+# and 3 evaluate the SAME shape candidates and differ only in endpoint
+# precision (6.6.6+shared-pbit vs 7.7.7+pbit) and index width (3 vs 2
+# bits) — ms_aInfo, BC6HBC7.cpp:1106-1125. Like BC6H's shared fit
+# (BC6H_SHARED_FIT, +27%), one precision-free float trajectory per
+# (shape candidate, subset) — axis fit -> float-palette assignment ->
+# LS refit rounds -> keep-better — is shared by both modes; each mode
+# then quantizes THOSE endpoints at its own precision and rescores
+# exactly once. This removes one full exact assign pass + one LS refit
+# per mode per candidate vs the independent A/B evaluation.
+# BC7_SHARED2SUB_IPREC: index width of the float trajectory (3 = mode
+# 1's; the refit weight grid). BC7_SHARED2SUB_ROUNDS: refit->rescore
+# rounds (BC6H saturates at 3; BC7's LDR domain is tamer).
+BC7_SHARED2SUB = True
+BC7_SHARED2SUB_IPREC = 3
+BC7_SHARED2SUB_ROUNDS = 1
+
+
+def _float_assign_ch_t(px_f, mask, e0, e1, iprec: int,
+                       ch_start: int = 0, ch_end: int = 3):
+    """Float-endpoint palette assignment + SSE over a channel range: the
+    precision-free scorer for the shared fit trajectories (the BC7
+    analog of _bc6h_palette_err_f). Same projection/snap geometry as
+    _assign_indices_t but with unquantized endpoints and a linear
+    (floor-less) palette — only used to steer the fit; every mode's
+    error is rescored exactly afterwards. Modes 1/3 use channels [0, 3)
+    (alpha decodes as 255, a constant per-subset error term that cannot
+    affect the trajectory's keep-better); modes 4/5 use [0, 3) for the
+    color set and [3, 4) for the alpha set.
+
+    px_f [16, 4, NB] f32; e0/e1 [4, NB] f32. Returns (idx f32 [16, NB],
+    err [NB])."""
+    K = 1 << iprec
+    dot = jnp.zeros((px_f.shape[0], px_f.shape[2]), jnp.float32)
+    span = jnp.zeros((px_f.shape[2],), jnp.float32)
+    for c in range(ch_start, ch_end):
+        e = e1[c] - e0[c]
+        dot = dot + (px_f[:, c, :] - e0[c][None, :]) * e[None, :]
+        span = span + e * e
+    p64 = jnp.clip(dot * (64.0 / jnp.where(span > 0, span, 1.0))[None, :],
+                   0.0, 64.0)
+    kf = jnp.clip(jnp.round(p64 * ((K - 1) / 64.0)), 0.0, K - 1.0)
+    wk = _pal_weight_f(kf, K)
+    wkp = _pal_weight_f(jnp.minimum(kf + 1.0, K - 1.0), K)
+    wkm = _pal_weight_f(jnp.maximum(kf - 1.0, 0.0), K)
+    up = (kf < K - 1) & (2.0 * p64 > wk + wkp)
+    dn = (kf > 0) & (2.0 * p64 < wk + wkm)
+    idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    wkf = _pal_weight_f(idx, K) * jnp.float32(1 / 64)
+    dist = jnp.zeros_like(dot)
+    # (px - e0) - wkf*e, NOT px - (e0 + wkf*e): matches the kernel twins'
+    # op order (_k_float_assign_rgb / _k_float_snap_dist) bit-for-bit
+    for c in range(ch_start, ch_end):
+        d = (px_f[:, c, :] - e0[c][None, :]) \
+            - wkf * (e1[c] - e0[c])[None, :]
+        dist = dist + d * d
+    err = jnp.sum(jnp.where(mask, dist, 0.0), axis=0)
+    return idx, err
+
+
+def _float_assign_rgb_t(px_f, mask, e0, e1, iprec: int):
+    """Channels [0, 3) of _float_assign_ch_t (the 2-subset family)."""
+    return _float_assign_ch_t(px_f, mask, e0, e1, iprec, 0, 3)
+
+
+def _ls_refit_f_t(px_f, idx_f, mask, iprec: int, e0, e1,
+                  ch_start: int = 0, ch_end: int = 3):
+    """LS refit from an f32 index plane over a channel range (the
+    shared-fit trajectory's refit; other rows pass through). Mirrors
+    _ls_refit_t with _pal_weight_f weights."""
+    x = _pal_weight_f(idx_f, 1 << iprec) * jnp.float32(1 / 64)
+    m = mask.astype(jnp.float32)
+    a = (1.0 - x) * m
+    b = x * m
+    A = jnp.sum(a * a, axis=0)
+    B = jnp.sum(a * b, axis=0)
+    C = jnp.sum(b * b, axis=0)
+    det = A * C - B * B
+    ok = jnp.abs(det) > 1e-6
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    e0_rows = [e0[c] for c in range(4)]
+    e1_rows = [e1[c] for c in range(4)]
+    for c in range(ch_start, ch_end):
+        r0 = jnp.sum(a * px_f[:, c, :], axis=0)
+        r1 = jnp.sum(b * px_f[:, c, :], axis=0)
+        n0 = jnp.clip((C * r0 - B * r1) * inv, 0.0, 255.0)
+        n1 = jnp.clip((A * r1 - B * r0) * inv, 0.0, 255.0)
+        e0_rows[c] = jnp.where(ok, n0, e0_rows[c])
+        e1_rows[c] = jnp.where(ok, n1, e1_rows[c])
+    return jnp.stack(e0_rows), jnp.stack(e1_rows)
+
+
+def _ls_refit_f_rgb_t(px_f, idx_f, mask, iprec: int, e0, e1):
+    """Channels [0, 3) of _ls_refit_f_t (the 2-subset family)."""
+    return _ls_refit_f_t(px_f, idx_f, mask, iprec, e0, e1, 0, 3)
+
+
+def _eval_2sub_shared(px_i, px_f, mask_list, anchors, mode_ids,
+                      aw: float = 1.0):
+    """Shared-fit evaluation of one shape candidate for the 2-subset
+    family: ONE float trajectory per subset steers BOTH modes' endpoint
+    fits; each mode quantizes the trajectory's endpoints at its own
+    precision and rescores exactly once (pallas twin:
+    pallas_kernels._k_eval_2sub_shared). Returns {mode_id: (err, q0s,
+    q1s, p0s, p1s, idx)} in _eval_subset_candidate's format (anchor
+    swaps applied)."""
+    nb = px_i.shape[2]
+    iprec_s = BC7_SHARED2SUB_IPREC
+
+    # precision-free trajectory per subset (BC6H_SHARED_FIT pattern)
+    shared = []
+    for mask in mask_list:
+        e0f, e1f = _minmax_axis_endpoints_t(px_f, mask, with_alpha=False)
+        idx_b, err0 = _float_assign_rgb_t(px_f, mask, e0f, e1f, iprec_s)
+        e0c, e1c = e0f, e1f
+        err_b = err0
+        for _ in range(BC7_SHARED2SUB_ROUNDS):
+            e0c, e1c = _ls_refit_f_rgb_t(px_f, idx_b, mask, iprec_s,
+                                         e0c, e1c)
+            idx_b, err_b = _float_assign_rgb_t(px_f, mask, e0c, e1c,
+                                               iprec_s)
+        better = err_b < err0
+        shared.append((jnp.where(better[None, :], e0c, e0f),
+                       jnp.where(better[None, :], e1c, e1f)))
+
+    out = {}
+    for mode_id in mode_ids:
+        m = _BC7_MODES[mode_id]
+        shared_p = m.p_bits == (m.partitions + 1) and m.p_bits > 0
+        prec = m.index_prec
+        total_err = jnp.zeros(nb, jnp.float32)
+        e_pairs, p_pairs = [], []
+        idx_full = jnp.zeros((px_i.shape[0], nb), jnp.int32)
+        for sub, mask in enumerate(mask_list):
+            e0c, e1c = shared[sub]
+            q0, q1, p0, p1 = _quantize_endpoints_t(e0c, e1c, m)
+            u0, u1 = _unquantize_with_p_t(q0, q1, p0, p1, m, shared_p)
+            idx, err = _assign_indices_t(px_i, u0, u1, prec, mask, aw=aw)
+            total_err = total_err + err
+            e_pairs.append((q0, q1))
+            p_pairs.append((p0, p1))
+            idx_full = jnp.where(mask, idx, idx_full)
+
+        # anchor swaps (AssignIndices, BC6HBC7.cpp:3181-3194)
+        msb = 1 << (prec - 1)
+        maxi = (1 << prec) - 1
+        q0s, q1s, p0s, p1s = [], [], [], []
+        idx_m = idx_full
+        for sub, (mask, anchor) in enumerate(zip(mask_list, anchors)):
+            if isinstance(anchor, int):
+                a_idx = idx_m[anchor]
+            else:
+                a_idx = jnp.zeros(nb, jnp.int32)
+                for i in range(16):
+                    a_idx = jnp.where(anchor == i, idx_m[i], a_idx)
+            swap = (a_idx & msb) != 0
+            q0, q1 = e_pairs[sub]
+            p0, p1 = p_pairs[sub]
+            q0s.append(jnp.where(swap[None, :], q1, q0))
+            q1s.append(jnp.where(swap[None, :], q0, q1))
+            p0s.append(jnp.where(swap, p1, p0))
+            p1s.append(jnp.where(swap, p0, p1))
+            idx_m = jnp.where(swap[None, :] & mask, maxi - idx_m, idx_m)
+        out[mode_id] = (total_err, q0s, q1s, p0s, p1s, idx_m)
+    return out
+
+
+def _try_2sub_modes_shared(px_i, px_f, mode_ids, ests, aw: float = 1.0):
+    """Shared-fit twin of _try_partition_mode for modes (1, 3): rank
+    shapes once, evaluate each candidate for both modes off one float
+    trajectory, fold per mode. Returns {mode_id: (err, words)}."""
+    nb = px_i.shape[2]
+    parts_tab = jnp.asarray(PARTITIONS[1])
+    fix_tab = jnp.asarray(FIXUPS[1])
+    best = {mode_id: (jnp.full((nb,), jnp.inf, jnp.float32),
+                      jnp.zeros((nb, 4), jnp.uint32))
+            for mode_id in mode_ids}
+    for s_blk in _top_k_shapes(ests[:64], BC7_SHAPE_CANDIDATES):
+        pmask = parts_tab[s_blk].T
+        mask_list = [pmask == 0, pmask == 1]
+        anchors = [0, fix_tab[s_blk, 1].astype(jnp.int32)]
+        evals = _eval_2sub_shared(px_i, px_f, mask_list, anchors,
+                                  mode_ids, aw=aw)
+        for mode_id in mode_ids:
+            err, q0s, q1s, p0s, p1s, idx = evals[mode_id]
+            words = _emit_bc7(mode_id, s_blk.astype(jnp.uint32), 0, 0,
+                              q0s, q1s, p0s, p1s, idx, None, nb)
+            b_err, b_words = best[mode_id]
+            better = err < b_err
+            best[mode_id] = (jnp.minimum(err, b_err),
+                             jnp.where(better[:, None], words, b_words))
+    return best
+
+
 # Shapes fully refined per partitioned mode after the cheap estimate pass.
 # Measured quality on hard two-region content: 1 cand -36.23 dB,
 # 2 -36.36, 4 -36.47, 8 -36.57 (reference refines 16 = uShapes/4,
@@ -1272,6 +1467,94 @@ def _try_single_mode(px_i, px_f, mode_id, aw: float = 1.0,
             best_words = jnp.where(better[:, None], words, best_words)
             best_err = jnp.minimum(err, best_err)
     return best_err, best_words
+
+
+# Shared-fit trajectory for the rotation family (r5): modes 4 and 5
+# differ only in endpoint precision (5.5.5.6 vs 7.7.7.8) and alpha
+# index width (3 vs 2 bits at index-mode 0) — ms_aInfo,
+# BC6HBC7.cpp:1106-1125. Per rotation, ONE float trajectory (color at
+# the common 2-bit width, alpha at mode 4's 3-bit width) steers both
+# modes; each quantizes + rescores exactly once. Default tier only
+# (mode-4 index-mode 0); maxq keeps the independent A/B evaluation.
+BC7_SHARED45 = True
+BC7_SHARED45_ROUNDS = 1
+
+
+def _try_modes45_shared(px_i, px_f, aw: float = 1.0):
+    """Shared-fit evaluation of modes 4/5 at index-mode 0 (pallas twin:
+    pallas_kernels._k_modes45_shared). Returns {mode_id: (err, words)}."""
+    nb = px_i.shape[2]
+    mask = jnp.ones((16, nb), bool)
+    best = {m: (jnp.full((nb,), jnp.inf, jnp.float32),
+                jnp.zeros((nb, 4), jnp.uint32)) for m in (4, 5)}
+    for rot in _MODE45_ROTS:
+        if rot == 0:
+            pr_i, pr_f = px_i, px_f
+        else:
+            ch = rot - 1
+            perm = list(range(4))
+            perm[ch], perm[3] = 3, ch
+            pr_i = px_i[:, perm, :]
+            pr_f = px_f[:, perm, :]
+        alpha_ch = 3 if rot == 0 else rot - 1
+
+        e0f, e1f = _minmax_axis_endpoints_t(pr_f, mask, with_alpha=False)
+        e0f = e0f.at[3].set(jnp.min(pr_f[:, 3, :], axis=0))
+        e1f = e1f.at[3].set(jnp.max(pr_f[:, 3, :], axis=0))
+
+        # float trajectory: color channels at the common 2-bit index
+        # width, alpha at mode 4's 3-bit width
+        cidx, cerr0 = _float_assign_ch_t(pr_f, mask, e0f, e1f, 2, 0, 3)
+        aidx, aerr0 = _float_assign_ch_t(pr_f, mask, e0f, e1f, 3, 3, 4)
+        e0c, e1c = e0f, e1f
+        cerr_b, aerr_b = cerr0, aerr0
+        for _ in range(BC7_SHARED45_ROUNDS):
+            e0c, e1c = _ls_refit_f_t(pr_f, cidx, mask, 2, e0c, e1c, 0, 3)
+            e0c, e1c = _ls_refit_f_t(pr_f, aidx, mask, 3, e0c, e1c, 3, 4)
+            cidx, cerr_b = _float_assign_ch_t(pr_f, mask, e0c, e1c,
+                                              2, 0, 3)
+            aidx, aerr_b = _float_assign_ch_t(pr_f, mask, e0c, e1c,
+                                              3, 3, 4)
+        # keep-better per index set (the color and alpha fits are
+        # independent: separate palettes, separate refits)
+        bc_ = cerr_b < cerr0
+        ba_ = aerr_b < aerr0
+        e0s = jnp.stack([jnp.where(bc_, e0c[c], e0f[c]) for c in range(3)]
+                        + [jnp.where(ba_, e0c[3], e0f[3])])
+        e1s = jnp.stack([jnp.where(bc_, e1c[c], e1f[c]) for c in range(3)]
+                        + [jnp.where(ba_, e1c[3], e1f[3])])
+
+        for mode_id in (4, 5):
+            m = _BC7_MODES[mode_id]
+            cprec, aprec = m.index_prec, m.index_prec2   # index-mode 0
+            q0, q1, p0, p1 = _quantize_endpoints_t(e0s, e1s, m)
+            u0, u1 = _unquantize_with_p_t(q0, q1, p0, p1, m, False)
+            cidx_e, cerr_e = _assign_indices_t(pr_i, u0, u1, cprec, mask,
+                                               channels=3, aw=aw,
+                                               alpha_ch=alpha_ch)
+            aidx_e, aerr_e = _assign_indices_t(pr_i, u0, u1, aprec, mask,
+                                               channels=4, ch_start=3,
+                                               aw=aw, alpha_ch=alpha_ch)
+            err = cerr_e + aerr_e
+
+            # anchor fixes (AssignIndices, BC6HBC7.cpp:3196-3216), im=0
+            msb1, maxi1 = 1 << (cprec - 1), (1 << cprec) - 1
+            msb2, maxi2 = 1 << (aprec - 1), (1 << aprec) - 1
+            w1, w2 = cidx_e, aidx_e
+            swap1 = (w1[0] & msb1) != 0
+            w1 = jnp.where(swap1[None, :], maxi1 - w1, w1)
+            swap2 = (w2[0] & msb2) != 0
+            w2 = jnp.where(swap2[None, :], maxi2 - w2, w2)
+            do_swap = jnp.stack([swap1, swap1, swap1, swap2])
+            q0f = jnp.where(do_swap, q1, q0)
+            q1f = jnp.where(do_swap, q0, q1)
+            words = _emit_bc7(mode_id, 0, rot, 0, [q0f], [q1f],
+                              [p0], [p1], w1, w2, nb)
+            b_err, b_words = best[mode_id]
+            better = err < b_err
+            best[mode_id] = (jnp.minimum(err, b_err),
+                             jnp.where(better[:, None], words, b_words))
+    return best
 
 
 def _bc7_unpack_mode(words_t, mode: int):
@@ -1658,11 +1941,20 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
         # "overhead" is unpack/score/emit COMPUTE that fusion still
         # pays, the saved HBM pixel re-read is ~0.1 ms, and the bigger
         # kernel loses more to VMEM pressure at every tile size.
+        # the shared 2-subset fit serves the DEFAULT tier only: maxq
+        # keeps the independent per-mode A/B evaluation (shared measured
+        # maxq min slack +0.149 vs +0.166 — both beat the reference, but
+        # the quality tier keeps the stronger search; the default tier
+        # takes the +7% e2e, benchmarks/profile_shared13.py)
         _, best_words = bc7_encode_pallas(px_i, tuple(modes),
                                           BC7_SHAPE_CANDIDATES,
                                           aw=alpha_weight,
                                           rots=_MODE45_ROTS,
-                                          m4_ims=m4_ims)
+                                          m4_ims=m4_ims,
+                                          share2sub=(BC7_SHARED2SUB
+                                                     and not maxq),
+                                          share45=(BC7_SHARED45
+                                                   and not maxq))
         for ladder in ladders:
             if refine_modes:
                 best_words = bc7_refine_pallas(px_i, best_words, ladder,
@@ -1672,8 +1964,24 @@ def encode_bc7(blocks: jnp.ndarray, flags: int = 0,
                                         jnp.uint8).reshape(nb, 16)
 
     est_cache = {}
+    # shared-fit 2-subset family (r5): one float trajectory serves both
+    # modes 1 and 3 per shape candidate (BC7_SHARED2SUB). Default tier
+    # only — maxq keeps the independent per-mode A/B evaluation (see the
+    # pallas branch note above).
+    shared13 = {}
+    if BC7_SHARED2SUB and not maxq and 1 in modes and 3 in modes:
+        est_cache[1] = _shape_estimates_table(px_f, 1, 4, off_axis=True)
+        shared13 = _try_2sub_modes_shared(px_i, px_f, (1, 3),
+                                          est_cache[1], aw=alpha_weight)
+    # shared-fit rotation family (r5): one float trajectory per rotation
+    # serves both modes 4 and 5 at index-mode 0 (BC7_SHARED45)
+    if (BC7_SHARED45 and not maxq and tuple(m4_ims) == (0,)
+            and 4 in modes and 5 in modes):
+        shared13.update(_try_modes45_shared(px_i, px_f, aw=alpha_weight))
     for mode_id in modes:
-        if mode_id in (0, 1, 2, 3, 7):
+        if mode_id in shared13:
+            err, words = shared13[mode_id]
+        elif mode_id in (0, 1, 2, 3, 7):
             m = _BC7_MODES[mode_id]
             if m.partitions not in est_cache:
                 # rank shapes by the off-axis residual in EVERY tier
@@ -2547,6 +2855,14 @@ def _bc6h_perturb_remap_dyn(px3, mask, q0, q1, precw, iprec, signed,
 # BASELINE.md for the measured quality/cost of each.
 BC6H_LADDER_LIGHT = (1, (1,))
 BC6H_LADDER_FULL = (2, (16, 4, 1))
+# mid tier (r5, VERDICT r4 #2): ONE remap round at deltas (4, 1), own
+# precision group only — measured on the HDR probes
+# (benchmarks/quality_bc6h_refine.py): closes the sun_sky hot-disk gap
+# fully (-1.201 -> -0.000, like maxq), reaches 56-77% of maxq's gains
+# elsewhere (hdr +0.067 vs +0.105, dim_smooth -0.201 vs -0.164,
+# signed +0.565 vs +0.613); the cross2 variant measured identical
+# quality at 6x the 2-region cost and stays maxq-only.
+BC6H_LADDER_MID = (1, (4, 1))
 # maxq tier: re-mapping ladder with log-spaced deltas — measured best on
 # every content (benchmarks/quality_bc6h_refine.py), closes the sun_sky
 # hot-disk gap fully (the reference's PerturbOne climb reaches joint
@@ -2966,19 +3282,55 @@ def _bc6h_eval_candidate(px_int, px_f, mask_list, anchors, row, signed):
 
 
 def encode_bc6h(blocks: jnp.ndarray, signed: bool,
-                flags: int = 0) -> jnp.ndarray:
+                flags: int = 0,
+                rows_sel: tuple | None = None) -> jnp.ndarray:
     """[NB, 16, 4] f32 -> [NB, 16] u8 (D3DXEncodeBC6HU/S, BC6HBC7.cpp:1817).
 
     The max-quality flag runs the default search, then the re-mapping
     winner-refine ladder (refine_bc6h_words, BC6H_LADDER_MAXQ) on each
     block's winning state — OptimizeEndPoints/PerturbOne analog,
-    BC6HBC7.cpp:2081-2226."""
+    BC6HBC7.cpp:2081-2226.
+
+    `rows_sel` restricts the search scope (profiling/dry-run only, the
+    pallas kernel's knob mirrored): a tuple of 2-region row ids 0-9
+    and/or "r1" for the four 1-region rows. None = full scope. The
+    reduced graph is what XLA-CPU can compile in multi-device dry-run
+    budget (VERDICT r4 #5); sharding structure is identical at any
+    scope (block axis data-parallel, zero collectives)."""
     rgb = jnp.asarray(blocks, jnp.float32)[..., :3]
     nb = rgb.shape[0]
     maxq = bool(flags & _BC7_MAXQUALITY)
+    mid = bool(flags & _BC6H_MID) and not maxq
     # lane-major [16, 3, NB]
     px_int = _f16_to_int(jnp.transpose(rgb, (1, 2, 0)), signed)
     px_f = px_int.astype(jnp.float32)
+
+    if mid:
+        # Mid quality tier (r5): default search + ONE remap-ladder round
+        # at the winner's own precision group (BC6H_LADDER_MID) — the
+        # measured knee between the default (no refine) and maxq (the
+        # full cross-precision re-mapping ladder): closes the sun_sky
+        # hot-disk gap entirely at ~1/10 of maxq's refine cost
+        # (benchmarks/quality_bc6h_refine.py + profile numbers in
+        # BASELINE.md). PerturbOne analog: BC6HBC7.cpp:2081-2226.
+        words8 = encode_bc6h(blocks, signed, flags & ~_BC6H_MID,
+                             rows_sel=rows_sel)
+        w32 = lax.bitcast_convert_type(
+            words8.reshape(nb, 4, 4), jnp.uint32)
+        use_pallas = False
+        try:
+            from .pallas_kernels import _use_pallas, bc6h_refine_pallas
+            use_pallas = _use_pallas()
+        except Exception:
+            pass
+        if use_pallas:
+            refined = bc6h_refine_pallas(px_int, w32, BC6H_LADDER_MID,
+                                         signed, remap=True, cross2=False)
+        else:
+            refined = refine_bc6h_words(px_int, w32, BC6H_LADDER_MID,
+                                        signed, remap=True, cross2=False)
+        return lax.bitcast_convert_type(refined, jnp.uint8).reshape(
+            nb, 16)
 
     if maxq:
         # Winner-refine maxq (r3): run the default search (the pallas
@@ -3022,10 +3374,13 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool,
         # precision group, the row fold) as ONE pallas dispatch
         from .pallas_kernels import bc6h_encode_pallas
         _, best_words = bc6h_encode_pallas(px_int, signed,
-                                           BC7_SHAPE_CANDIDATES)
+                                           BC7_SHAPE_CANDIDATES,
+                                           rows_sel=rows_sel)
         return lax.bitcast_convert_type(best_words, jnp.uint8).reshape(
             nb, 16)
 
+    do_r1 = rows_sel is None or "r1" in rows_sel
+    rows2 = [r for r in range(10) if rows_sel is None or r in rows_sel]
     ones = jnp.ones((16, nb), bool)
 
     def fold_candidate(best_err, best_words, err, words):
@@ -3038,45 +3393,49 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool,
         # (shape candidate, region family); each precision group only
         # quantizes + rescores it. Same structure as the pallas mega
         # kernel (_bc6h_all_kernel).
-        shared1 = _bc6h_shared_fit(px_f, [ones],
-                                   BC6H_MODE_INFO[10][3], signed)
-        for row in range(10, 14):
-            terr, q_pairs, idx = _bc6h_group_rescore(
-                px_int, [ones], [0], shared1, row, signed)
-            err, pairs = _bc6h_transform_fit_t(q_pairs, terr, row,
-                                               signed, nb)
-            words = _bc6h_emit(row, 0, pairs, idx, nb)
-            best_err, best_words = fold_candidate(best_err, best_words,
-                                                  err, words)
-
-        parts_tab = jnp.asarray(PARTITIONS[1])
-        fix_tab = jnp.asarray(FIXUPS[1])
-        px4 = jnp.concatenate(
-            [px_f, jnp.zeros((16, 1, nb), jnp.float32)], axis=1)
-        ests = _shape_estimates_table(px4, 1, 3, n_shapes=32,
-                                      off_axis=True, axis_w=0.0)
-        cands = []
-        for s_blk in _top_k_shapes(ests, BC7_SHAPE_CANDIDATES):
-            pmask = parts_tab[s_blk].T
-            mask_list = [pmask == 0, pmask == 1]
-            anchors = [0, fix_tab[s_blk, 1].astype(jnp.int32)]
-            shared = _bc6h_shared_fit(px_f, mask_list,
-                                      BC6H_MODE_INFO[0][3], signed)
-            cands.append((s_blk, mask_list, anchors, shared))
-        for rows in _bc6h_row_groups():
-            rescored = []
-            for s_blk, mask_list, anchors, shared in cands:
+        if do_r1:
+            shared1 = _bc6h_shared_fit(px_f, [ones],
+                                       BC6H_MODE_INFO[10][3], signed)
+            for row in range(10, 14):
                 terr, q_pairs, idx = _bc6h_group_rescore(
-                    px_int, mask_list, anchors, shared, rows[0], signed)
-                rescored.append((s_blk, terr, q_pairs, idx))
-            for row in rows:
-                for s_blk, terr, q_pairs, idx in rescored:
-                    err, pairs = _bc6h_transform_fit_t(q_pairs, terr,
-                                                       row, signed, nb)
-                    words = _bc6h_emit(row, s_blk.astype(jnp.uint32),
-                                       pairs, idx, nb)
-                    best_err, best_words = fold_candidate(
-                        best_err, best_words, err, words)
+                    px_int, [ones], [0], shared1, row, signed)
+                err, pairs = _bc6h_transform_fit_t(q_pairs, terr, row,
+                                                   signed, nb)
+                words = _bc6h_emit(row, 0, pairs, idx, nb)
+                best_err, best_words = fold_candidate(best_err,
+                                                      best_words,
+                                                      err, words)
+
+        if rows2:
+            parts_tab = jnp.asarray(PARTITIONS[1])
+            fix_tab = jnp.asarray(FIXUPS[1])
+            px4 = jnp.concatenate(
+                [px_f, jnp.zeros((16, 1, nb), jnp.float32)], axis=1)
+            ests = _shape_estimates_table(px4, 1, 3, n_shapes=32,
+                                          off_axis=True, axis_w=0.0)
+            cands = []
+            for s_blk in _top_k_shapes(ests, BC7_SHAPE_CANDIDATES):
+                pmask = parts_tab[s_blk].T
+                mask_list = [pmask == 0, pmask == 1]
+                anchors = [0, fix_tab[s_blk, 1].astype(jnp.int32)]
+                shared = _bc6h_shared_fit(px_f, mask_list,
+                                          BC6H_MODE_INFO[0][3], signed)
+                cands.append((s_blk, mask_list, anchors, shared))
+            for rows in _bc6h_row_groups(rows2):
+                rescored = []
+                for s_blk, mask_list, anchors, shared in cands:
+                    terr, q_pairs, idx = _bc6h_group_rescore(
+                        px_int, mask_list, anchors, shared, rows[0],
+                        signed)
+                    rescored.append((s_blk, terr, q_pairs, idx))
+                for row in rows:
+                    for s_blk, terr, q_pairs, idx in rescored:
+                        err, pairs = _bc6h_transform_fit_t(
+                            q_pairs, terr, row, signed, nb)
+                        words = _bc6h_emit(row, s_blk.astype(jnp.uint32),
+                                           pairs, idx, nb)
+                        best_err, best_words = fold_candidate(
+                            best_err, best_words, err, words)
         return lax.bitcast_convert_type(best_words, jnp.uint8).reshape(
             nb, 16)
 
@@ -3086,7 +3445,7 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool,
         return err, _bc6h_emit(row, s_blk, pairs, idx, nb)
 
     # 1-region modes (rows 10-13): one candidate each
-    for row in range(10, 14):
+    for row in (range(10, 14) if do_r1 else ()):
         err, words = eval_one([ones], [0], row, 0)
         best_err, best_words = fold_candidate(best_err, best_words,
                                               err, words)
@@ -3101,7 +3460,7 @@ def encode_bc6h(blocks: jnp.ndarray, signed: bool,
     ests = _shape_estimates_table(px4, 1, 3, n_shapes=32, off_axis=True,
                                   axis_w=0.0)
     shape_picks = _top_k_shapes(ests, BC7_SHAPE_CANDIDATES)
-    for row in range(10):
+    for row in rows2:
         for s_blk in shape_picks:
             pmask = parts_tab[s_blk].T                   # [16, NB]
             mask_list = [pmask == 0, pmask == 1]

@@ -801,7 +801,13 @@ def _k_moment_subset_dyn(xf, mask, prec_rows, q0l, q1l, p0, p1, wk_ch,
         d0 = {1: delta(q0p, p0, u0c), -1: delta(q0m, p0, u0c)}
         d1 = {1: delta(q1p, p1, u1c), -1: delta(q1m, p1, u1c)}
 
-        # plane-packed joint argmin — see _k_moment_subset
+        # plane-packed joint argmin — see _k_moment_subset. Packing the
+        # four probe unquants themselves into one [8, T] plane unquant
+        # (iota-select of q0r/q0p/q0m per combo row) measured NEUTRAL
+        # on v5e (refine 2.64 -> 2.71 ms at 2K, r5) — the select-chain
+        # plane builds cost what the packed row unquants saved, the r2
+        # retrofit-packing result again; the moments themselves already
+        # accumulate as full [16, T] plane ops.
         rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
         e0p = jnp.where(rows8 < 2, 0.0,
                         jnp.where(rows8 < 5, d0[1][None, :],
@@ -1113,6 +1119,157 @@ def _k_eval_subsets(xf, masks, mode_id: int, axes=None,
     return q0s, q1s, p0s, p1s, idx_full, errs
 
 
+def _k_float_assign_rgb(xf, u0px, e_px, span_px, iprec: int):
+    """Float-endpoint RGB palette assignment + SSE on per-pixel endpoint
+    planes: the precision-free scorer of the 2-subset shared fit (twin:
+    bc67._float_assign_rgb_t). Linear (floor-less) palette — steers the
+    trajectory only; every mode rescores exactly. Returns (idx [16, T]
+    f32, dist [16, T] f32)."""
+    K = 1 << iprec
+    d0 = [xf[c] - u0px[c] for c in range(3)]
+    dot = sum((d * e_px[c] for c, d in enumerate(d0)),
+              start=jnp.zeros_like(d0[0]))
+    p64 = jnp.clip(dot * (64.0 / jnp.where(span_px > 0, span_px, 1.0)),
+                   0.0, 64.0)
+    kf = jnp.clip(jnp.round(p64 * ((K - 1) / 64.0)), 0.0, K - 1.0)
+    wk = _pal_weight_f(kf, K)
+    wkp = _pal_weight_f(jnp.minimum(kf + 1.0, K - 1.0), K)
+    wkm = _pal_weight_f(jnp.maximum(kf - 1.0, 0.0), K)
+    up = (kf < K - 1) & (2.0 * p64 > wk + wkp)
+    dn = (kf > 0) & (2.0 * p64 < wk + wkm)
+    idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    wkf = _pal_weight_f(idx, K) * jnp.float32(1 / 64)
+    dist = jnp.zeros_like(dot)
+    for c, d in enumerate(d0):
+        r = d - wkf * e_px[c]
+        dist = dist + r * r
+    return idx, dist
+
+
+def _k_eval_2sub_shared(xf, masks, mode_ids, axes=None, aw: float = 1.0,
+                        rounds: int | None = None,
+                        iprec_s: int | None = None):
+    """Shared-fit evaluation of one shape candidate for the 2-subset
+    family (r5, twin: bc67._eval_2sub_shared): ONE precision-free float
+    trajectory per subset — axis fit -> float assign -> LS refit rounds
+    -> keep-better — steers every mode in `mode_ids`; each mode then
+    quantizes those endpoints at its own precision (ms_aInfo,
+    BC6HBC7.cpp:1106-1125) and rescores exactly ONCE. Composes the BC6H
+    shared fit (+27%) with the r4 insight that modes 1/3 differ only in
+    field precisions. Returns {mode_id: (q0s, q1s, p0s, p1s, idx_full,
+    errs)} in _k_eval_subsets' format."""
+    from . import bc67 as _bc67
+
+    if rounds is None:
+        rounds = _bc67.BC7_SHARED2SUB_ROUNDS
+    if iprec_s is None:
+        iprec_s = _bc67.BC7_SHARED2SUB_IPREC
+    n_sub = len(masks)
+
+    def msum(plane, p):
+        return jnp.sum(jnp.where(masks[p], plane, 0.0), axis=0)
+
+    def sel(vals):
+        return _k_sel_px(masks, vals)
+
+    def fpal(e0_s, e1_s):
+        # per-pixel planes from per-subset FLOAT endpoint rows (RGB)
+        u0px = [sel([e0_s[p][c] for p in range(n_sub)]) for c in range(3)]
+        e_s = [[e1_s[p][c] - e0_s[p][c] for c in range(3)]
+               for p in range(n_sub)]
+        span_s = [sum(e_s[p][c] * e_s[p][c] for c in range(3))
+                  for p in range(n_sub)]
+        e_px = [sel([e_s[p][c] for p in range(n_sub)]) for c in range(3)]
+        span_px = sel(span_s)
+        idx, dist = _k_float_assign_rgb(xf, u0px, e_px, span_px, iprec_s)
+        return idx, [msum(dist, p) for p in range(n_sub)]
+
+    e0_s, e1_s = _k_axis_multi(xf, masks, False) if axes is None else axes
+    idx_b, errs0 = fpal(e0_s, e1_s)
+    e0c_s = [list(e0_s[p]) for p in range(n_sub)]
+    e1c_s = [list(e1_s[p]) for p in range(n_sub)]
+    errs_b = errs0
+    for _ in range(rounds):
+        # fused LS refit (RGB): weight planes shared, moments masked
+        x = _pal_weight_f(idx_b, 1 << iprec_s) * jnp.float32(1 / 64)
+        av = 1.0 - x
+        bv = x
+        aa, ab_, bb = av * av, av * bv, bv * bv
+        avx = [av * xf[c] for c in range(3)]
+        bvx = [bv * xf[c] for c in range(3)]
+        for p in range(n_sub):
+            A = msum(aa, p)
+            B = msum(ab_, p)
+            C = msum(bb, p)
+            det = A * C - B * B
+            ok = jnp.abs(det) > 1e-6
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            for c in range(3):
+                r0 = msum(avx[c], p)
+                r1 = msum(bvx[c], p)
+                n0 = jnp.clip((C * r0 - B * r1) * inv, 0.0, 255.0)
+                n1 = jnp.clip((A * r1 - B * r0) * inv, 0.0, 255.0)
+                e0c_s[p][c] = jnp.where(ok, n0, e0c_s[p][c])
+                e1c_s[p][c] = jnp.where(ok, n1, e1c_s[p][c])
+        idx_b, errs_b = fpal(e0c_s, e1c_s)
+
+    e0f_s, e1f_s = [], []
+    for p in range(n_sub):
+        better = errs_b[p] < errs0[p]
+        e0f_s.append([jnp.where(better, e0c_s[p][c], e0_s[p][c])
+                      for c in range(4)])
+        e1f_s.append([jnp.where(better, e1c_s[p][c], e1_s[p][c])
+                      for c in range(4)])
+
+    # per-mode: quantize the shared endpoints, ONE exact rescore
+    out = {}
+    for mode_id in mode_ids:
+        rgba_prec, rgba_prec_p, iprec, shared_p, _ = \
+            _BC7_MODE_STATICS[mode_id]
+        qs = _k_quant_endpoints_multi(e0f_s, e1f_s, rgba_prec,
+                                      rgba_prec_p, shared_p)
+        u0_s = [[qs[p][4][c].astype(jnp.float32) for c in range(4)]
+                for p in range(n_sub)]
+        u1_s = [[qs[p][5][c].astype(jnp.float32) for c in range(4)]
+                for p in range(n_sub)]
+        u0px = [sel([u0_s[p][c] for p in range(n_sub)]) for c in range(4)]
+        e_s = [[u1_s[p][c] - u0_s[p][c] for c in range(4)]
+               for p in range(n_sub)]
+        span_s = [sum(e_s[p][c] * e_s[p][c] for c in range(4))
+                  for p in range(n_sub)]
+        e_px = [sel([e_s[p][c] for p in range(n_sub)]) for c in range(4)]
+        span_px = sel(span_s)
+        idx, dist = _project_assign_px(xf, u0px, None, e_px, span_px,
+                                       iprec, aw=aw)
+        errs = [msum(dist, p) for p in range(n_sub)]
+        out[mode_id] = ([qs[p][0] for p in range(n_sub)],
+                        [qs[p][1] for p in range(n_sub)],
+                        [qs[p][2] for p in range(n_sub)],
+                        [qs[p][3] for p in range(n_sub)],
+                        idx, errs)
+    return out
+
+
+def _k_partition_fold_multi(xf, cands, mode_ids, axes_list=None,
+                            aw: float = 1.0):
+    """Shared-fit fold over shape candidates for the 2-subset family:
+    each candidate is evaluated ONCE for all `mode_ids` off one float
+    trajectory (_k_eval_2sub_shared); per-mode running-best folds,
+    anchor swaps and emits. Returns {mode_id: (err, words)}."""
+    n_sub = 2
+    best = {m: None for m in mode_ids}
+    for ci, (s_blk, pp, pa, masks) in enumerate(cands):
+        evals = _k_eval_2sub_shared(
+            xf, masks, mode_ids,
+            axes=None if axes_list is None else axes_list[ci], aw=aw)
+        for m in mode_ids:
+            q0s, q1s, p0s, p1s, idx_full, errs = evals[m]
+            best[m] = _k_fold_state(
+                best[m], (sum(errs), s_blk, q0s, q1s, p0s, p1s, idx_full,
+                          pp, pa), n_sub)
+    return {m: _k_winner_emit(m, best[m]) for m in mode_ids}
+
+
 def _packed_tables(partitions: int, n_shapes: int):
     """Static per-shape tables packed into python ints: partition ids at
     2 bits/pixel, fixup anchors at 4 bits each (PARTITIONS/FIXUPS)."""
@@ -1146,6 +1303,28 @@ def _k_decode_cands(sb_rows, parts: int, n_shapes: int):
     return cands
 
 
+def _k_fold_state(best, state, n_sub: int):
+    """Running-best fold of one candidate's evaluation state
+    (err, s_blk, q0s, q1s, p0s, p1s, idx_full, pp, pa)."""
+    if best is None:
+        return state
+    bt = state[0] < best[0]
+    bt16 = bt[None, :]
+    return (
+        jnp.where(bt, state[0], best[0]),
+        jnp.where(bt, state[1], best[1]),
+        [[jnp.where(bt, state[2][s][c], best[2][s][c])
+          for c in range(4)] for s in range(n_sub)],
+        [[jnp.where(bt, state[3][s][c], best[3][s][c])
+          for c in range(4)] for s in range(n_sub)],
+        [jnp.where(bt, state[4][s], best[4][s]) for s in range(n_sub)],
+        [jnp.where(bt, state[5][s], best[5][s]) for s in range(n_sub)],
+        jnp.where(bt16, state[6], best[6]),
+        jnp.where(bt, state[7], best[7]),
+        jnp.where(bt, state[8], best[8]),
+    )
+
+
 def _k_partition_fold(xf, cands, mode_id: int, axes_list=None,
                       aw: float = 1.0):
     """One partition mode over decoded shape candidates: evaluate each,
@@ -1153,9 +1332,7 @@ def _k_partition_fold(xf, cands, mode_id: int, axes_list=None,
     supplies a precomputed axis fit per candidate (shared between modes
     with the same with_alpha). Returns (err, words)."""
     parts = _BC7_FULL_STATICS[mode_id][0]
-    iprec = _BC7_FULL_STATICS[mode_id][5]
     n_sub = parts + 1
-    msb, maxi = 1 << (iprec - 1), (1 << iprec) - 1
 
     best = None
     for ci, (s_blk, pp, pa, masks) in enumerate(cands):
@@ -1164,25 +1341,18 @@ def _k_partition_fold(xf, cands, mode_id: int, axes_list=None,
             axes=None if axes_list is None else axes_list[ci], aw=aw)
         total_err = sum(errs)
         # anchor swaps happen once, on the fold winner, below
-        state = (total_err, s_blk, q0s, q1s, p0s, p1s, idx_full, pp, pa)
-        if best is None:
-            best = state
-            continue
-        bt = state[0] < best[0]
-        bt16 = bt[None, :]
-        best = (
-            jnp.where(bt, state[0], best[0]),
-            jnp.where(bt, state[1], best[1]),
-            [[jnp.where(bt, state[2][s][c], best[2][s][c])
-              for c in range(4)] for s in range(n_sub)],
-            [[jnp.where(bt, state[3][s][c], best[3][s][c])
-              for c in range(4)] for s in range(n_sub)],
-            [jnp.where(bt, state[4][s], best[4][s]) for s in range(n_sub)],
-            [jnp.where(bt, state[5][s], best[5][s]) for s in range(n_sub)],
-            jnp.where(bt16, state[6], best[6]),
-            jnp.where(bt, state[7], best[7]),
-            jnp.where(bt, state[8], best[8]),
-        )
+        best = _k_fold_state(
+            best, (total_err, s_blk, q0s, q1s, p0s, p1s, idx_full, pp, pa),
+            n_sub)
+    return _k_winner_emit(mode_id, best)
+
+
+def _k_winner_emit(mode_id: int, best):
+    """Anchor-swap and emit a partition mode's fold winner."""
+    parts = _BC7_FULL_STATICS[mode_id][0]
+    iprec = _BC7_FULL_STATICS[mode_id][5]
+    n_sub = parts + 1
+    msb, maxi = 1 << (iprec - 1), (1 << iprec) - 1
 
     err, s_blk, q0s, q1s, p0s, p1s, idx_full, pp, pa = best
     # anchor swaps on the winner only (AssignIndices, BC6HBC7.cpp:3181-3194)
@@ -1356,26 +1526,35 @@ def _k_mode45(rot_data, mode_id: int, aw: float = 1.0,
             err = jnp.minimum(err_b, err)
 
             # anchor fixes happen once, on the fold winner, below
-            state = (err,
-                     jnp.full_like(err, rot),
-                     jnp.full_like(err, im),
-                     q0, q1, cidx, aidx)
-            if best is None:
-                best = state
-                continue
-            bt = state[0] < best[0]
-            bt16 = bt[None, :]
-            best = (
-                jnp.where(bt, state[0], best[0]),
-                jnp.where(bt, state[1], best[1]),
-                jnp.where(bt, state[2], best[2]),
-                [jnp.where(bt, state[3][c], best[3][c])
-                 for c in range(4)],
-                [jnp.where(bt, state[4][c], best[4][c])
-                 for c in range(4)],
-                jnp.where(bt16, state[5], best[5]),
-                jnp.where(bt16, state[6], best[6]),
-            )
+            best = _k_fold45(best, (err,
+                                    jnp.full_like(err, rot),
+                                    jnp.full_like(err, im),
+                                    q0, q1, cidx, aidx))
+    return _k_mode45_finish(mode_id, best)
+
+
+def _k_fold45(best, state):
+    """Running-best fold of one (rot, im) candidate's modes-4/5 state
+    (err, rot, im, q0, q1, cidx, aidx)."""
+    if best is None:
+        return state
+    bt = state[0] < best[0]
+    bt16 = bt[None, :]
+    return (
+        jnp.where(bt, state[0], best[0]),
+        jnp.where(bt, state[1], best[1]),
+        jnp.where(bt, state[2], best[2]),
+        [jnp.where(bt, state[3][c], best[3][c]) for c in range(4)],
+        [jnp.where(bt, state[4][c], best[4][c]) for c in range(4)],
+        jnp.where(bt16, state[5], best[5]),
+        jnp.where(bt16, state[6], best[6]),
+    )
+
+
+def _k_mode45_finish(mode_id: int, best):
+    """Anchor-fix and emit a modes-4/5 fold winner."""
+    prec1 = _BC7_FULL_STATICS[mode_id][5]
+    prec2 = _BC7_FULL_STATICS[mode_id][6]
     err, rot_d, im_d, q0, q1, cidx, aidx = best
     # independent anchor fixes on the winner (BC6HBC7.cpp:3196-3216).
     # int broadcasts + full-shape compares: mosaic can't broadcast i1
@@ -1400,6 +1579,88 @@ def _k_mode45(rot_data, mode_id: int, aw: float = 1.0,
     words = _k_emit(mode_id, err, 0, rot_i, im_i, [q0s], [q1s],
                     [zero], [zero], w1, w2, None, None)
     return err, words
+
+
+def _k_float_snap_dist(d0, e, p64, prec: int):
+    """Snap projections to palette weights + LINEAR float-palette
+    distance (no >>6 floor): the precision-free scorer of the shared
+    fit trajectories (twin: bc67._float_assign_ch_t). Returns (idx f32,
+    dist f32)."""
+    K = 1 << prec
+    kf = jnp.clip(jnp.round(p64 * ((K - 1) / 64.0)), 0.0, K - 1.0)
+    wk = _pal_weight_f(kf, K)
+    wkp = _pal_weight_f(jnp.minimum(kf + 1.0, K - 1.0), K)
+    wkm = _pal_weight_f(jnp.maximum(kf - 1.0, 0.0), K)
+    up = (kf < K - 1) & (2.0 * p64 > wk + wkp)
+    dn = (kf > 0) & (2.0 * p64 < wk + wkm)
+    idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    wkf = _pal_weight_f(idx, K) * jnp.float32(1 / 64)
+    dist = jnp.zeros_like(p64)
+    for d, ee in zip(d0, e):
+        r = d - wkf * ee[None, :]
+        dist = dist + r * r
+    return idx, dist
+
+
+def _k_modes45_shared(rot_data, aw: float = 1.0, rots=(0, 1, 2, 3),
+                      rounds: int | None = None):
+    """Shared-fit evaluation of modes 4/5 at index-mode 0 (r5, twin:
+    bc67._try_modes45_shared): per rotation, ONE float trajectory —
+    color at the common 2-bit index width, alpha at mode 4's 3-bit
+    width — steers both modes' endpoint fits; each mode quantizes +
+    rescores exactly once. Returns {mode_id: (err, words)}."""
+    from . import bc67 as _bc67
+
+    if rounds is None:
+        rounds = _bc67.BC7_SHARED45_ROUNDS
+    best = {4: None, 5: None}
+    for rot in rots:
+        xf, e0, e1 = rot_data[rot]
+        alpha_ch = 3 if rot == 0 else rot - 1
+
+        # float trajectory (color K=4, alpha K=8)
+        def fpal(e0l, e1l):
+            projc = _proj_p64(xf, e0l, e1l, 0, 3)
+            proja = _proj_p64(xf, e0l, e1l, 3, 4)
+            cidx, cdist = _k_float_snap_dist(projc[0], projc[1],
+                                             projc[2], 2)
+            aidx, adist = _k_float_snap_dist(proja[0], proja[1],
+                                             proja[2], 3)
+            return (cidx, jnp.sum(cdist, axis=0),
+                    aidx, jnp.sum(adist, axis=0))
+
+        cidx, cerr0, aidx, aerr0 = fpal(e0, e1)
+        e0c, e1c = list(e0), list(e1)
+        cerr_b, aerr_b = cerr0, aerr0
+        for _ in range(rounds):
+            e0c, e1c = _k_refit(xf, cidx, None, 2, e0c, e1c, 0, 3)
+            e0c, e1c = _k_refit(xf, aidx, None, 3, e0c, e1c, 3, 4)
+            cidx, cerr_b, aidx, aerr_b = fpal(e0c, e1c)
+        bc_ = cerr_b < cerr0
+        ba_ = aerr_b < aerr0
+        e0s = [jnp.where(bc_, e0c[c], e0[c]) for c in range(3)] \
+            + [jnp.where(ba_, e0c[3], e0[3])]
+        e1s = [jnp.where(bc_, e1c[c], e1[c]) for c in range(3)] \
+            + [jnp.where(ba_, e1c[3], e1[3])]
+
+        for mode_id in (4, 5):
+            (_, _, _, _, _, prec1, prec2, rgba_prec,
+             rgba_prec_p) = _BC7_FULL_STATICS[mode_id]
+            q0l, q1l, _, _, u0l, u1l = _k_quant_endpoints(
+                e0s, e1s, rgba_prec, rgba_prec_p, False)
+            projc = _proj_p64(xf, u0l, u1l, 0, 3)
+            proja = _proj_p64(xf, u0l, u1l, 3, 4)
+            cidx_e, cdist = _snap_dist(*projc, prec1, 0,
+                                       aw=aw, alpha_ch=alpha_ch)
+            aidx_e, adist = _snap_dist(*proja, prec2, 3,
+                                       aw=aw, alpha_ch=alpha_ch)
+            err = jnp.sum(cdist, axis=0) + jnp.sum(adist, axis=0)
+            best[mode_id] = _k_fold45(
+                best[mode_id], (err,
+                                jnp.full_like(err, rot),
+                                jnp.zeros_like(err),
+                                q0l, q1l, cidx_e, aidx_e))
+    return {m: _k_mode45_finish(m, best[m]) for m in (4, 5)}
 
 
 def _single_modes_kernel(px_ref, e4_ref, w4_ref, e5_ref, w5_ref,
@@ -1601,7 +1862,8 @@ def partition_shapes_pallas(px_i: jnp.ndarray, partitions: int,
 
 def _bc7_all_kernel(px_ref, m_ref, *refs, modes: tuple,
                     n_cand: int, aw: float = 1.0,
-                    rots=(0, 1, 2, 3), m4_ims=(0, 1), ladder=None):
+                    rots=(0, 1, 2, 3), m4_ims=(0, 1), ladder=None,
+                    share2sub: bool = False, share45: bool = False):
     """The whole BC7 encode in one dispatch: shape ranking, every mode's
     candidate evaluation, anchor swaps, emit, and the cross-mode fold all
     happen in VMEM — HBM sees the pixel planes in and one (err, words)
@@ -1650,7 +1912,14 @@ def _bc7_all_kernel(px_ref, m_ref, *refs, modes: tuple,
         if 7 in part_modes:
             ax_a = [_k_axis_multi(xf, masks, True)
                     for (_, _, _, masks) in cands]
-        for m in part_modes:
+        rest = list(part_modes)
+        if share2sub and 1 in part_modes and 3 in part_modes:
+            # r5 shared-fit: one float trajectory per candidate serves
+            # both modes 1 and 3 (bc67.BC7_SHARED2SUB)
+            results.update(_k_partition_fold_multi(xf, cands, (1, 3),
+                                                   ax_na, aw=aw))
+            rest = [m for m in part_modes if m not in (1, 3)]
+        for m in rest:
             results[m] = _k_partition_fold(xf, cands, m,
                                            ax_a if m == 7 else ax_na,
                                            aw=aw)
@@ -1664,10 +1933,16 @@ def _bc7_all_kernel(px_ref, m_ref, *refs, modes: tuple,
         results[6] = _k_mode6(xf, aw=aw)
     if 4 in modes or 5 in modes:
         rot_data = _k_rot_data(xf, rots)
-        for m in (4, 5):
-            if m in modes:
-                results[m] = _k_mode45(rot_data, m, aw=aw, rots=rots,
-                                       ims=m4_ims)
+        if (share45 and 4 in modes and 5 in modes
+                and tuple(m4_ims) == (0,)):
+            # r5 shared-fit rotation family: one float trajectory per
+            # rotation serves both modes (bc67.BC7_SHARED45)
+            results.update(_k_modes45_shared(rot_data, aw=aw, rots=rots))
+        else:
+            for m in (4, 5):
+                if m in modes:
+                    results[m] = _k_mode45(rot_data, m, aw=aw, rots=rots,
+                                           ims=m4_ims)
 
     best_e, best_w = None, None
     for m in modes:
@@ -1714,12 +1989,15 @@ _BC7_ALL_TILE = 256
 
 @functools.partial(jax.jit, static_argnames=("modes", "n_cand",
                                               "interpret", "tile", "aw",
-                                              "rots", "m4_ims", "ladder"))
+                                              "rots", "m4_ims", "ladder",
+                                              "share2sub", "share45"))
 def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
                       interpret: bool = False, tile: int = _BC7_ALL_TILE,
                       aw: float = 1.0, rots: tuple = (0, 1, 2, 3),
                       m4_ims: tuple | None = None,
-                      ladder: tuple | None = None):
+                      ladder: tuple | None = None,
+                      share2sub: bool | None = None,
+                      share45: bool | None = None):
     """Full BC7 search as ONE pallas dispatch over modes ⊆ {0..7}
     folded in `modes` order (mode-7 errors are inf-masked for opaque
     blocks in-kernel; modes 0/2 ride a second 3-subset mask matrix).
@@ -1738,6 +2016,12 @@ def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
 
     if m4_ims is None:
         m4_ims = _MODE4_IMS
+    if share2sub is None or share45 is None:
+        from . import bc67 as _bc67
+        if share2sub is None:
+            share2sub = _bc67.BC7_SHARED2SUB
+        if share45 is None:
+            share45 = _bc67.BC7_SHARED45
     nb = px_i.shape[2]
     nb_pad = -(-nb // tile) * tile
     pad = nb_pad - nb
@@ -1761,7 +2045,8 @@ def bc7_encode_pallas(px_i: jnp.ndarray, modes: tuple, n_cand: int = 4,
 
     err8, words = pl.pallas_call(
         functools.partial(_bc7_all_kernel, modes=modes, n_cand=n_cand,
-                          aw=aw, rots=rots, m4_ims=m4_ims, ladder=ladder),
+                          aw=aw, rots=rots, m4_ims=m4_ims, ladder=ladder,
+                          share2sub=share2sub, share45=share45),
         grid=(nb_pad // tile,),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((8, tile), lambda i: (0, i)),

@@ -31,7 +31,8 @@ def _bc_flags(compress_flags: TC) -> int:
     """GetBCFlags (DirectXTexCompress.cpp:26): pass-through of the dither/
     uniform/BC7 mode bits (values are kept identical across enums)."""
     mask = (TC.RGB_DITHER | TC.A_DITHER | TC.DITHER | TC.UNIFORM
-            | TC.BC7_USE_3SUBSETS | TC.BC7_QUICK | TC.BC7_MAXQUALITY)
+            | TC.BC7_USE_3SUBSETS | TC.BC7_QUICK | TC.BC7_MAXQUALITY
+            | TC.BC6H_MID)
     return int(compress_flags & mask)
 
 

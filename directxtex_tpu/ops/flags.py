@@ -85,6 +85,10 @@ class TEX_COMPRESS_FLAGS(enum.IntFlag):
     # the reference CPU codec's OptimizeEndPoints hill climb,
     # BC6HBC7.cpp:2926-3044); the default tier already runs one pass
     BC7_MAXQUALITY = 0x200000
+    # extension (r5): BC6H mid quality tier — default search + one
+    # remap-ladder round on the winner (between default and MAXQUALITY
+    # on the quality/cost frontier; BC6HBC7.cpp:2081-2226 analog)
+    BC6H_MID = 0x400000
     SRGB_IN = 0x1000000
     SRGB_OUT = 0x2000000
     SRGB = 0x3000000

@@ -74,7 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="normal map amplitude")
     p.add_argument("-bc", "--block-compress", dest="bc", default="", metavar="FLAGS",
                    help="BC flags: d=dither, u=uniform, q=quick, "
-                        "x=3subsets, m=max quality (endpoint ladder)")
+                        "x=3subsets, m=max quality (endpoint ladder), "
+                        "b=BC6H mid quality tier")
     p.add_argument("-at", "--alpha-threshold", type=float, default=0.5,
                    help="BC1 alpha threshold")
     p.add_argument("-aw", "--alpha-weight", type=float, default=1.0,
@@ -443,6 +444,8 @@ def process_file(path: str, args, log=print, defer_compress=None):
             cflags |= TC.BC7_USE_3SUBSETS
         if "m" in args.bc:
             cflags |= TC.BC7_MAXQUALITY
+        if "b" in args.bc:
+            cflags |= TC.BC6H_MID
         if defer_compress is not None:
             # multi-file batching (SURVEY §2.4): the expensive encode is
             # deferred so main() can fuse every same-(format, flags) file

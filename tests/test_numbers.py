@@ -32,10 +32,13 @@ def test_bc7_headlines_quoted_consistently():
 def test_bc6h_headlines_quoted_consistently():
     numbers, readme, baseline = _load()
     default = f"{numbers['bc6h_default_mt_s']:.1f}"
+    mid = f"{numbers['bc6h_mid_mt_s']:.1f}"
     maxq = f"{numbers['bc6h_maxq_mt_s']:.1f}"
     for doc, name in ((readme, "README.md"), (baseline, "BASELINE.md")):
         assert f"{default} M" in doc, \
             f"{name} does not quote the BC6H default tier {default} M"
+        assert f"{mid} M" in doc, \
+            f"{name} does not quote the BC6H mid tier {mid} M"
         assert f"{maxq} M" in doc, \
             f"{name} does not quote the BC6H maxq tier {maxq} M"
 

@@ -243,10 +243,14 @@ def test_bc7_single_dispatch_3subset_matches_jnp():
         np.testing.assert_allclose(mse_p, mse_r, rtol=2e-2, atol=4.0)
 
 
-@pytest.mark.parametrize("opaque", [False, True])
-def test_bc7_single_dispatch_matches_jnp(opaque):
+@pytest.mark.parametrize("opaque,share2sub", [(False, True), (True, True),
+                                              (True, False)])
+def test_bc7_single_dispatch_matches_jnp(opaque, share2sub):
     """bc7_encode_pallas (one-dispatch full encode) vs the full jnp
-    encode_bc7 path at identical settings."""
+    encode_bc7 path at identical settings. Parametrized over the r5
+    shared-fit lever (BC7_SHARED2SUB) so both the shared 2-subset
+    trajectory and the independent per-mode evaluation stay
+    twin-covered."""
     from directxtex_tpu.bc.pallas_kernels import (bc7_encode_pallas,
                                                   bc7_refine_pallas)
 
@@ -254,9 +258,15 @@ def test_bc7_single_dispatch_matches_jnp(opaque):
     nb = px_i.shape[2]
     blocks = jnp.transpose(px_i, (2, 0, 1)).astype(jnp.float32) / 255.0
 
-    ref = np.asarray(bc67.encode_bc7(blocks, opaque=opaque))
+    prev = bc67.BC7_SHARED2SUB
+    try:
+        bc67.BC7_SHARED2SUB = share2sub
+        ref = np.asarray(bc67.encode_bc7(blocks, opaque=opaque))
+    finally:
+        bc67.BC7_SHARED2SUB = prev
     modes = (1, 3, 5, 6, 4) if opaque else (1, 3, 5, 6, 7, 4)
-    err_p, words_p = bc7_encode_pallas(px_i, modes, interpret=True)
+    err_p, words_p = bc7_encode_pallas(px_i, modes, interpret=True,
+                                       share2sub=share2sub)
     # default tier: MOMENT ladder, refine scope skips mode 6 (encode_bc7)
     words_p = bc7_refine_pallas(px_i, words_p, bc67.LADDER_MOMENT,
                                 modes=tuple(m for m in modes if m != 6),
@@ -460,15 +470,17 @@ def test_bc6h_single_dispatch_matches_jnp(signed):
         np.testing.assert_allclose(mse_p, mse_r, rtol=5e-2, atol=1e-4)
 
 
-@pytest.mark.parametrize("signed", [False, True])
-def test_bc6h_refine_pallas_matches_jnp(signed):
+@pytest.mark.parametrize("signed,tier", [(False, "light"), (True, "light"),
+                                         (False, "mid"), (True, "mid")])
+def test_bc6h_refine_pallas_matches_jnp(signed, tier):
     """bc6h_refine_pallas (winner-ladder dispatch) vs the jnp twin
     refine_bc6h_words on mixed 1-/2-region winner words (the maxq path,
-    OptimizeEndPoints/PerturbOne analog BC6HBC7.cpp:2081-2226)."""
+    OptimizeEndPoints/PerturbOne analog BC6HBC7.cpp:2081-2226).
+    tier="mid" covers the r5 BC6H_LADDER_MID production config."""
     from directxtex_tpu.bc.pallas_kernels import bc6h_refine_pallas
     from directxtex_tpu.bc.bc67 import (
-        BC6H_LADDER_LIGHT, BC6H_LADDER_MAXQ, _f16_to_int,
-        refine_bc6h_words)
+        BC6H_LADDER_LIGHT, BC6H_LADDER_MAXQ, BC6H_LADDER_MID,
+        _f16_to_int, refine_bc6h_words)
     from jax import lax
 
     rng = np.random.default_rng(23)
@@ -486,7 +498,9 @@ def test_bc6h_refine_pallas_matches_jnp(signed):
         words8.reshape(nb, 4, 4), jnp.uint32)
     px_int = _f16_to_int(jnp.asarray(np.transpose(rgb, (1, 2, 0))), signed)
 
-    if os.environ.get("DXT_HEAVY_TESTS"):
+    if tier == "mid":
+        ladder, cross2 = BC6H_LADDER_MID, False   # the r5 mid tier
+    elif os.environ.get("DXT_HEAVY_TESTS"):
         ladder, cross2 = BC6H_LADDER_MAXQ, True   # the real maxq config
     else:
         ladder, cross2 = BC6H_LADDER_LIGHT, False  # CPU-compilable slice

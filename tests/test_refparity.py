@@ -121,20 +121,21 @@ ENCODERS = [
      lambda b: bc45.encode_bc4u(b), 1, -0.02),
     ("bc5_normal", refcodec.BC5U, "normal",
      lambda b: bc45.encode_bc5u(b), 2, -0.02),
-    # r4: the DEFAULT tier (off-axis shape ranking, power=3, mode-4
-    # im0-only search + MOMENT winner-ladder, refine scope no-6) beats
-    # the reference full search on EVERY corpus content (measured
-    # deltas: +0.081 / +0.363 / +2.990 / +0.404 / +0.089 / +0.088 —
-    # benchmarks/quality_moment.py; floors = measured minus a small
-    # guard)
+    # r5: the DEFAULT tier (off-axis shape ranking, power=3, shared
+    # fit trajectories for modes 1/3 AND 4/5, mode-4 im0-only search +
+    # MOMENT winner-ladder, refine scope no-6) beats the reference full
+    # search on EVERY corpus content (measured deltas: +0.064 / +0.307 /
+    # +2.723 / +0.352 / +0.131 / +0.118 —
+    # benchmarks/quality_shared13.py + the shared45 sweep; floors =
+    # measured minus a small guard)
     ("bc7_albedo", refcodec.BC7, "albedo",
-     lambda b: bc67.encode_bc7(b), 4, 0.06),
+     lambda b: bc67.encode_bc7(b), 4, 0.04),
     ("bc7_tworegion", refcodec.BC7, "tworegion",
-     lambda b: bc67.encode_bc7(b), 4, 0.34),
+     lambda b: bc67.encode_bc7(b), 4, 0.28),
     ("bc7_normal", refcodec.BC7, "normal",
-     lambda b: bc67.encode_bc7(b), 4, 2.95),
+     lambda b: bc67.encode_bc7(b), 4, 2.65),
     ("bc7_alphagrad", refcodec.BC7, "alphagrad",
-     lambda b: bc67.encode_bc7(b), 4, 0.38),
+     lambda b: bc67.encode_bc7(b), 4, 0.32),
     # real photographic content (128², sklearn sample images; r3)
     ("bc1_photo_china", refcodec.BC1, "photo_china",
      lambda b: bc123.encode_bc1(b, 0.5, 0), 3, -0.03),
@@ -188,30 +189,36 @@ def test_encode_psnr_vs_reference(name, codec, content, ours, ch,
 # small guard. The hdr_signed content is what exposed the LS magnitude
 # blow-up (see bc67.BC6H_LS_MAG_CAP: -13.4 dB before the cap).
 BC6H_GATES = [
-    # (content, signed, maxq, min dB delta; measured r4)
-    ("hdr",        False, False, 0.0),    # +0.018 (thin; the r2-r3 gate)
-    ("hdr",        False, True,  0.05),   # +0.105
-    ("hdr_china",  False, False, 0.40),   # +0.460
-    ("hdr_china",  False, True,  0.48),   # +0.546
-    ("hdr_flower", False, False, 0.90),   # +0.997
-    ("hdr_flower", False, True,  1.10),   # +1.212
-    ("hdr_sun",    False, False, 2.70),   # +2.839
-    ("hdr_sun",    False, True,  2.50),   # +2.632
-    ("hdr_signed", True,  False, 3.30),   # +3.483
-    ("hdr_signed", True,  True,  3.40),   # +3.651
+    # (content, signed, tier, min dB delta; measured r4, mid tier r5)
+    ("hdr",        False, "",     0.0),    # +0.018 (thin; the r2-r3 gate)
+    ("hdr",        False, "mid",  0.04),   # +0.067
+    ("hdr",        False, "maxq", 0.05),   # +0.105
+    ("hdr_china",  False, "",     0.40),   # +0.460
+    ("hdr_china",  False, "mid",  0.45),   # +0.500
+    ("hdr_china",  False, "maxq", 0.48),   # +0.546
+    ("hdr_flower", False, "",     0.90),   # +0.997
+    ("hdr_flower", False, "mid",  1.10),   # +1.172
+    ("hdr_flower", False, "maxq", 1.10),   # +1.212
+    ("hdr_sun",    False, "",     2.70),   # +2.839
+    ("hdr_sun",    False, "mid",  2.45),   # +2.575 (like maxq: the int
+    ("hdr_sun",    False, "maxq", 2.50),   # +2.632  metric vs PSNR gap)
+    ("hdr_signed", True,  "",     3.30),   # +3.483
+    ("hdr_signed", True,  "mid",  3.50),   # +3.641
+    ("hdr_signed", True,  "maxq", 3.40),   # +3.651
 ]
 
 
 @pytest.mark.parametrize(
-    "content,signed,maxq,min_delta", BC6H_GATES,
-    ids=[f"{c}{'-maxq' if m else ''}" for c, _, m, _ in BC6H_GATES])
-def test_bc6h_encode_psnr_vs_reference(content, signed, maxq, min_delta):
+    "content,signed,tier,min_delta", BC6H_GATES,
+    ids=[f"{c}{'-' + t if t else ''}" for c, _, t, _ in BC6H_GATES])
+def test_bc6h_encode_psnr_vs_reference(content, signed, tier, min_delta):
     corpus = np.load(os.path.join(GOLDEN, "corpus.npz"))
     img = corpus[content]
     blocks = np.asarray(image_to_blocks(jnp.asarray(img))[0])
     codec = refcodec.BC6HS if signed else refcodec.BC6HU
     ref_bc = refcodec.encode(codec, blocks)
-    flags = bc67._BC7_MAXQUALITY if maxq else 0
+    flags = {"": 0, "mid": bc67._BC6H_MID,
+             "maxq": bc67._BC7_MAXQUALITY}[tier]
     our_bc = np.asarray(bc67.encode_bc6h(
         jnp.asarray(blocks), signed=signed, flags=flags)).reshape(-1, 16)
     peak = float(np.abs(img[..., :3]).max())
