@@ -989,10 +989,19 @@ def _eval_subset_candidate(px_i, px_f, mask_list, anchors, mode_id,
 BC7_SHARED2SUB = True
 BC7_SHARED2SUB_IPREC = 3
 BC7_SHARED2SUB_ROUNDS = 1
+# Float keep-better in the shared trajectories (compare the refit
+# result's float score against the axis init and keep the better —
+# the BC6H shared-fit guard). Measured OFF for BC7 (r5): the refit
+# never loses on LDR content — every corpus delta is IDENTICAL with
+# the guard removed — so the float dist/score passes are pure
+# overhead. The det-ok fallback inside the refit still guards the
+# singular case.
+BC7_SHARED_KEEPBETTER = False
 
 
 def _float_assign_ch_t(px_f, mask, e0, e1, iprec: int,
-                       ch_start: int = 0, ch_end: int = 3):
+                       ch_start: int = 0, ch_end: int = 3,
+                       score: bool = True):
     """Float-endpoint palette assignment + SSE over a channel range: the
     precision-free scorer for the shared fit trajectories (the BC7
     analog of _bc6h_palette_err_f). Same projection/snap geometry as
@@ -1021,6 +1030,10 @@ def _float_assign_ch_t(px_f, mask, e0, e1, iprec: int,
     up = (kf < K - 1) & (2.0 * p64 > wk + wkp)
     dn = (kf > 0) & (2.0 * p64 < wk + wkm)
     idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    if not score:
+        # idx-only trajectory step (BC7_SHARED_KEEPBETTER off): the
+        # scoring exists only for the keep-better guard
+        return idx, None
     wkf = _pal_weight_f(idx, K) * jnp.float32(1 / 64)
     dist = jnp.zeros_like(dot)
     # (px - e0) - wkf*e, NOT px - (e0 + wkf*e): matches the kernel twins'
@@ -1033,9 +1046,11 @@ def _float_assign_ch_t(px_f, mask, e0, e1, iprec: int,
     return idx, err
 
 
-def _float_assign_rgb_t(px_f, mask, e0, e1, iprec: int):
+def _float_assign_rgb_t(px_f, mask, e0, e1, iprec: int,
+                        score: bool = True):
     """Channels [0, 3) of _float_assign_ch_t (the 2-subset family)."""
-    return _float_assign_ch_t(px_f, mask, e0, e1, iprec, 0, 3)
+    return _float_assign_ch_t(px_f, mask, e0, e1, iprec, 0, 3,
+                              score=score)
 
 
 def _ls_refit_f_t(px_f, idx_f, mask, iprec: int, e0, e1,
@@ -1082,21 +1097,32 @@ def _eval_2sub_shared(px_i, px_f, mask_list, anchors, mode_ids,
     nb = px_i.shape[2]
     iprec_s = BC7_SHARED2SUB_IPREC
 
-    # precision-free trajectory per subset (BC6H_SHARED_FIT pattern)
+    # precision-free trajectory per subset (BC6H_SHARED_FIT pattern);
+    # keep-better measured quality-neutral OFF for BC7 (see
+    # BC7_SHARED_KEEPBETTER) — the scoring passes are skipped then
+    kb = BC7_SHARED_KEEPBETTER
     shared = []
     for mask in mask_list:
         e0f, e1f = _minmax_axis_endpoints_t(px_f, mask, with_alpha=False)
-        idx_b, err0 = _float_assign_rgb_t(px_f, mask, e0f, e1f, iprec_s)
+        idx_b, err0 = _float_assign_rgb_t(px_f, mask, e0f, e1f, iprec_s,
+                                          score=kb)
         e0c, e1c = e0f, e1f
         err_b = err0
-        for _ in range(BC7_SHARED2SUB_ROUNDS):
+        for r in range(BC7_SHARED2SUB_ROUNDS):
             e0c, e1c = _ls_refit_f_rgb_t(px_f, idx_b, mask, iprec_s,
                                          e0c, e1c)
-            idx_b, err_b = _float_assign_rgb_t(px_f, mask, e0c, e1c,
-                                               iprec_s)
-        better = err_b < err0
-        shared.append((jnp.where(better[None, :], e0c, e0f),
-                       jnp.where(better[None, :], e1c, e1f)))
+            last = r == BC7_SHARED2SUB_ROUNDS - 1
+            if kb or not last:
+                # the post-refit assignment only feeds the next round's
+                # refit or the keep-better score
+                idx_b, err_b = _float_assign_rgb_t(px_f, mask, e0c, e1c,
+                                                   iprec_s, score=kb)
+        if kb:
+            better = err_b < err0
+            shared.append((jnp.where(better[None, :], e0c, e0f),
+                           jnp.where(better[None, :], e1c, e1f)))
+        else:
+            shared.append((e0c, e1c))
 
     out = {}
     for mode_id in mode_ids:
@@ -1503,26 +1529,37 @@ def _try_modes45_shared(px_i, px_f, aw: float = 1.0):
         e1f = e1f.at[3].set(jnp.max(pr_f[:, 3, :], axis=0))
 
         # float trajectory: color channels at the common 2-bit index
-        # width, alpha at mode 4's 3-bit width
-        cidx, cerr0 = _float_assign_ch_t(pr_f, mask, e0f, e1f, 2, 0, 3)
-        aidx, aerr0 = _float_assign_ch_t(pr_f, mask, e0f, e1f, 3, 3, 4)
+        # width, alpha at mode 4's 3-bit width; keep-better measured
+        # quality-neutral OFF (BC7_SHARED_KEEPBETTER)
+        kb = BC7_SHARED_KEEPBETTER
+        cidx, cerr0 = _float_assign_ch_t(pr_f, mask, e0f, e1f, 2, 0, 3,
+                                         score=kb)
+        aidx, aerr0 = _float_assign_ch_t(pr_f, mask, e0f, e1f, 3, 3, 4,
+                                         score=kb)
         e0c, e1c = e0f, e1f
         cerr_b, aerr_b = cerr0, aerr0
-        for _ in range(BC7_SHARED45_ROUNDS):
+        for r in range(BC7_SHARED45_ROUNDS):
             e0c, e1c = _ls_refit_f_t(pr_f, cidx, mask, 2, e0c, e1c, 0, 3)
             e0c, e1c = _ls_refit_f_t(pr_f, aidx, mask, 3, e0c, e1c, 3, 4)
-            cidx, cerr_b = _float_assign_ch_t(pr_f, mask, e0c, e1c,
-                                              2, 0, 3)
-            aidx, aerr_b = _float_assign_ch_t(pr_f, mask, e0c, e1c,
-                                              3, 3, 4)
-        # keep-better per index set (the color and alpha fits are
-        # independent: separate palettes, separate refits)
-        bc_ = cerr_b < cerr0
-        ba_ = aerr_b < aerr0
-        e0s = jnp.stack([jnp.where(bc_, e0c[c], e0f[c]) for c in range(3)]
-                        + [jnp.where(ba_, e0c[3], e0f[3])])
-        e1s = jnp.stack([jnp.where(bc_, e1c[c], e1f[c]) for c in range(3)]
-                        + [jnp.where(ba_, e1c[3], e1f[3])])
+            last = r == BC7_SHARED45_ROUNDS - 1
+            if kb or not last:
+                cidx, cerr_b = _float_assign_ch_t(pr_f, mask, e0c, e1c,
+                                                  2, 0, 3, score=kb)
+                aidx, aerr_b = _float_assign_ch_t(pr_f, mask, e0c, e1c,
+                                                  3, 3, 4, score=kb)
+        if kb:
+            # keep-better per index set (the color and alpha fits are
+            # independent: separate palettes, separate refits)
+            bc_ = cerr_b < cerr0
+            ba_ = aerr_b < aerr0
+            e0s = jnp.stack(
+                [jnp.where(bc_, e0c[c], e0f[c]) for c in range(3)]
+                + [jnp.where(ba_, e0c[3], e0f[3])])
+            e1s = jnp.stack(
+                [jnp.where(bc_, e1c[c], e1f[c]) for c in range(3)]
+                + [jnp.where(ba_, e1c[3], e1f[3])])
+        else:
+            e0s, e1s = e0c, e1c
 
         for mode_id in (4, 5):
             m = _BC7_MODES[mode_id]

@@ -1119,12 +1119,14 @@ def _k_eval_subsets(xf, masks, mode_id: int, axes=None,
     return q0s, q1s, p0s, p1s, idx_full, errs
 
 
-def _k_float_assign_rgb(xf, u0px, e_px, span_px, iprec: int):
+def _k_float_assign_rgb(xf, u0px, e_px, span_px, iprec: int,
+                        score: bool = True):
     """Float-endpoint RGB palette assignment + SSE on per-pixel endpoint
     planes: the precision-free scorer of the 2-subset shared fit (twin:
     bc67._float_assign_rgb_t). Linear (floor-less) palette — steers the
-    trajectory only; every mode rescores exactly. Returns (idx [16, T]
-    f32, dist [16, T] f32)."""
+    trajectory only; every mode rescores exactly. score=False skips the
+    distance planes (keep-better off, bc67.BC7_SHARED_KEEPBETTER).
+    Returns (idx [16, T] f32, dist [16, T] f32 or None)."""
     K = 1 << iprec
     d0 = [xf[c] - u0px[c] for c in range(3)]
     dot = sum((d * e_px[c] for c, d in enumerate(d0)),
@@ -1138,6 +1140,8 @@ def _k_float_assign_rgb(xf, u0px, e_px, span_px, iprec: int):
     up = (kf < K - 1) & (2.0 * p64 > wk + wkp)
     dn = (kf > 0) & (2.0 * p64 < wk + wkm)
     idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    if not score:
+        return idx, None
     wkf = _pal_weight_f(idx, K) * jnp.float32(1 / 64)
     dist = jnp.zeros_like(dot)
     for c, d in enumerate(d0):
@@ -1172,7 +1176,10 @@ def _k_eval_2sub_shared(xf, masks, mode_ids, axes=None, aw: float = 1.0,
     def sel(vals):
         return _k_sel_px(masks, vals)
 
-    def fpal(e0_s, e1_s):
+    from . import bc67 as _bc67_kb
+    kb = _bc67_kb.BC7_SHARED_KEEPBETTER
+
+    def fpal(e0_s, e1_s, score):
         # per-pixel planes from per-subset FLOAT endpoint rows (RGB)
         u0px = [sel([e0_s[p][c] for p in range(n_sub)]) for c in range(3)]
         e_s = [[e1_s[p][c] - e0_s[p][c] for c in range(3)]
@@ -1181,15 +1188,18 @@ def _k_eval_2sub_shared(xf, masks, mode_ids, axes=None, aw: float = 1.0,
                   for p in range(n_sub)]
         e_px = [sel([e_s[p][c] for p in range(n_sub)]) for c in range(3)]
         span_px = sel(span_s)
-        idx, dist = _k_float_assign_rgb(xf, u0px, e_px, span_px, iprec_s)
+        idx, dist = _k_float_assign_rgb(xf, u0px, e_px, span_px, iprec_s,
+                                        score=score)
+        if dist is None:
+            return idx, None
         return idx, [msum(dist, p) for p in range(n_sub)]
 
     e0_s, e1_s = _k_axis_multi(xf, masks, False) if axes is None else axes
-    idx_b, errs0 = fpal(e0_s, e1_s)
+    idx_b, errs0 = fpal(e0_s, e1_s, kb)
     e0c_s = [list(e0_s[p]) for p in range(n_sub)]
     e1c_s = [list(e1_s[p]) for p in range(n_sub)]
     errs_b = errs0
-    for _ in range(rounds):
+    for r in range(rounds):
         # fused LS refit (RGB): weight planes shared, moments masked
         x = _pal_weight_f(idx_b, 1 << iprec_s) * jnp.float32(1 / 64)
         av = 1.0 - x
@@ -1211,15 +1221,20 @@ def _k_eval_2sub_shared(xf, masks, mode_ids, axes=None, aw: float = 1.0,
                 n1 = jnp.clip((A * r1 - B * r0) * inv, 0.0, 255.0)
                 e0c_s[p][c] = jnp.where(ok, n0, e0c_s[p][c])
                 e1c_s[p][c] = jnp.where(ok, n1, e1c_s[p][c])
-        idx_b, errs_b = fpal(e0c_s, e1c_s)
+        if kb or r < rounds - 1:
+            idx_b, errs_b = fpal(e0c_s, e1c_s, kb)
 
     e0f_s, e1f_s = [], []
     for p in range(n_sub):
-        better = errs_b[p] < errs0[p]
-        e0f_s.append([jnp.where(better, e0c_s[p][c], e0_s[p][c])
-                      for c in range(4)])
-        e1f_s.append([jnp.where(better, e1c_s[p][c], e1_s[p][c])
-                      for c in range(4)])
+        if kb:
+            better = errs_b[p] < errs0[p]
+            e0f_s.append([jnp.where(better, e0c_s[p][c], e0_s[p][c])
+                          for c in range(4)])
+            e1f_s.append([jnp.where(better, e1c_s[p][c], e1_s[p][c])
+                          for c in range(4)])
+        else:
+            e0f_s.append(list(e0c_s[p]))
+            e1f_s.append(list(e1c_s[p]))
 
     # per-mode: quantize the shared endpoints, ONE exact rescore
     out = {}
@@ -1581,11 +1596,12 @@ def _k_mode45_finish(mode_id: int, best):
     return err, words
 
 
-def _k_float_snap_dist(d0, e, p64, prec: int):
+def _k_float_snap_dist(d0, e, p64, prec: int, score: bool = True):
     """Snap projections to palette weights + LINEAR float-palette
     distance (no >>6 floor): the precision-free scorer of the shared
-    fit trajectories (twin: bc67._float_assign_ch_t). Returns (idx f32,
-    dist f32)."""
+    fit trajectories (twin: bc67._float_assign_ch_t). score=False skips
+    the distance planes (keep-better off). Returns (idx f32, dist f32
+    or None)."""
     K = 1 << prec
     kf = jnp.clip(jnp.round(p64 * ((K - 1) / 64.0)), 0.0, K - 1.0)
     wk = _pal_weight_f(kf, K)
@@ -1594,6 +1610,8 @@ def _k_float_snap_dist(d0, e, p64, prec: int):
     up = (kf < K - 1) & (2.0 * p64 > wk + wkp)
     dn = (kf > 0) & (2.0 * p64 < wk + wkm)
     idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    if not score:
+        return idx, None
     wkf = _pal_weight_f(idx, K) * jnp.float32(1 / 64)
     dist = jnp.zeros_like(p64)
     for d, ee in zip(d0, e):
@@ -1613,35 +1631,43 @@ def _k_modes45_shared(rot_data, aw: float = 1.0, rots=(0, 1, 2, 3),
 
     if rounds is None:
         rounds = _bc67.BC7_SHARED45_ROUNDS
+    kb = _bc67.BC7_SHARED_KEEPBETTER
     best = {4: None, 5: None}
     for rot in rots:
         xf, e0, e1 = rot_data[rot]
         alpha_ch = 3 if rot == 0 else rot - 1
 
-        # float trajectory (color K=4, alpha K=8)
-        def fpal(e0l, e1l):
+        # float trajectory (color K=4, alpha K=8); keep-better measured
+        # quality-neutral OFF (bc67.BC7_SHARED_KEEPBETTER)
+        def fpal(e0l, e1l, score):
             projc = _proj_p64(xf, e0l, e1l, 0, 3)
             proja = _proj_p64(xf, e0l, e1l, 3, 4)
             cidx, cdist = _k_float_snap_dist(projc[0], projc[1],
-                                             projc[2], 2)
+                                             projc[2], 2, score=score)
             aidx, adist = _k_float_snap_dist(proja[0], proja[1],
-                                             proja[2], 3)
+                                             proja[2], 3, score=score)
+            if not score:
+                return cidx, None, aidx, None
             return (cidx, jnp.sum(cdist, axis=0),
                     aidx, jnp.sum(adist, axis=0))
 
-        cidx, cerr0, aidx, aerr0 = fpal(e0, e1)
+        cidx, cerr0, aidx, aerr0 = fpal(e0, e1, kb)
         e0c, e1c = list(e0), list(e1)
         cerr_b, aerr_b = cerr0, aerr0
-        for _ in range(rounds):
+        for r in range(rounds):
             e0c, e1c = _k_refit(xf, cidx, None, 2, e0c, e1c, 0, 3)
             e0c, e1c = _k_refit(xf, aidx, None, 3, e0c, e1c, 3, 4)
-            cidx, cerr_b, aidx, aerr_b = fpal(e0c, e1c)
-        bc_ = cerr_b < cerr0
-        ba_ = aerr_b < aerr0
-        e0s = [jnp.where(bc_, e0c[c], e0[c]) for c in range(3)] \
-            + [jnp.where(ba_, e0c[3], e0[3])]
-        e1s = [jnp.where(bc_, e1c[c], e1[c]) for c in range(3)] \
-            + [jnp.where(ba_, e1c[3], e1[3])]
+            if kb or r < rounds - 1:
+                cidx, cerr_b, aidx, aerr_b = fpal(e0c, e1c, kb)
+        if kb:
+            bc_ = cerr_b < cerr0
+            ba_ = aerr_b < aerr0
+            e0s = [jnp.where(bc_, e0c[c], e0[c]) for c in range(3)] \
+                + [jnp.where(ba_, e0c[3], e0[3])]
+            e1s = [jnp.where(bc_, e1c[c], e1[c]) for c in range(3)] \
+                + [jnp.where(ba_, e1c[3], e1[3])]
+        else:
+            e0s, e1s = list(e0c), list(e1c)
 
         for mode_id in (4, 5):
             (_, _, _, _, _, prec1, prec2, rgba_prec,

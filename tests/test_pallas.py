@@ -243,14 +243,17 @@ def test_bc7_single_dispatch_3subset_matches_jnp():
         np.testing.assert_allclose(mse_p, mse_r, rtol=2e-2, atol=4.0)
 
 
-@pytest.mark.parametrize("opaque,share2sub", [(False, True), (True, True),
-                                              (True, False)])
-def test_bc7_single_dispatch_matches_jnp(opaque, share2sub):
+@pytest.mark.parametrize("opaque,share2sub,kb",
+                         [(False, True, False), (True, True, False),
+                          (True, False, False), (True, True, True)])
+def test_bc7_single_dispatch_matches_jnp(opaque, share2sub, kb):
     """bc7_encode_pallas (one-dispatch full encode) vs the full jnp
     encode_bc7 path at identical settings. Parametrized over the r5
     shared-fit lever (BC7_SHARED2SUB) so both the shared 2-subset
     trajectory and the independent per-mode evaluation stay
-    twin-covered."""
+    twin-covered, and over BC7_SHARED_KEEPBETTER so the retired float
+    keep-better guard keeps a bit-exact twin too (it is the documented
+    fallback if a future corpus needs it)."""
     from directxtex_tpu.bc.pallas_kernels import (bc7_encode_pallas,
                                                   bc7_refine_pallas)
 
@@ -259,14 +262,18 @@ def test_bc7_single_dispatch_matches_jnp(opaque, share2sub):
     blocks = jnp.transpose(px_i, (2, 0, 1)).astype(jnp.float32) / 255.0
 
     prev = bc67.BC7_SHARED2SUB
+    prev_kb = bc67.BC7_SHARED_KEEPBETTER
     try:
         bc67.BC7_SHARED2SUB = share2sub
+        bc67.BC7_SHARED_KEEPBETTER = kb
         ref = np.asarray(bc67.encode_bc7(blocks, opaque=opaque))
+        modes = (1, 3, 5, 6, 4) if opaque else (1, 3, 5, 6, 7, 4)
+        # the kernel reads BC7_SHARED_KEEPBETTER at trace time
+        err_p, words_p = bc7_encode_pallas(px_i, modes, interpret=True,
+                                           share2sub=share2sub)
     finally:
         bc67.BC7_SHARED2SUB = prev
-    modes = (1, 3, 5, 6, 4) if opaque else (1, 3, 5, 6, 7, 4)
-    err_p, words_p = bc7_encode_pallas(px_i, modes, interpret=True,
-                                       share2sub=share2sub)
+        bc67.BC7_SHARED_KEEPBETTER = prev_kb
     # default tier: MOMENT ladder, refine scope skips mode 6 (encode_bc7)
     words_p = bc7_refine_pallas(px_i, words_p, bc67.LADDER_MOMENT,
                                 modes=tuple(m for m in modes if m != 6),
