@@ -2082,6 +2082,17 @@ BC6H_SHARED_FIT = True
 # +0.003, 3 -> +0.017, 4 -> +0.019 — three is the knee.
 BC6H_SHARED_ROUNDS = 3
 
+# Float keep-better guard of the shared trajectory (refit result vs
+# min/max init at the float score). Measured OFF (r5): encoded words
+# are BITWISE IDENTICAL with the guard removed on every HDR probe
+# content incl. sun_sky and signed zero-crossing — the assign->refit
+# alternation never loses at the float level; the per-group
+# quantized-domain rescore/refit (above) is what handles quantization
+# snap. Dropping it skips the SSE planes of every trajectory
+# assignment plus the final assignment entirely (the BC7 lever's
+# pattern, BC7_SHARED_KEEPBETTER). A/B: benchmarks/quality_bc6h_nokb.py.
+BC6H_SHARED_KEEPBETTER = False
+
 # Per-group quantized refit only where quantization snap can actually
 # move the LS solution: groups with endpoint precision below this many
 # bits refit; at >=11 bits the quantized endpoints track the float
@@ -2411,13 +2422,15 @@ def _bc6h_palette_err_t(px_int, mask, q0, q1, precW, iprec, signed):
     return idx, err
 
 
-def _bc6h_palette_err_f(px_f, mask, e0, e1, iprec):
+def _bc6h_palette_err_f(px_f, mask, e0, e1, iprec, score: bool = True):
     """Float-endpoint (px-space) palette assignment + SSE: the
     precision-free scorer for the shared fit trajectory
     (BC6H_SHARED_FIT). Same projection/snap geometry as
     _bc6h_palette_err_t but with unquantized endpoints and a linear
     (floor-less) palette — only used to steer the fit; every
     per-precision-group error is rescored exactly afterwards.
+    score=False skips the SSE planes (keep-better off,
+    BC6H_SHARED_KEEPBETTER) and returns (idx, None).
 
     px_f [16, 3, NB] f32 (F16-int values); e0/e1 [3, NB] f32."""
     K = 1 << iprec
@@ -2436,6 +2449,8 @@ def _bc6h_palette_err_f(px_f, mask, e0, e1, iprec):
     up = (kf < K - 1) & (2.0 * p64 > wk + wkp)
     dn = (kf > 0) & (2.0 * p64 < wk + wkm)
     idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    if not score:
+        return idx, None
     wk = _pal_weight_f(idx, K) * jnp.float32(1 / 64)
     best = jnp.zeros_like(dot)
     for c in range(3):
@@ -2466,10 +2481,12 @@ def _bc6h_shared_fit(px_f, mask_list, iprec, signed):
         ma = jnp.max(jnp.where(m3, px_f, -big), axis=0)
         cap = jnp.maximum(jnp.abs(mi), jnp.abs(ma)) \
             + jnp.float32(BC6H_LS_MAG_CAP)
-        idx_b, err0 = _bc6h_palette_err_f(px_f, mask, mi, ma, iprec)
+        kb = BC6H_SHARED_KEEPBETTER
+        idx_b, err0 = _bc6h_palette_err_f(px_f, mask, mi, ma, iprec,
+                                          score=kb)
         e0f, e1f = mi, ma
         err_b = err0
-        for _ in range(BC6H_SHARED_ROUNDS):
+        for r in range(BC6H_SHARED_ROUNDS):
             x = _pal_weight_f(idx_b, 1 << iprec) * jnp.float32(1 / 64)
             mm = mask.astype(jnp.float32)
             a = (1.0 - x) * mm
@@ -2494,10 +2511,18 @@ def _bc6h_shared_fit(px_f, mask_list, iprec, signed):
                 rows1.append(jnp.where(ok, n1, e1f[c]))
             e0f = jnp.stack(rows0)
             e1f = jnp.stack(rows1)
-            idx_b, err_b = _bc6h_palette_err_f(px_f, mask, e0f, e1f, iprec)
-        better = err_b < err0
-        out.append((jnp.where(better[None, :], e0f, mi),
-                    jnp.where(better[None, :], e1f, ma)))
+            if kb or r < BC6H_SHARED_ROUNDS - 1:
+                # the last assignment only feeds the keep-better score
+                # (group rescore re-derives indices from quantized
+                # endpoints)
+                idx_b, err_b = _bc6h_palette_err_f(px_f, mask, e0f, e1f,
+                                                   iprec, score=kb)
+        if kb:
+            better = err_b < err0
+            out.append((jnp.where(better[None, :], e0f, mi),
+                        jnp.where(better[None, :], e1f, ma)))
+        else:
+            out.append((e0f, e1f))
     return out
 
 

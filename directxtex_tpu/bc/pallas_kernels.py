@@ -3020,12 +3020,14 @@ def _k_bc6h_subsets(xf3, masks, row: int, signed: bool):
     return q0f_s, q1f_s, idx_full, errs_f
 
 
-def _k_bc6h_palette_err_f(xf3, masks, e0_s, e1_s, iprec):
+def _k_bc6h_palette_err_f(xf3, masks, e0_s, e1_s, iprec,
+                          score: bool = True):
     """Float-endpoint px-space palette assignment + SSE, fused over
     subsets (bc67._bc6h_palette_err_f twin): the precision-free scorer
     for the shared fit trajectory. Linear (floor-less) palette — only
     steers the fit; per-group errors are rescored exactly afterwards.
-    Returns (idx [16, T] f32, errs)."""
+    score=False skips the SSE planes (keep-better off,
+    bc67.BC6H_SHARED_KEEPBETTER). Returns (idx [16, T] f32, errs)."""
     K = 1 << iprec
     n_sub = len(masks)
     single = masks[0] is None
@@ -3053,6 +3055,8 @@ def _k_bc6h_palette_err_f(xf3, masks, e0_s, e1_s, iprec):
     up = (kf < K - 1) & (2.0 * p64 > wk + wkp)
     dn = (kf > 0) & (2.0 * p64 < wk + wkm)
     idx = jnp.where(up, kf + 1.0, jnp.where(dn, kf - 1.0, kf))
+    if not score:
+        return idx, None
     wk64 = _pal_weight_f(idx, K) * jnp.float32(1 / 64)
     best = jnp.zeros_like(dot)
     for c in range(3):
@@ -3094,7 +3098,10 @@ def _k_bc6h_shared_fit(xf3, masks, iprec: int, signed: bool):
             ma_s.append([jnp.max(jnp.where(mb, f, -big), axis=0)
                          for f in xf3])
 
-    idx_b, errs0 = _k_bc6h_palette_err_f(xf3, masks, mi_s, ma_s, iprec)
+    from .bc67 import BC6H_SHARED_KEEPBETTER
+    kb = BC6H_SHARED_KEEPBETTER
+    idx_b, errs0 = _k_bc6h_palette_err_f(xf3, masks, mi_s, ma_s, iprec,
+                                         score=kb)
     lim = float(_BC6H_F16MAX)
     lo = -lim if signed else 0.0
     from .bc67 import BC6H_LS_MAG_CAP
@@ -3103,7 +3110,7 @@ def _k_bc6h_shared_fit(xf3, masks, iprec: int, signed: bool):
              for p in range(n_sub)]
     e0f_s, e1f_s = mi_s, ma_s
     errs_b = errs0
-    for _ in range(BC6H_SHARED_ROUNDS):
+    for r in range(BC6H_SHARED_ROUNDS):
         x = _pal_weight_f(idx_b, 1 << iprec) * jnp.float32(1 / 64)
         av = 1.0 - x
         bv = x
@@ -3133,16 +3140,21 @@ def _k_bc6h_shared_fit(xf3, masks, iprec: int, signed: bool):
             e0n_s.append(r0l)
             e1n_s.append(r1l)
         e0f_s, e1f_s = e0n_s, e1n_s
-        idx_b, errs_b = _k_bc6h_palette_err_f(xf3, masks, e0f_s, e1f_s,
-                                              iprec)
+        if kb or r < BC6H_SHARED_ROUNDS - 1:
+            # the last assignment only feeds the keep-better score
+            idx_b, errs_b = _k_bc6h_palette_err_f(xf3, masks, e0f_s,
+                                                  e1f_s, iprec, score=kb)
 
     out = []
     for p in range(n_sub):
-        bt = errs_b[p] < errs0[p]
-        out.append(([jnp.where(bt, e0f_s[p][c], mi_s[p][c])
-                     for c in range(3)],
-                    [jnp.where(bt, e1f_s[p][c], ma_s[p][c])
-                     for c in range(3)]))
+        if kb:
+            bt = errs_b[p] < errs0[p]
+            out.append(([jnp.where(bt, e0f_s[p][c], mi_s[p][c])
+                         for c in range(3)],
+                        [jnp.where(bt, e1f_s[p][c], ma_s[p][c])
+                         for c in range(3)]))
+        else:
+            out.append((list(e0f_s[p]), list(e1f_s[p])))
     return out
 
 

@@ -548,3 +548,52 @@ def test_alpha_weight_kernels_match_jnp(mode_id):
         out = single_modes_pallas(px_i, interpret=True, aw=aw)
         err_p, words_p = out[mode_id]
     _assert_equivalent(err_p, err_r, words_p, words_r, px_i)
+
+
+@pytest.mark.parametrize("signed,kb", [(False, False), (False, True),
+                                       (True, False)])
+def test_bc6h_shared_fit_twins_match(signed, kb):
+    """_k_bc6h_shared_fit (lane-major fused-subset kernel helper) vs
+    bc67._bc6h_shared_fit (per-subset jnp twin), directly — both are
+    plain jnp so this covers the BC6H shared-fit trajectory (incl. the
+    r5 BC6H_SHARED_KEEPBETTER lever, both settings) without compiling
+    the heavy mega kernel. Bitwise-equal endpoints expected: identical
+    op order, per-pixel selection only routes the same subset values."""
+    from directxtex_tpu.bc.bc67 import _f16_to_int
+    from directxtex_tpu.bc.pallas_kernels import _k_bc6h_shared_fit
+
+    rng = np.random.default_rng(29)
+    nb = 128
+    scale = 8.0 if not signed else 4.0
+    rgb = rng.random((nb, 16, 3)).astype(np.float32) * scale
+    rgb[: nb // 2, 8:, :] += scale          # two-region structure
+    if signed:
+        rgb = rgb - scale / 2
+    px_int = _f16_to_int(jnp.asarray(np.transpose(rgb, (1, 2, 0))), signed)
+    px_f = px_int.astype(jnp.float32)
+    # a representative 2-subset partition mask (top half vs bottom half)
+    m0 = np.zeros((16, nb), bool)
+    m0[:8, :] = True
+    masks = [jnp.asarray(m0), jnp.asarray(~m0)]
+    xf3 = [px_f[:, c, :] for c in range(3)]
+
+    prev = bc67.BC6H_SHARED_KEEPBETTER
+    try:
+        bc67.BC6H_SHARED_KEEPBETTER = kb
+        ref = bc67._bc6h_shared_fit(px_f, masks, 3, signed)
+        got = _k_bc6h_shared_fit(xf3, masks, 3, signed)
+        # 1-region scope too (masks=[None] in the kernel helper)
+        ones = jnp.ones((16, nb), bool)
+        ref1 = bc67._bc6h_shared_fit(px_f, [ones], 4, signed)
+        got1 = _k_bc6h_shared_fit(xf3, [None], 4, signed)
+    finally:
+        bc67.BC6H_SHARED_KEEPBETTER = prev
+
+    for (re0, re1), (ge0, ge1) in zip(ref + ref1, got + got1):
+        for c in range(3):
+            np.testing.assert_allclose(np.asarray(ge0[c]),
+                                       np.asarray(re0)[c], rtol=2e-6,
+                                       atol=2e-2)
+            np.testing.assert_allclose(np.asarray(ge1[c]),
+                                       np.asarray(re1)[c], rtol=2e-6,
+                                       atol=2e-2)
