@@ -56,9 +56,12 @@ def _refresh_verify_artifact(max_age_hours: float = 12.0) -> dict:
         pass
     print("[bench] VERIFY_TPU.json stale; regenerating...", file=sys.stderr)
     try:
+        # 5400s: a cold .jax_cache after a kernel edit needs fresh remote
+        # compiles of the BC6H verify variants (~45-70 min total); warm
+        # cache runs finish in ~10 min
         subprocess.run([sys.executable, "benchmarks/verify_tpu.py"],
                        cwd="/root/repo", env=dict(os.environ),
-                       stdout=sys.stderr, stderr=sys.stderr, timeout=3000)
+                       stdout=sys.stderr, stderr=sys.stderr, timeout=5400)
         with open(path) as f:
             cur = json.load(f)
         return {"ok": cur["ok"], "date": cur["date"]}
