@@ -29,12 +29,17 @@ from directxtex_tpu.bc.common import image_to_blocks  # noqa: E402
 CONTENTS = ("albedo", "tworegion", "normal", "alphagrad",
             "photo_china", "photo_flower")
 
-# (name, shared?, rounds, iprec)
+# (name, shared?, rounds, iprec, keep_better)
+# keep_better: the float keep-better guard (r5, BC7_SHARED_KEEPBETTER).
+# Measured: kb on/off corpus deltas are IDENTICAL (the LS refit never
+# loses on LDR content), so kb=False ships; the kb-on row keeps the
+# claim reproducible.
 CONFIGS = (
-    ("independent (r4)", False, 0, 3),
-    ("shared r1 k8", True, 1, 3),
-    ("shared r2 k8", True, 2, 3),
-    ("shared r1 k4", True, 1, 2),
+    ("independent (r4)", False, 0, 3, False),
+    ("shared r1 k8", True, 1, 3, False),
+    ("shared r1 k8 kb-on", True, 1, 3, True),
+    ("shared r2 k8", True, 2, 3, False),
+    ("shared r1 k4", True, 1, 2, False),
 )
 
 
@@ -55,10 +60,11 @@ def main():
         ref_psnr[content] = _psnr(refcodec.decode(refcodec.BC7, ref_bc),
                                   blocks)
 
-    for name, shared, rounds, iprec in CONFIGS:
+    for name, shared, rounds, iprec, kb in CONFIGS:
         bc67.BC7_SHARED2SUB = shared
         bc67.BC7_SHARED2SUB_ROUNDS = rounds
         bc67.BC7_SHARED2SUB_IPREC = iprec
+        bc67.BC7_SHARED_KEEPBETTER = kb
         deltas = []
         for content in CONTENTS:
             bc = np.asarray(bc67.encode_bc7(jnp.asarray(blocks_by[content])))
